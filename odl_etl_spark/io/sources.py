@@ -1,0 +1,111 @@
+"""Sources: Parquet (primary), JDBC, binary files.
+
+Generalizes the reference's extract surface:
+  * Parquet/columnar scan — ``email_mapping/email_mapping.py:53-54`` writes
+    Parquet; the Glue-crawled lake (``mailgun_crawler``) reads it back.
+  * JDBC scan with projection pushdown — ``email_mapping.py:43-48`` pushes a
+    2-column SELECT to Postgres; ``jdbc_source`` pushes an arbitrary query.
+  * Opaque binary artifacts — ``mitx/mitx_etl.py:94-121`` treats courses as
+    tar.gz blobs; ``binary_source`` maps them to BinaryType rows.
+
+Scale posture: plain ``spark.read.parquet`` keeps column pruning, predicate
+pushdown, and partition discovery inside Catalyst — never pre-materialize.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table; normalizes ns-precision event timestamps.
+
+    ``events.ts`` is INT64 TIMESTAMP(NANOS) in Parquet, which Spark reads
+    as long under ``nanosAsLong``; convert to a µs timestamp (truncation,
+    matching DuckDB's ``CAST(ts AS TIMESTAMP)``) so downstream windowing
+    is engine-agnostic.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for ``spark.sql``."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def jdbc_source(
+    spark: SparkSession,
+    url: str,
+    query: str | None = None,
+    table: str | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """JDBC scan with pushdown, the Spark-native form of the reference's
+    ``pd.read_sql('select username, email from <tbl>', conn)``.
+
+    Passing ``query`` pushes projection+predicates to the database by
+    construction; passing ``table`` + ``partition_column`` bounds gives a
+    parallel partitioned scan (the reference materializes the whole result
+    in driver RAM — its scalability ceiling; this streams per-executor).
+    """
+    if (query is None) == (table is None):
+        raise ValueError("exactly one of query/table is required")
+    reader = spark.read.format("jdbc").option("url", url)
+    if query is not None:
+        reader = reader.option("query", query)
+    else:
+        reader = reader.option("dbtable", table)
+        if partition_column is not None:
+            reader = (
+                reader.option("partitionColumn", partition_column)
+                .option("lowerBound", str(lower_bound))
+                .option("upperBound", str(upper_bound))
+                .option("numPartitions", str(num_partitions or 8))
+            )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def binary_source(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Scan opaque artifacts (tarballs, images, audio) as BinaryType rows:
+    ``(path, modificationTime, length, content)``.
+
+    The reference ships course exports as tar.gz blobs
+    (``mitx/mitx_etl.py:115-116``); at lake scale the idiomatic form is a
+    binaryFile scan feeding blob columns, not per-file shell loops.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

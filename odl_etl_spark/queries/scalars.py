@@ -1,0 +1,247 @@
+"""Projection / filter / scalar-function specs (SURVEY §2B, A2 class).
+
+The reference's only transform is a per-row salted SHA-256
+(``email_mapping/email_mapping.py:49-51``); this module re-expresses it as
+a codegen'd expression and widens the scalar surface to the full string /
+date / math / JSON / array / map families the downstream lake implies.
+All pure expression work — whole-stage codegen, zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from odl_etl_spark.functions.hashing import DEFAULT_SALT, salted_sha256
+from odl_etl_spark.functions.numeric import roundn
+from odl_etl_spark.io.sources import load_table
+from odl_etl_spark.queries.base import spec
+
+
+@spec(
+    "project_hash_email",
+    f"""
+    SELECT c_custkey, sha256('{DEFAULT_SALT}' || c_name) AS hashed_id
+    FROM customer
+    """,
+    doc=(
+        "The reference's flagship user-map, verbatim semantics "
+        "(email_mapping.py:49-51: sha256(salt+email).hexdigest per row) as "
+        "a distributed codegen'd expression over customer.c_name."
+    ),
+)
+def project_hash_email(spark, sf_dir):
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey", salted_sha256("c_name").alias("hashed_id")
+    )
+
+
+@spec(
+    "filter_pred",
+    """
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+    FROM customer
+    WHERE (c_acctbal > 5000.0 AND c_mktsegment IN ('AUTOMOBILE', 'MACHINERY'))
+       OR c_acctbal < -500.0
+    """,
+    doc="Conjunctive/disjunctive predicates, pushed to the scan (A1 class).",
+)
+def filter_pred(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    return c.where(
+        ((F.col("c_acctbal") > 5000.0) & F.col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY"))
+        | (F.col("c_acctbal") < -500.0)
+    ).select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+
+
+@spec(
+    "scalar_string",
+    """
+    SELECT p_partkey,
+           LOWER(p_brand) AS brand_lc,
+           UPPER(p_name) AS name_uc,
+           SUBSTRING(p_name, 1, 4) AS name_pfx,
+           CONCAT(p_type, '/', p_brand) AS type_brand,
+           REGEXP_EXTRACT(p_brand, '([0-9]+)', 1) AS brand_num,
+           TRIM(CONCAT(' ', p_name, ' ')) AS name_trim,
+           CASE WHEN p_name LIKE '%red%' THEN 1 ELSE 0 END AS is_red
+    FROM part
+    """,
+    doc="String scalar family: lower/upper/substring/concat/regexp/trim/like.",
+)
+def scalar_string(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_brand").alias("brand_lc"),
+        F.upper("p_name").alias("name_uc"),
+        F.substring("p_name", 1, 4).alias("name_pfx"),
+        F.concat("p_type", F.lit("/"), "p_brand").alias("type_brand"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("name_trim"),
+        F.when(F.col("p_name").like("%red%"), 1).otherwise(0).alias("is_red"),
+    )
+
+
+@spec(
+    "scalar_date",
+    """
+    SELECT o_orderkey,
+           STRFTIME(CAST(o_orderdate AS DATE), '%Y%m%d') AS ds,
+           CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+           CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mo,
+           CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+           DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+    FROM orders
+    """,
+    doc=(
+        "Date scalar family; ds is the reference's daily-partition key "
+        "format %Y%m%d (mitx_etl.py:16-17)."
+    ),
+)
+def scalar_date(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyyMMdd").alias("ds"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("days_since"),
+    )
+
+
+@spec(
+    "scalar_math",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount) * 100) / 100 AS revenue,
+           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) / 100 AS charged,
+           ABS(l_quantity - 25) AS qty_dev,
+           ROUND(LN(l_extendedprice + 1) * 100) / 100 AS log_price,
+           CASE WHEN l_quantity > 30 THEN 'bulk'
+                WHEN l_quantity > 10 THEN 'mid'
+                ELSE 'small' END AS qty_band
+    FROM lineitem
+    """,
+    doc="Arithmetic/round/abs/ln/CASE — the lake-analytics expression core.",
+)
+def scalar_math(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        roundn(rev, 2).alias("revenue"),
+        roundn(rev * (1 + F.col("l_tax")), 2).alias("charged"),
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        roundn(F.log(F.col("l_extendedprice") + 1), 2).alias("log_price"),
+        F.when(F.col("l_quantity") > 30, "bulk")
+        .when(F.col("l_quantity") > 10, "mid")
+        .otherwise("small")
+        .alias("qty_band"),
+    )
+
+
+@spec(
+    "scalar_json",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+           json_extract_string(props, '$.missing') AS missing_val
+    FROM events
+    """,
+    doc="Typed field extraction from a JSON string column (events.props).",
+)
+def scalar_json(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        F.get_json_object("props", "$.missing").alias("missing_val"),
+    )
+
+
+@spec(
+    "scalar_array",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE) * 10000) / 10000 AS first_val,
+           ROUND(CAST(embedding[len(embedding)] AS DOUBLE) * 10000) / 10000 AS last_val,
+           ROUND((SELECT SUM(CAST(x AS DOUBLE)) FROM UNNEST(embedding) AS t(x)) * 10000) / 10000 AS vec_sum
+    FROM embeddings
+    """,
+    doc="Array ops over embeddings.embedding: size/element_at/aggregate sum.",
+)
+def scalar_array(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        roundn(F.element_at(dbl, 1), 4).alias("first_val"),
+        roundn(F.element_at(dbl, F.size("embedding")), 4).alias("last_val"),
+        roundn(
+            F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("vec_sum"),
+    )
+
+
+@spec(
+    "scalar_map",
+    None,  # map columns hash differently across engines — rows-only check
+    doc="Build + query a MapType column (create_map / element access / keys).",
+)
+def scalar_map(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    m = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+    )
+    return d.select(
+        "doc_id",
+        m.alias("meta"),
+        m["lang"].alias("meta_lang"),
+        F.map_keys(m).alias("meta_keys"),
+    )
+
+
+@spec(
+    "udf_scalar_pandas",
+    f"""
+    SELECT c_custkey, sha256('{DEFAULT_SALT}' || c_name) AS hashed_id
+    FROM customer
+    """,
+    doc=(
+        "The reference's Series.apply hash (email_mapping.py:49-51) done "
+        "right: an Arrow-vectorized pandas UDF. Same bytes as project_hash_"
+        "email; exists to exercise the Python-UDF execution path."
+    ),
+)
+def udf_scalar_pandas(spark, sf_dir):
+    import hashlib
+
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # Note: no type hints — `from __future__ import annotations` turns them
+    # into unresolvable strings for Spark's hint-based eval-type inference.
+    @pandas_udf("string", PandasUDFType.SCALAR)
+    def hash_series(s):
+        salt = DEFAULT_SALT.encode()
+        return s.map(lambda v: hashlib.sha256(salt + v.encode()).hexdigest())
+
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey", hash_series("c_name").alias("hashed_id")
+    )
+
+
+SPECS = [
+    project_hash_email,
+    filter_pred,
+    scalar_string,
+    scalar_date,
+    scalar_math,
+    scalar_json,
+    scalar_array,
+    scalar_map,
+    udf_scalar_pandas,
+]

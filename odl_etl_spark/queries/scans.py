@@ -1,0 +1,85 @@
+"""Scan / source / sink query specs (SURVEY §2B — A1/A3/A7/A8 classes).
+
+Derivation: the reference's entire extract/load surface is a pushed-down
+2-column JDBC SELECT (``email_mapping/email_mapping.py:43-48``), a Parquet
+write (``:53-54``), and date-partitioned S3 sync
+(``mitx/mitx_etl.py:124-155``). Spark-first form: declarative parquet
+scans (Catalyst prunes columns and pushes predicates to the reader) and
+``partitionBy`` writes with dynamic partition overwrite.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from odl_etl_spark.io.sources import load_table
+from odl_etl_spark.functions.numeric import roundn
+from odl_etl_spark.queries.base import spec
+
+
+@spec(
+    "scan_parquet",
+    "SELECT * FROM part",
+    doc="Full columnar scan, schema as-is (A1/A3).",
+)
+def scan_parquet(spark, sf_dir):
+    return load_table(spark, sf_dir, "part")
+
+
+@spec(
+    "scan_pruned",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity < 25 AND l_shipdate >= TIMESTAMP '1997-01-01'
+    """,
+    doc=(
+        "Column-pruned, predicate-pushed scan: only 5 columns leave the "
+        "parquet reader (ReadSchema) and both predicates reach "
+        "PushedFilters — the generalized form of the reference's "
+        "projection-by-SQL-string (email_mapping.py:44)."
+    ),
+)
+def scan_pruned(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .where((F.col("l_quantity") < 25) & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+@spec(
+    "sink_partitioned",
+    """
+    SELECT STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m') AS ds, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice) * 100) / 100 AS total
+    FROM orders GROUP BY ds
+    """,
+    doc=(
+        "Date-partitioned Parquet sink + partition-discovering re-read "
+        "(A7 `aws s3 sync` to date prefixes + A8 prefix listing, "
+        "mitx_etl.py:124-155 / manage_crawler_targets.py:3-6). Writes "
+        "partitionBy(ds) with dynamic overwrite, re-reads via partition "
+        "discovery, aggregates per partition."
+    ),
+)
+def sink_partitioned(spark, sf_dir):
+    out = os.path.join(tempfile.gettempdir(), "odl_etl_spark_sink", "orders_by_month")
+    shutil.rmtree(out, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "ds", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    orders.write.mode("overwrite").partitionBy("ds").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .groupBy("ds")
+        .agg(F.count("*").alias("n"), roundn(F.sum("o_totalprice"), 2).alias("total"))
+        .select(F.col("ds").cast("string").alias("ds"), "n", "total")
+    )
+
+
+SPECS = [scan_parquet, scan_pruned, sink_partitioned]

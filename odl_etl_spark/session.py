@@ -1,0 +1,82 @@
+"""SparkSession factory with the engine's scale posture baked in.
+
+The reference runs eager single-process pandas
+(``/root/reference/email_mapping/email_mapping.py:43-54``); this engine
+targets a multi-executor cluster, so the session defaults encode the
+100 TB posture up front:
+
+  * AQE on (runtime partition coalescing, skew-join splitting, dynamic
+    join-strategy switches) — the single biggest lever at scale.
+  * UTC session timezone — deterministic timestamp semantics across
+    engines (needed for the DuckDB differential oracle too).
+  * Dynamic partition overwrite — the A7 "daily re-sync" sink semantics
+    (``mitx/mitx_etl.py:124-155``) without clobbering sibling partitions.
+  * ``nanosAsLong`` — ns-precision Parquet timestamps (events.ts) read as
+    int64; ``io.sources`` converts to timestamp at µs precision.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Tuned for the local[32] harness; on a real cluster these come from
+# spark-submit conf. Shuffle partitions should be ~2-3x total cores and
+# sized so a partition is O(100-200 MB) at the target data scale; AQE
+# coalesces the excess at runtime, so err on the high side for 100 TB.
+DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.partitionOverwriteMode": "dynamic",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(
+    app_name: str = "odl-etl-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env) or
+    ``local[*]``; on a cluster, pass None and let spark-submit decide.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master is not None:
+        builder = builder.master(master)
+    conf = dict(DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable conf to an externally-created
+    session (the driver hands us one in ``__spark_entry__.entry``)."""
+    for k, v in DEFAULT_CONF.items():
+        if k.startswith("spark.sql.") and k != "spark.sql.legacy.parquet.nanosAsLong":
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                pass  # static conf on a live session — keep the session's value
+    # nanosAsLong is session-settable in Spark 4; events reads need it.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    return spark
