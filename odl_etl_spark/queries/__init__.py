@@ -13,9 +13,9 @@ def registry() -> dict[str, QuerySpec]:
     # Imports are lazy so a syntax error in one module surfaces at call
     # time with a clean traceback, and pyspark isn't imported on package
     # import for tooling that only wants the names.
-    from odl_etl_spark.queries import scalars, scans
+    from odl_etl_spark.queries import aggs, joins, scalars, scans, setops, windows
 
-    modules = [scans, scalars]
+    modules = [scans, scalars, joins, aggs, windows, setops]
     out: dict[str, QuerySpec] = {}
     for mod in modules:
         for s in mod.SPECS:

@@ -1,0 +1,178 @@
+"""Aggregation specs (SURVEY §2B).
+
+All stock Catalyst hash aggregation: partial (map-side) + final after the
+key shuffle, whole-stage codegen'd. The scale lever is that partial agg
+collapses data *before* the exchange — a groupBy on low-cardinality keys
+moves KBs per partition regardless of input TBs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from odl_etl_spark.functions.numeric import roundn
+from odl_etl_spark.io.sources import load_table
+from odl_etl_spark.queries.base import spec
+
+
+@spec(
+    "agg_groupby",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity) * 100) / 100 AS sum_qty,
+           ROUND(SUM(l_extendedprice) * 100) / 100 AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) / 100 AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100) / 100 AS sum_charge,
+           ROUND(AVG(l_quantity) * 100) / 100 AS avg_qty,
+           ROUND(AVG(l_extendedprice) * 100) / 100 AS avg_price,
+           ROUND(AVG(l_discount) * 100) / 100 AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: the canonical partial+final hash aggregation.",
+)
+def agg_groupby(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        roundn(F.sum("l_quantity"), 2).alias("sum_qty"),
+        roundn(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        roundn(F.sum(disc_price), 2).alias("sum_disc_price"),
+        roundn(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        roundn(F.avg("l_quantity"), 2).alias("avg_qty"),
+        roundn(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        roundn(F.avg("l_discount"), 2).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@spec(
+    "agg_distinct",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact distinct aggregation (expand+two-phase under the hood).",
+)
+def agg_distinct(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@spec(
+    "agg_approx_distinct",
+    None,  # HLL estimates are engine-specific — rows-only check
+    doc=(
+        "HyperLogLog++ distinct estimate (rsd=0.05): at 100 TB the exact "
+        "expand+shuffle is the bottleneck; HLL sketches merge in fixed "
+        "memory. Unit test asserts error bound vs exact, never values."
+    ),
+)
+def agg_approx_distinct(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.05).alias("approx_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@spec(
+    "agg_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice) * 100) / 100 AS total
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    doc="Hierarchical totals: (status,priority) → (status) → ().",
+)
+def agg_rollup(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), roundn(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@spec(
+    "agg_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice) * 100) / 100 AS total
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    doc="All 2^k grouping combinations.",
+)
+def agg_cube(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), roundn(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@spec(
+    "agg_gsets",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    doc="Explicit grouping sets via the SQL surface.",
+)
+def agg_gsets(spark, sf_dir):
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_gsets_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM _gsets_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@spec(
+    "agg_having",
+    """
+    SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_cust,
+           ROUND(AVG(c_acctbal) * 100) / 100 AS avg_bal
+    FROM customer
+    GROUP BY c_mktsegment, c_nationkey
+    HAVING COUNT(*) >= 10 AND AVG(c_acctbal) > 3000.0
+    """,
+    doc="Post-aggregation filter (HAVING).",
+)
+def agg_having(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment", "c_nationkey")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.avg("c_acctbal").alias("_avg_bal_raw"),
+        )
+        .where((F.col("n_cust") >= 10) & (F.col("_avg_bal_raw") > 3000.0))
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "n_cust",
+            roundn(F.col("_avg_bal_raw"), 2).alias("avg_bal"),
+        )
+    )
+
+
+SPECS = [
+    agg_groupby,
+    agg_distinct,
+    agg_approx_distinct,
+    agg_rollup,
+    agg_cube,
+    agg_gsets,
+    agg_having,
+]

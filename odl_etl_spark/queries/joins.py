@@ -1,0 +1,231 @@
+"""Join specs (SURVEY §2B).
+
+The reference has zero joins (verified, SURVEY §2A) — these are the lake
+analytics its extracted dims/facts exist to serve. All equi-joins are
+stock Catalyst (broadcast-hash vs sort-merge chosen by size + AQE);
+our work is strategy *choice* (explicit broadcast for dims), not
+implementation. The as-of join composes the union+carry operator from
+``odl_etl_spark.operators.asof``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from odl_etl_spark.functions.numeric import roundn
+from odl_etl_spark.io.sources import load_table
+from odl_etl_spark.operators.asof import asof_join
+from odl_etl_spark.queries.base import spec
+
+
+@spec(
+    "join_inner_equi",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'O'
+    """,
+    doc="Equi inner join orders⋈customer (shuffled or broadcast by AQE).",
+)
+def join_inner_equi(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@spec(
+    "join_broadcast",
+    """
+    SELECT p.p_brand,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100) / 100 AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    doc=(
+        "Fact⋈small-dim with an explicit broadcast hint: at 100 TB the "
+        "part dim stays broadcastable while lineitem never shuffles for "
+        "the join; the groupBy is the only exchange (partial+final agg)."
+    ),
+)
+def join_broadcast(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            roundn(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@spec(
+    "join_left",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 40000.0
+    """,
+    doc="Left outer join with nulls preserved for unmatched customers.",
+)
+def join_left(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o, (c.c_custkey == o.o_custkey) & (o.o_totalprice > 40000.0), "left"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@spec(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+    doc="Existence join (left_semi): customers with at least one urgent order.",
+)
+def join_semi(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@spec(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+    doc="Absence join (left_anti): customers with no pending orders.",
+)
+def join_anti(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@spec(
+    "join_theta_range",
+    """
+    SELECT p.p_partkey, s.s_suppkey, p.p_retailprice, s.s_acctbal
+    FROM part p JOIN supplier s
+      ON s.s_acctbal >= p.p_retailprice AND s.s_acctbal < p.p_retailprice + 50.0
+    """,
+    doc=(
+        "Non-equi band join (supplier balance within [price, price+50)). "
+        "Catalyst executes as BroadcastNestedLoopJoin with the small side "
+        "broadcast — the right physical plan when one side fits in memory; "
+        "for two large sides the scale path is banding both sides to an "
+        "equi-join on floor(value/band) (see operators docs)."
+    ),
+)
+def join_theta_range(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    return p.join(
+        F.broadcast(s),
+        (s.s_acctbal >= p.p_retailprice) & (s.s_acctbal < p.p_retailprice + 50.0),
+    ).select("p_partkey", "s_suppkey", "p_retailprice", "s_acctbal")
+
+
+@spec(
+    "join_multiway",
+    """
+    SELECT n.n_name,
+           COUNT(*) AS n_lineitems,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100) / 100 AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    doc=(
+        "TPC-H Q5-shaped 5-table chain. Dims (region/nation/customer) "
+        "broadcast; the only shuffles are orders⋈lineitem and the final "
+        "agg — the plan shape that survives 100×."
+    ),
+)
+def join_multiway(spark, sf_dir):
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            roundn(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@spec(
+    "join_asof",
+    """
+    WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts, value
+               FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, epoch_us(p.pts) AS purchase_us,
+           epoch_us((SELECT MAX(c.cts) FROM c
+                     WHERE c.user_id = p.user_id AND c.cts <= p.pts)) AS last_click_us
+    FROM p
+    """,
+    doc=(
+        "Backward as-of join: each purchase event picks up the most recent "
+        "click by the same user. Union+running-carry implementation "
+        "(operators/asof.py) — O(L+R), one shuffle, no range-join blowup."
+    ),
+)
+def join_asof(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        payload=["click_ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        F.unix_micros("click_ts").alias("last_click_us"),
+    )
+
+
+SPECS = [
+    join_inner_equi,
+    join_broadcast,
+    join_left,
+    join_semi,
+    join_anti,
+    join_theta_range,
+    join_multiway,
+    join_asof,
+]

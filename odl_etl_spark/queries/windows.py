@@ -1,0 +1,114 @@
+"""Window-function specs (SURVEY §2B).
+
+One shuffle on the partition key, then a sort within partitions; no
+custom code. Deterministic convention: every ORDER BY inside a window
+ends with a unique tie-break key (SURVEY §5.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from odl_etl_spark.functions.numeric import roundn
+from odl_etl_spark.io.sources import load_table
+from odl_etl_spark.queries.base import spec
+
+
+@spec(
+    "win_rank",
+    """
+    SELECT c_custkey, c_mktsegment, c_nationkey,
+           ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_nationkey, c_custkey) AS rn,
+           RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_nationkey) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_nationkey) AS drnk
+    FROM customer
+    """,
+    doc="row_number / rank / dense_rank with real ties on c_nationkey.",
+)
+def win_rank(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    seg = Window.partitionBy("c_mktsegment")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_nationkey",
+        F.row_number().over(seg.orderBy("c_nationkey", "c_custkey")).alias("rn"),
+        F.rank().over(seg.orderBy("c_nationkey")).alias("rnk"),
+        F.dense_rank().over(seg.orderBy("c_nationkey")).alias("drnk"),
+    )
+
+
+@spec(
+    "win_analytic",
+    """
+    SELECT event_id, user_id, value,
+           LAG(value) OVER w AS prev_val,
+           LEAD(value) OVER w AS next_val,
+           FIRST_VALUE(event_id) OVER w AS first_event
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="lag/lead/first_value over per-user event time.",
+)
+def win_analytic(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_val"),
+        F.lead("value").over(w).alias("next_val"),
+        F.first("event_id").over(w).alias("first_event"),
+    )
+
+
+@spec(
+    "win_frame",
+    """
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100) / 100
+             AS running_sum,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100) / 100
+             AS moving_avg3
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+    """,
+    doc="Running sum + 3-row moving average (explicit ROWS frames).",
+)
+def win_frame(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    moving = base.rowsBetween(-2, Window.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        roundn(F.sum("value").over(running), 2).alias("running_sum"),
+        roundn(F.avg("value").over(moving), 2).alias("moving_avg3"),
+    )
+
+
+@spec(
+    "win_ntile",
+    """
+    SELECT c_custkey,
+           NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS bal_decile
+    FROM customer
+    """,
+    doc=(
+        "Decile bucketing of account balance. Single unpartitioned window "
+        "— fine for ranked reporting output; at 100 TB the scale path for "
+        "quantiles is approx_percentile, not a global sort."
+    ),
+)
+def win_ntile(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select("c_custkey", F.ntile(10).over(w).alias("bal_decile"))
+
+
+SPECS = [win_rank, win_analytic, win_frame, win_ntile]
