@@ -1,0 +1,124 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All pure Spark SQL expressions (codegen'd, no Python in the hot path):
+tokenization, word n-gram shingles, token statistics, quality scoring,
+stopword-profile language scoring, and content fingerprints. These are
+the per-document building blocks; the pair/corpus-level operators
+(dedup, TF) compose them in ``operators/dedup.py`` and the query specs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Minimal per-"language" stopword profiles for the heuristic language
+# scorer. Real pipelines plug in fastText/CLD3-class models as a pandas
+# UDF; the engine-side mechanics (profile broadcast, argmax, tie-break)
+# are identical.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "ist", "das"),
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "que", "es"),
+    "fr": ("le", "la", "et", "est", "que"),
+    "zh": ("de5", "shi4", "le5", "he2", "zai4"),
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (lower-cased), empty tokens dropped."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles — the unit of near-dup similarity.
+
+    Token *sets* are useless on small vocabularies (every doc overlaps
+    every other); consecutive n-grams capture sequence identity.
+    Expression-only: transform over an index range, no UDF.
+    """
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...]) -> Column:
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_token_len(col: Column | str) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return n_punct / F.greatest(F.length(c), F.lit(1))
+
+
+def quality_score(col: Column | str, stopwords: tuple[str, ...] = ("the", "a", "of")) -> Column:
+    """Composite heuristic quality score in [0, 1]:
+    length sweet-spot + stopword presence - punctuation noise.
+    The weights are illustrative; the point is a single codegen'd
+    expression that scores billions of docs without Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c).cast("double")
+    length_term = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(c, stopwords) * 5.0, F.lit(1.0))
+    punct_term = F.least(punct_ratio(c) * 5.0, F.lit(1.0))
+    return F.greatest(
+        F.least(
+            0.5 * length_term + 0.5 * stop_term - 0.25 * punct_term, F.lit(1.0)
+        ),
+        F.lit(0.0),
+    )
+
+
+def lang_scores(col: Column | str) -> Column:
+    """Map of language → stopword-hit count for the document."""
+    toks = tokens(col)
+    return F.map_from_arrays(
+        F.array(*[F.lit(lang) for lang in sorted(LANG_PROFILES)]),
+        F.array(
+            *[
+                F.size(F.filter(toks, lambda t: t.isin(*LANG_PROFILES[lang])))
+                for lang in sorted(LANG_PROFILES)
+            ]
+        ),
+    )
+
+
+def predicted_lang(col: Column | str) -> Column:
+    """Argmax language by profile hits; alphabetical tie-break; 'und'
+    (undetermined) when no profile hits at all."""
+    toks = tokens(col)
+    scored = [
+        (lang, F.size(F.filter(toks, lambda t: t.isin(*LANG_PROFILES[lang]))))
+        for lang in sorted(LANG_PROFILES)
+    ]
+    best_lang, best_score = F.lit("und"), F.lit(0)
+    # Fold left in alphabetical order with strict > so earlier (alphabetical)
+    # languages win ties.
+    for lang, score in scored:
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang

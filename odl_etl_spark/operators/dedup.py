@@ -1,0 +1,236 @@
+"""Deduplication operators for document corpora.
+
+Four tiers, cheapest first — the standard LLM-training-data stack:
+
+  1. ``exact_dedup``        — sha256 of raw text; hash-groupBy.
+  2. ``fingerprint_dedup``  — sha256 of the sorted token bag; catches
+                              reordered/case-variant duplicates.
+  3. ``jaccard_pairs``      — exact n-gram-shingle Jaccard via an
+                              inverted-index self-join; the ground truth
+                              for near-dup, O(sum of postings²) worst case.
+  4. ``minhash_lsh_pairs``  — MinHash signatures + banded LSH: candidate
+                              generation in O(N·bands), then exact-Jaccard
+                              verification of candidates only. This is the
+                              100 TB path.
+
+Scale notes: (3)'s self-join key is the shingle — ubiquitous shingles
+are hot keys; ``max_df`` drops shingles appearing in more than that many
+docs (stop-shingle filtering, standard practice, cannot remove a pair
+whose similarity rests on rare shingles). (4) uses seeded xxhash64 — fully
+deterministic across runs/engines, unlike ``spark.ml``'s MinHashLSH whose
+hash coefficients come from a random seed object.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from odl_etl_spark.functions.hashing import content_fingerprint
+from odl_etl_spark.functions.text import word_shingles
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group identical texts: (content_sha, n_docs, keep_id = min id)."""
+    return (
+        df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("content_sha"))
+        .groupBy("content_sha")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def fingerprint_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Same, keyed on the order-insensitive token-bag fingerprint."""
+    return (
+        df.select(F.col(id_col), content_fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def _shingle_postings(
+    df: DataFrame, id_col: str, text_col: str, n: int, max_df: int | None
+) -> DataFrame:
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(text_col, n)).alias("_s"),
+    )
+    if max_df is not None:
+        hot = sh.groupBy("_s").count().where(F.col("count") > max_df).select("_s")
+        sh = sh.join(F.broadcast(hot), "_s", "left_anti")
+    return sh
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    Shuffles on the shingle (postings join) then on the pair (agg) — both
+    standard hash exchanges, AQE handles residual skew.
+    """
+    sh = _shingle_postings(df, id_col, text_col, n, max_df)
+    cnt = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("_inter"))
+    )
+    ca = cnt.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    cb = cnt.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def _minhash_band_cols(shingles: Column, num_hashes: int, band_size: int) -> list[Column]:
+    """One column per LSH band: xxhash64 of the band's minhash tuple.
+
+    Hash family h_i(s) = xxhash64("mh<i>|" || s) — seeded by prefix, so the
+    signature is a pure deterministic function of the shingle set.
+    """
+    minhashes = [
+        F.array_min(
+            F.transform(shingles, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"mh{i}|"), s)))
+        )
+        for i in range(num_hashes)
+    ]
+    bands = []
+    for b in range(0, num_hashes, band_size):
+        bands.append(F.xxhash64(*minhashes[b : b + band_size]))
+    return bands
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    band_size: int = 4,
+) -> DataFrame:
+    """MinHash + banded LSH candidates, verified with exact Jaccard.
+
+    With r=band_size, b=num_hashes/r bands, a pair of true similarity j
+    becomes a candidate with p = 1-(1-j^r)^b (≈1 for j≥0.8 at r=4,b=8).
+    Only candidates pay the exact-verification cost, so total work is
+    O(N·num_hashes) + O(|candidates|) — the property that makes near-dedup
+    feasible at 100 TB where all-pairs (even inverted-index) is not.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"), word_shingles(text_col, n).alias("_sh")
+    ).where(F.size("_sh") > 0)
+    bands = _minhash_band_cols(F.col("_sh"), num_hashes, band_size)
+    banded = base.select(
+        "_id",
+        "_sh",
+        F.posexplode(F.array(*bands)).alias("_band", "_bh"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bh") == F.col("b._bh"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sh").alias("_sha"),
+            F.col("b._sh").alias("_shb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    union = F.size(F.array_union("_sha", "_shb"))
+    return candidates.select(
+        "id_a", "id_b", (inter / union).alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)
+
+
+def simhash64(text_col: Column | str, token_arr: Column | None = None) -> Column:
+    """64-bit SimHash of the token multiset, as a pure expression.
+
+    Per token: 64-bit xxhash64; each signature bit is the sign of the
+    per-bit vote sum (+1 if set, -1 if clear) over tokens. Near-identical
+    docs differ in a few bits; hamming distance = bit_count(a XOR b).
+    """
+    from odl_etl_spark.functions.text import tokens
+
+    toks = token_arr if token_arr is not None else tokens(text_col)
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: F.when(F.getbit(F.xxhash64(t), i) == 1, 1).otherwise(-1).cast("long"),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    # Assemble the signature driver-side bit by bit (shift amounts must be
+    # Python ints); bit 63 is the sign bit of the signed long.
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        weight = (1 << i) if i < 63 else -(1 << 63)
+        sig = sig + F.when(
+            F.element_at(votes, i + 1) > 0, F.lit(weight).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """SimHash near-dup pairs: block on 16-bit signature chunks (a pair
+    within hamming distance 3 of a 64-bit hash must agree on at least one
+    of 4 chunks; we use distance ≤ max_hamming with 4-chunk blocking as a
+    high-recall heuristic), verify with exact hamming distance."""
+    sig = df.select(F.col(id_col).alias("_id"), simhash64(text_col).alias("_sig"))
+    chunks = sig.select(
+        "_id",
+        "_sig",
+        F.posexplode(
+            F.array(
+                *[
+                    (F.shiftrightunsigned(F.col("_sig"), k * 16).bitwiseAND(F.lit(0xFFFF)))
+                    for k in range(4)
+                ]
+            )
+        ).alias("_chunk", "_ch"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a._chunk") == F.col("b._chunk"))
+            & (F.col("a._ch") == F.col("b._ch"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )

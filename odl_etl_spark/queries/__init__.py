@@ -13,9 +13,19 @@ def registry() -> dict[str, QuerySpec]:
     # Imports are lazy so a syntax error in one module surfaces at call
     # time with a clean traceback, and pyspark isn't imported on package
     # import for tooling that only wants the names.
-    from odl_etl_spark.queries import aggs, joins, scalars, scans, setops, windows
+    from odl_etl_spark.queries import (
+        aggs,
+        joins,
+        scalars,
+        scans,
+        setops,
+        similarity,
+        streaming,
+        text,
+        windows,
+    )
 
-    modules = [scans, scalars, joins, aggs, windows, setops]
+    modules = [scans, scalars, joins, aggs, windows, setops, streaming, text, similarity]
     out: dict[str, QuerySpec] = {}
     for mod in modules:
         for s in mod.SPECS:

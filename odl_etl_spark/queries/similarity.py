@@ -1,0 +1,118 @@
+"""Similarity-search specs over the embeddings table (BASELINE mandate).
+
+Cosine math is double-accumulated in array order on both engines
+(Spark: F.aggregate fold; DuckDB: SUM over zipped UNNEST), making the
+scores bit-reproducible — the precondition for hash-matching top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from odl_etl_spark.functions.numeric import roundn
+from odl_etl_spark.functions.vectors import cosine
+from odl_etl_spark.io.sources import load_table
+from odl_etl_spark.operators.similarity import IvfIndex, topk_cosine
+from odl_etl_spark.queries.base import spec
+
+# Zipped-unnest double-precision cosine between two list<float> exprs.
+_COS = """
+    (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+     FROM (SELECT UNNEST({a}) AS x, UNNEST({b}) AS y) z)
+    / (SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+             FROM (SELECT UNNEST({a}) AS x) z))
+       * SQRT((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+               FROM (SELECT UNNEST({b}) AS y) z)))
+"""
+
+
+def _probe_vec(spark, sf_dir, vec_id: int = 0) -> list[float]:
+    # The probe is one tiny row — driver-side fetch then literal broadcast
+    # is the correct pattern (identical to broadcasting a parameter).
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .head()
+    )
+    return [float(x) for x in row[0]]
+
+
+@spec(
+    "sim_topk",
+    f"""
+    WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id,
+             ROUND(({_COS.format(a='e.embedding', b='probe.p')}) * 1000000) / 1000000
+               AS cos_sim
+      FROM embeddings e, probe
+      WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, cos_sim FROM scored
+    ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+    """,
+    doc=(
+        "Exact brute-force cosine top-10 for a probe vector: one codegen'd "
+        "scan + TakeOrderedAndProject, zero shuffles of the corpus."
+    ),
+)
+def sim_topk(spark, sf_dir):
+    probe = _probe_vec(spark, sf_dir, 0)
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    return topk_cosine(e, probe, k=10, round_to=6)
+
+
+@spec(
+    "sim_pairwise_label",
+    f"""
+    SELECT a.label, COUNT(*) AS n_pairs,
+           ROUND(AVG({_COS.format(a='a.embedding', b='b.embedding')}) * 10000) / 10000
+             AS avg_cos
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    GROUP BY a.label
+    """,
+    doc=(
+        "Average intra-label pairwise cosine (cluster cohesion). Self-join "
+        "on the label key; at scale the label join is the blocking factor "
+        "that keeps this from being all-pairs."
+    ),
+)
+def sim_pairwise_label(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = e.select(
+        F.col("label"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    return (
+        a.join(b, ["label"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            roundn(F.avg(cosine("va", "vb")), 4).alias("avg_cos"),
+        )
+    )
+
+
+@spec(
+    "sim_ann_ivf",
+    None,  # ANN recall is index-specific — rows-only; unit test checks recall
+    doc=(
+        "IVF approximate NN: assign vectors to 8 deterministic centroid "
+        "cells, probe the 2 nearest cells only — the partition-pruned scale "
+        "path (search cost ~nprobe/n_cells of brute force)."
+    ),
+)
+def sim_ann_ivf(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    probe = _probe_vec(spark, sf_dir, 0)
+    index = IvfIndex.build(e, n_cells=8)
+    assigned = index.assign(e.where(F.col("vec_id") != 0))
+    return index.search(assigned, probe, k=10, nprobe=2)
+
+
+SPECS = [sim_topk, sim_pairwise_label, sim_ann_ivf]

