@@ -108,17 +108,26 @@ def lang_scores(col: Column | str) -> Column:
 
 def predicted_lang(col: Column | str) -> Column:
     """Argmax language by profile hits; alphabetical tie-break; 'und'
-    (undetermined) when no profile hits at all."""
+    (undetermined) when no profile hits at all.
+
+    Argmax as array_min over (-hits, lang) structs — each score computed
+    once (a when/otherwise fold duplicates prior score subtrees
+    exponentially); min of (-hits, lang) = max hits, alphabetical winner
+    on ties.
+    """
     toks = tokens(col)
-    scored = [
-        (lang, F.size(F.filter(toks, lambda t: t.isin(*LANG_PROFILES[lang]))))
-        for lang in sorted(LANG_PROFILES)
-    ]
-    best_lang, best_score = F.lit("und"), F.lit(0)
-    # Fold left in alphabetical order with strict > so earlier (alphabetical)
-    # languages win ties.
-    for lang, score in scored:
-        is_better = score > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, score).otherwise(best_score)
-    return best_lang
+    scored = F.array(
+        *[
+            F.struct(
+                (-F.size(F.filter(toks, lambda t: t.isin(*LANG_PROFILES[lang])))).alias(
+                    "neg_hits"
+                ),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in sorted(LANG_PROFILES)
+        ]
+    )
+    best = F.array_min(scored)
+    return F.when(best.getField("neg_hits") < 0, best.getField("lang")).otherwise(
+        F.lit("und")
+    )

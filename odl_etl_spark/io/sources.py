@@ -57,6 +57,23 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def spread(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Repartition up to the session's parallelism if the input is
+    under-partitioned.
+
+    Small single-row-group parquet files scan as ONE partition, which
+    serializes compute-heavy per-row work (minhash, simhash, language
+    scoring) onto one core. At lake scale inputs arrive well-partitioned
+    and this is a no-op; on small inputs it trades one cheap shuffle for
+    full-cluster parallelism on the expensive stage.
+    """
+    sc = df.sparkSession.sparkContext
+    n = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def jdbc_source(
     spark: SparkSession,
     url: str,

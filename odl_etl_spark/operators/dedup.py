@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from odl_etl_spark.functions.hashing import content_fingerprint
 from odl_etl_spark.functions.text import word_shingles
+from odl_etl_spark.io.sources import spread
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -51,7 +52,7 @@ def fingerprint_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def _shingle_postings(
     df: DataFrame, id_col: str, text_col: str, n: int, max_df: int | None
 ) -> DataFrame:
-    sh = df.select(
+    sh = spread(df).select(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles(text_col, n)).alias("_s"),
     )
@@ -94,22 +95,35 @@ def jaccard_pairs(
     )
 
 
-def _minhash_band_cols(shingles: Column, num_hashes: int, band_size: int) -> list[Column]:
-    """One column per LSH band: xxhash64 of the band's minhash tuple.
+def _minhash_signatures(
+    base: DataFrame, num_hashes: int, band_size: int
+) -> DataFrame:
+    """(_id, _band, _bh) LSH band hashes from (_id, _sh shingle array).
 
-    Hash family h_i(s) = xxhash64("mh<i>|" || s) — seeded by prefix, so the
-    signature is a pure deterministic function of the shingle set.
+    Hash family h_i(s) = xxhash64(i, s) — seeded by an extra int column,
+    a pure deterministic function of the shingle set. Computed by
+    exploding shingles and taking num_hashes ``min`` aggregates: partial
+    (map-side) aggregation collapses each partition to one signature row
+    per doc before the shuffle, and no per-row arrays are materialized
+    (64 transform-arrays per doc was the allocation hot spot).
     """
-    minhashes = [
-        F.array_min(
-            F.transform(shingles, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"mh{i}|"), s)))
-        )
-        for i in range(num_hashes)
+    # Hash each variable-length shingle to a fixed-width long ONCE, then
+    # derive the hash family from the long — 1 string hash + num_hashes
+    # long hashes per shingle instead of num_hashes string hashes.
+    sh = base.select(F.col("_id"), F.explode("_sh").alias("_s")).select(
+        "_id", F.xxhash64("_s").alias("_s64")
+    )
+    sigs = sh.groupBy("_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("_s64"))).alias(f"_mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    bands = [
+        F.xxhash64(*[F.col(f"_mh{i}") for i in range(b, b + band_size)])
+        for b in range(0, num_hashes, band_size)
     ]
-    bands = []
-    for b in range(0, num_hashes, band_size):
-        bands.append(F.xxhash64(*minhashes[b : b + band_size]))
-    return bands
+    return sigs.select("_id", F.posexplode(F.array(*bands)).alias("_band", "_bh"))
 
 
 def minhash_lsh_pairs(
@@ -118,26 +132,26 @@ def minhash_lsh_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
-    num_hashes: int = 32,
+    num_hashes: int = 64,
     band_size: int = 4,
 ) -> DataFrame:
     """MinHash + banded LSH candidates, verified with exact Jaccard.
 
     With r=band_size, b=num_hashes/r bands, a pair of true similarity j
-    becomes a candidate with p = 1-(1-j^r)^b (≈1 for j≥0.8 at r=4,b=8).
-    Only candidates pay the exact-verification cost, so total work is
-    O(N·num_hashes) + O(|candidates|) — the property that makes near-dedup
-    feasible at 100 TB where all-pairs (even inverted-index) is not.
+    becomes a candidate with p = 1-(1-j^r)^b (at r=4, b=16: >0.9998 for
+    j>=0.8). Only candidates pay the exact-verification cost, so total
+    work is O(N·num_hashes) + O(|candidates|) — the property that makes
+    near-dedup feasible at 100 TB where all-pairs (even inverted-index)
+    is not.
     """
-    base = df.select(
+    base = spread(df).select(
         F.col(id_col).alias("_id"), word_shingles(text_col, n).alias("_sh")
     ).where(F.size("_sh") > 0)
-    bands = _minhash_band_cols(F.col("_sh"), num_hashes, band_size)
-    banded = base.select(
-        "_id",
-        "_sh",
-        F.posexplode(F.array(*bands)).alias("_band", "_bh"),
-    )
+    # Only (id, band, hash) flows into the self-join — never the shingle
+    # arrays (exploding arrays per band and shuffling them is the thing
+    # that does not survive scale). Arrays are joined back per *distinct*
+    # candidate pair, of which there are few by construction.
+    banded = _minhash_signatures(base, num_hashes, band_size)
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (
         a.join(
@@ -146,19 +160,29 @@ def minhash_lsh_pairs(
             & (F.col("a._bh") == F.col("b._bh"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._sh").alias("_sha"),
-            F.col("b._sh").alias("_shb"),
-        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Verification shingles are computed only for docs that appear in a
+    # candidate pair (semi-join first) — never re-shingle the full corpus.
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("_id"))
+        .unionByName(candidates.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    needed = df.join(
+        F.broadcast(cand_ids), F.col(id_col) == F.col("_id"), "left_semi"
+    ).select(F.col(id_col).alias("_nid"), word_shingles(text_col, n).alias("_nsh"))
+    sh_a = needed.select(F.col("_nid").alias("id_a"), F.col("_nsh").alias("_sha"))
+    sh_b = needed.select(F.col("_nid").alias("id_b"), F.col("_nsh").alias("_shb"))
     inter = F.size(F.array_intersect("_sha", "_shb"))
     union = F.size(F.array_union("_sha", "_shb"))
-    return candidates.select(
-        "id_a", "id_b", (inter / union).alias("jaccard")
-    ).where(F.col("jaccard") >= threshold)
+    return (
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
 
 
 def simhash64(text_col: Column | str, token_arr: Column | None = None) -> Column:
@@ -204,7 +228,7 @@ def simhash_pairs(
     within hamming distance 3 of a 64-bit hash must agree on at least one
     of 4 chunks; we use distance ≤ max_hamming with 4-chunk blocking as a
     high-recall heuristic), verify with exact hamming distance."""
-    sig = df.select(F.col(id_col).alias("_id"), simhash64(text_col).alias("_sig"))
+    sig = spread(df).select(F.col(id_col).alias("_id"), simhash64(text_col).alias("_sig"))
     chunks = sig.select(
         "_id",
         "_sig",

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from odl_etl_spark.functions.vectors import cosine, l2_distance
+from odl_etl_spark.io.sources import spread
 
 
 def _vec_lit(vec: list[float]):
@@ -35,7 +36,7 @@ def topk_cosine(
 ) -> DataFrame:
     """Exact cosine top-k against a probe vector; ties break on id."""
     p = 10**round_to
-    scored = df.select(
+    scored = spread(df).select(
         F.col(id_col),
         (F.round(cosine(F.col(vec_col), _vec_lit(probe)) * p) / p).alias("cos_sim"),
     )
@@ -65,18 +66,25 @@ class IvfIndex:
         return cls([(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(rows)])
 
     def _nearest_cell_expr(self, vec_col: str):
-        best_cell, best_dist = F.lit(-1), F.lit(float("inf"))
-        for cell_id, cvec in self.centroids:
-            d = l2_distance(F.col(vec_col), _vec_lit(cvec))
-            is_better = d < best_dist
-            best_cell = F.when(is_better, F.lit(cell_id)).otherwise(best_cell)
-            best_dist = F.when(is_better, d).otherwise(best_dist)
-        return best_cell
+        # argmin via array_min over (distance, cell_id) structs: each
+        # distance is computed exactly once. (A when/otherwise fold nests
+        # every prior distance expression inside each comparison — the
+        # expression tree grows exponentially and is not reliably CSE'd.)
+        candidates = F.array(
+            *[
+                F.struct(
+                    l2_distance(F.col(vec_col), _vec_lit(cvec)).alias("d"),
+                    F.lit(cell_id).alias("c"),
+                )
+                for cell_id, cvec in self.centroids
+            ]
+        )
+        return F.array_min(candidates).getField("c")
 
     def assign(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         """Add ``cell_id`` = nearest centroid (expression argmin, no UDF).
         At scale, write this out ``partitionBy("cell_id")`` once."""
-        return df.withColumn("cell_id", self._nearest_cell_expr(vec_col))
+        return spread(df).withColumn("cell_id", self._nearest_cell_expr(vec_col))
 
     def nearest_cells(self, probe: list[float], nprobe: int) -> list[int]:
         import math

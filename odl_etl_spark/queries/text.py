@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from odl_etl_spark.functions import text as T
 from odl_etl_spark.functions.numeric import roundn
-from odl_etl_spark.io.sources import load_table
+from odl_etl_spark.io.sources import load_table, spread
 from odl_etl_spark.operators import dedup as D
 from odl_etl_spark.queries.base import spec
 
@@ -104,7 +104,7 @@ def text_token_count(spark, sf_dir):
     doc="Heuristic quality score: length sweet-spot + stopwords - punctuation.",
 )
 def text_quality(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", roundn(T.quality_score("text"), 4).alias("q_score"))
 
 
@@ -140,7 +140,7 @@ def _lang_hits_sql(lang: str) -> str:
     ),
 )
 def text_langid(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", T.predicted_lang("text").alias("pred_lang"))
 
 
