@@ -1,0 +1,65 @@
+"""Sinks: partitioned Parquet with dynamic overwrite, compaction.
+
+Spark-first forms of the reference's load surface:
+  * ``partitioned_write`` — ``mitx/mitx_etl.py:124-155`` mirrors a daily
+    folder to ``s3://bucket/<YYYYMMDD>`` via ``aws s3 sync``; here it's a
+    ``partitionBy`` write with *dynamic* partition overwrite: re-running a
+    day replaces exactly that day's partition, leaving siblings intact
+    (the property `s3 sync` was approximating).
+  * ``compact`` — ``mitx_etl.py:108-121`` tars a folder into one
+    artifact; the columnar analogue is coalescing small files into
+    right-sized Parquet (small-files is the #1 lake read-perf killer).
+Paths take any Hadoop-supported scheme — ``s3a://`` in production,
+``file:/`` in tests; the code is identical (no local staging + manual
+upload like ``email_mapping.py:56-68``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def partitioned_write(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | tuple[str, ...] = ("ds",),
+    mode: str = "overwrite",
+) -> None:
+    """Date/key-partitioned Parquet write. With the session's
+    ``partitionOverwriteMode=dynamic``, ``overwrite`` replaces only the
+    partitions present in ``df``."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def with_ds(df: DataFrame, ts_col: str, fmt: str = "yyyyMMdd") -> DataFrame:
+    """Derive the reference's ``%Y%m%d`` ingestion-date partition key
+    (``mitx_etl.py:16-17``) from an event-time column."""
+    return df.withColumn("ds", F.date_format(ts_col, fmt))
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_files: int | None = None,
+    target_mb: int = 256,
+) -> int:
+    """Rewrite a dataset into ~target-sized files; returns file count.
+
+    If ``target_files`` is not given it is estimated from the input bytes
+    so output files land near ``target_mb``. Uses coalesce (no shuffle)
+    — order within files is preserved, only grouping changes.
+    """
+    df = spark.read.parquet(path)
+    if target_files is None:
+        import glob
+        import os
+
+        total = sum(
+            os.path.getsize(f)
+            for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+        target_files = max(1, round(total / (target_mb * 1024 * 1024)))
+    df.coalesce(target_files).write.mode("overwrite").parquet(out_path)
+    return target_files

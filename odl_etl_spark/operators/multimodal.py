@@ -1,0 +1,128 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media lives in the lake as opaque ``binary`` columns + typed metadata —
+the same blob posture as the reference's course tarballs
+(``mitx/mitx_etl.py:115-116``, read back via ``binaryFile``). Decode /
+resize / frame-sample run as Arrow-batched ``mapInPandas`` stages: the
+Spark side (schemas, batching, partition sizing) is real and tested;
+the codec call itself is a seam — this container has no media libraries,
+so the default decoder is a deterministic fake and a real one (PIL,
+ffmpeg, torchaudio) drops into the same signature.
+
+Scale posture: blobs make rows wide — keep ``maxPartitionBytes`` modest,
+never collect, and project metadata-only whenever the blob isn't needed
+(column pruning skips the bytes entirely in Parquet).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("mime", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def fake_image_decode(content: bytes) -> dict[str, Any]:
+    """Deterministic stand-in for a real image decoder.
+
+    Derives (width, height, 8-dim embedding) purely from the bytes, so
+    tests are reproducible. A real implementation (PIL/torchvision) has
+    the same contract: bytes in, dict of features out.
+    """
+    if content is None or len(content) == 0:
+        raise NotImplementedError(
+            "real media decoding requires an image library not present in "
+            "this environment; empty payloads have no fake features"
+        )
+    h = int.from_bytes(content[:8].ljust(8, b"\0"), "little")
+    return {
+        "width": 16 + (h % 1024),
+        "height": 16 + ((h >> 10) % 1024),
+        "embedding": [((h >> (8 * i)) % 251) / 251.0 for i in range(8)],
+    }
+
+
+def extract_image_features(
+    media: DataFrame,
+    decoder: Callable[[bytes], dict[str, Any]] = fake_image_decode,
+) -> DataFrame:
+    """Decode + featurize image blobs via Arrow-batched ``mapInPandas``.
+
+    One Python worker call per Arrow batch (not per row); the blob column
+    is projected in, features out — the output drops the bytes, so
+    downstream stages shuffle only features.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decoder(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "n_bytes": pdf["content"].map(len),
+                    "embedding": [f["embedding"] for f in feats],
+                }
+            )
+
+    return media.where(F.col("kind") == "image").mapInPandas(
+        decode_batches, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+def sample_video_frames(
+    media: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8
+) -> DataFrame:
+    """Frame-sampling plumbing: one input blob row → N frame rows.
+
+    The fake "frame" is a byte-offset slice marker; a real implementation
+    yields decoded frames at timestamps. Output shape (media_id,
+    frame_idx, frame_bytes) is what a downstream image-featurizer joins
+    on — the explode/fan-out pattern is the part that matters at scale.
+    """
+    frame_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_bytes", T.BinaryType()),
+        ]
+    )
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "frame_idx": [], "frame_bytes": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                n = min(max(len(content) // every_n_bytes, 1), max_frames)
+                for i in range(n):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame_bytes"].append(
+                        bytes(content[i * every_n_bytes : (i + 1) * every_n_bytes])
+                    )
+            yield pd.DataFrame(out)
+
+    return media.where(F.col("kind") == "video").mapInPandas(frames, schema=frame_schema)

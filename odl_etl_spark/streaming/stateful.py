@@ -1,0 +1,60 @@
+"""Arbitrary stateful streaming: per-key running state via
+``applyInPandasWithState``.
+
+The escape hatch for operators windowed aggregation can't express —
+running counters, per-entity session machines, online feature state.
+State is a per-key struct persisted in the state store across
+micro-batches; the callback sees each key's new rows as pandas
+DataFrames (Arrow-batched, not row-at-a-time).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+RUNNING_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+RUNNING_STATE = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+
+
+def _update_running(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum(value)) emitted every micro-batch the
+    user appears in. Works on a stream (stateful) or, for testing, on a
+    batch frame (single 'micro-batch')."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_running,
+        outputStructType=RUNNING_OUTPUT,
+        stateStructType=RUNNING_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

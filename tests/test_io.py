@@ -1,0 +1,122 @@
+"""Sink / catalog / multimodal plumbing tests (A6-A9 parity classes)."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from odl_etl_spark.io.catalog import recover_partitions, register_parquet_table
+from odl_etl_spark.io.sinks import compact, partitioned_write, with_ds
+from odl_etl_spark.io.sources import load_table
+from odl_etl_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    extract_image_features,
+    sample_video_frames,
+)
+
+
+def test_dynamic_partition_overwrite_preserves_siblings(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "orders_part")
+    orders = with_ds(load_table(spark, sf_dir, "orders"), "o_orderdate", "yyyy")
+    partitioned_write(orders, out, ("ds",))
+    before = {
+        r["ds"]: r["n"]
+        for r in spark.read.parquet(out).groupBy("ds").agg(F.count("*").alias("n")).collect()
+    }
+    assert len(before) > 1
+
+    # Overwrite ONE partition with a single synthetic row; siblings intact.
+    one = orders.where(F.col("ds") == max(before)).limit(1)
+    partitioned_write(one, out, ("ds",))
+    after = {
+        r["ds"]: r["n"]
+        for r in spark.read.parquet(out).groupBy("ds").agg(F.count("*").alias("n")).collect()
+    }
+    assert after[max(before)] == 1
+    for ds, n in before.items():
+        if ds != max(before):
+            assert after[ds] == n
+
+
+def test_catalog_register_and_recover(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "events_part")
+    ev = with_ds(load_table(spark, sf_dir, "events"), "ts", "yyyyMMdd")
+    partitioned_write(ev, out, ("ds",))
+    register_parquet_table(spark, "events_cat", out, ("ds",))
+    n_parts = recover_partitions(spark, "events_cat")
+    assert n_parts == ev.select("ds").distinct().count()
+    # Partition-pruned read through the catalog matches the source count.
+    one_ds = ev.select("ds").distinct().orderBy("ds").head()["ds"]
+    got = spark.sql(
+        f"SELECT COUNT(*) c FROM events_cat WHERE ds = '{one_ds}'"
+    ).head()["c"]
+    assert got == ev.where(F.col("ds") == one_ds).count()
+    spark.sql("DROP TABLE events_cat")
+
+
+def test_compact_reduces_file_count(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "many_files")
+    dst = str(tmp_path / "compacted")
+    load_table(spark, sf_dir, "orders").repartition(16).write.parquet(src)
+    n_before = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_before == 16
+    compact(spark, src, dst, target_files=2)
+    n_after = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    assert n_after == 2
+    assert spark.read.parquet(dst).count() == spark.read.parquet(src).count()
+
+
+def _media_df(spark, n=20):
+    rows = [
+        (i, "image" if i % 2 == 0 else "video", "application/octet-stream",
+         bytes(range(max(i % 251, 1))) * (i + 1), {"src": f"s{i}"})
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_image_feature_extraction_shapes(spark):
+    media = _media_df(spark)
+    feats = extract_image_features(media)
+    rows = feats.collect()
+    assert len(rows) == media.where(F.col("kind") == "image").count()
+    for r in rows:
+        assert r["width"] >= 16 and r["height"] >= 16
+        assert len(r["embedding"]) == 8
+        assert r["n_bytes"] > 0
+    # Determinism: same bytes → same features.
+    again = {r["media_id"]: r["embedding"] for r in extract_image_features(media).collect()}
+    assert {r["media_id"]: r["embedding"] for r in rows} == again
+
+
+def test_video_frame_sampling_fanout(spark):
+    media = _media_df(spark)
+    frames = sample_video_frames(media, every_n_bytes=64, max_frames=4)
+    per = frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()
+    assert all(1 <= r["n"] <= 4 for r in per)
+    assert frames.where(F.col("frame_idx") < 0).count() == 0
+
+
+def test_jdbc_wrapper_validates_args(spark):
+    import pytest
+
+    from odl_etl_spark.io.sources import jdbc_source
+
+    with pytest.raises(ValueError):
+        jdbc_source(spark, "jdbc:postgresql://x/db")
+    with pytest.raises(ValueError):
+        jdbc_source(spark, "jdbc:postgresql://x/db", query="q", table="t")
+
+
+def test_binary_source_reads_blobs(spark, tmp_path):
+    from odl_etl_spark.io.sources import binary_source
+
+    p = tmp_path / "blobs"
+    p.mkdir()
+    (p / "a.bin").write_bytes(b"hello world")
+    (p / "b.bin").write_bytes(b"x" * 100)
+    df = binary_source(spark, str(p), glob="*.bin")
+    rows = {os.path.basename(r["path"]): r for r in df.collect()}
+    assert rows["a.bin"]["content"] == bytearray(b"hello world")
+    assert rows["b.bin"]["length"] == 100

@@ -1,0 +1,194 @@
+"""True Structured Streaming tests: micro-batch replay of the events
+table through readStream, checked against the batch equivalents
+(SURVEY §5.2 — streaming semantics have no SQL oracle, so the batch
+DataFrame result IS the oracle here).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from odl_etl_spark.io.sources import load_table
+from odl_etl_spark.streaming.dedup import dedup_stream
+from odl_etl_spark.streaming.source import events_stream
+from odl_etl_spark.streaming.stateful import running_user_totals
+from odl_etl_spark.streaming.windows import session_agg, sliding_agg, tumbling_agg
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Events replayed as 4 parquet files so maxFilesPerTrigger=1 yields
+    4 ordered micro-batches (files are time-sliced, mimicking arrival)."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    ev = load_table(spark, sf_dir, "events")
+    slices = ev.select(
+        "*", F.ntile(4).over(__import__("pyspark").sql.Window.orderBy("ts")).alias("_slice")
+    )
+    for i in range(1, 5):
+        (
+            slices.where(F.col("_slice") == i)
+            .drop("_slice")
+            .withColumn("ts", F.unix_micros("ts") * 1000)  # back to ns longs
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, f"_stage{i}"))
+        )
+        # move the part file into the stream dir with an ordered name
+        stage = os.path.join(out, f"_stage{i}")
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(out, f"batch_{i}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        # File source processes oldest-mtime first; pin in-order arrival.
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        shutil.rmtree(stage)
+    return out
+
+
+def _run_stream(df, query_name, mode="complete"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def _rows(spark, name, cols):
+    return sorted(
+        tuple(r[c] for c in cols) for r in spark.sql(f"SELECT * FROM {name}").collect()
+    )
+
+
+def test_stream_tumbling_matches_batch(spark, sf_dir, events_dir):
+    stream = events_stream(spark, events_dir, max_files_per_trigger=1)
+    _run_stream(tumbling_agg(stream), "t_tumble")
+    batch = tumbling_agg(load_table(spark, sf_dir, "events"))
+    cols = ["window_start", "event_type", "n"]
+    got = _rows(spark, "t_tumble", cols)
+    want = sorted(tuple(r[c] for c in cols) for r in batch.collect())
+    assert got == want
+
+
+def test_stream_sliding_matches_batch(spark, sf_dir, events_dir):
+    stream = events_stream(spark, events_dir, max_files_per_trigger=1)
+    _run_stream(sliding_agg(stream), "t_slide")
+    batch = sliding_agg(load_table(spark, sf_dir, "events"))
+    cols = ["window_start", "event_type", "n"]
+    assert _rows(spark, "t_slide", cols) == sorted(
+        tuple(r[c] for c in cols) for r in batch.collect()
+    )
+
+
+def test_stream_session_matches_batch(spark, sf_dir, events_dir):
+    stream = events_stream(spark, events_dir, max_files_per_trigger=1)
+    _run_stream(session_agg(stream), "t_session")
+    batch = session_agg(load_table(spark, sf_dir, "events"))
+    cols = ["user_id", "session_start", "n_events"]
+    assert _rows(spark, "t_session", cols) == sorted(
+        tuple(r[c] for c in cols) for r in batch.collect()
+    )
+
+
+def test_stream_dedup_drops_cross_batch_duplicates(spark, events_dir, tmp_path):
+    # Plant a duplicate of batch 1's data as a 5th file: every event_id
+    # arrives twice across micro-batches.
+    dup_dir = str(tmp_path / "dup_stream")
+    os.makedirs(dup_dir)
+    # Copy in batch order with strictly increasing mtimes: the file source
+    # processes oldest-mtime first, and out-of-order arrival would (correctly)
+    # drop whole batches as late — this test wants in-order arrival.
+    names = sorted(os.listdir(events_dir)) + ["batch_1.parquet"]
+    for i, f in enumerate(names):
+        dst = os.path.join(
+            dup_dir, f if i < len(names) - 1 else "batch_5_dup.parquet"
+        )
+        shutil.copy(os.path.join(events_dir, f), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = events_stream(spark, dup_dir, max_files_per_trigger=1)
+    _run_stream(dedup_stream(stream, keys=["event_id"]), "t_dedup", mode="append")
+    n_out = spark.sql("SELECT COUNT(DISTINCT event_id) c FROM t_dedup").head()["c"]
+    n_rows = spark.sql("SELECT COUNT(*) c FROM t_dedup").head()["c"]
+    src = spark.read.parquet(dup_dir)
+    assert n_rows == n_out == src.select("event_id").distinct().count()
+
+
+def test_stateful_running_totals_accumulate(spark, events_dir):
+    stream = events_stream(spark, events_dir, max_files_per_trigger=1)
+    _run_stream(running_user_totals(stream), "t_state", mode="update")
+    # The memory sink keeps every update; the max n_events per user must
+    # equal the true total count (state accumulated across micro-batches).
+    got = {
+        r["user_id"]: r["mx"]
+        for r in spark.sql(
+            "SELECT user_id, MAX(n_events) mx FROM t_state GROUP BY user_id"
+        ).collect()
+    }
+    want = {
+        r["user_id"]: r["c"]
+        for r in spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_watermark_drops_late_window_data(spark, tmp_path):
+    """An event older than watermark behind the stream's max ts must not
+    create/ revise an append-mode window after it has been finalized."""
+    import pandas as pd
+
+    d = str(tmp_path / "late")
+    os.makedirs(d)
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf.to_parquet(os.path.join(d, name))
+
+    base = 1_700_000_000 * 10**9  # ns epoch
+    hour = 3600 * 10**9
+    cp = str(tmp_path / "cp")  # shared checkpoint: watermark survives restarts
+    # batch 1: events in hour 0 and hour 5 (watermark jumps far ahead)
+    write_batch(
+        "b1.parquet",
+        [
+            (1, base + 10, 1, "click", 1.0, "{}"),
+            (2, base + 5 * hour, 1, "click", 1.0, "{}"),
+        ],
+    )
+    stream = events_stream(spark, d, max_files_per_trigger=1)
+    agg = tumbling_agg(stream, watermark="1 hour")
+
+    out = str(tmp_path / "out")
+
+    def run():
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)  # memory sink can't recover; file sink can
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    # batch 2: a late event back in hour 0 — beyond the 1h watermark,
+    # which the restarted query restores from the checkpoint.
+    write_batch("b2.parquet", [(3, base + 20, 1, "click", 1.0, "{}")])
+    run()
+    rows = spark.read.parquet(out).collect()
+    # The hour-0 window is finalized with n=1; the late event must neither
+    # revise it (no n=2 row) nor re-emit it (no duplicate window rows).
+    assert all(r["n"] == 1 for r in rows)
+    starts = [r["window_start"] for r in rows]
+    assert len(starts) == len(set(starts))
