@@ -73,7 +73,11 @@ def sink_partitioned(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders").withColumn(
         "ds", F.date_format("o_orderdate", "yyyy-MM")
     )
-    orders.write.mode("overwrite").partitionBy("ds").parquet(out)
+    # Repartition on the partition key first: each output partition is
+    # written by one task (one right-sized file) instead of every task
+    # writing a sliver of every partition — tasks×partitions small files
+    # is the classic lake write anti-pattern.
+    orders.repartition("ds").write.mode("overwrite").partitionBy("ds").parquet(out)
     return (
         spark.read.parquet(out)
         .groupBy("ds")

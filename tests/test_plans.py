@@ -1,0 +1,69 @@
+"""Plan-shape contracts: the 100 TB posture, pinned by CI.
+
+Each test asserts a physical-plan property that matters at scale and
+would silently regress otherwise (pushdown reaching the scan, dims
+broadcasting, map-side partial aggregation, take-ordered instead of a
+global sort, shuffle counts).
+"""
+
+from __future__ import annotations
+
+from odl_etl_spark.plans import (
+    explain_str,
+    has_broadcast_join,
+    has_partial_aggregate,
+    has_pushed_filters,
+    pruned_columns,
+    shuffle_count,
+)
+from odl_etl_spark.queries import registry
+
+
+def build(name, spark, sf_dir):
+    return registry()[name].build(spark, sf_dir)
+
+
+def test_scan_pruned_pushes_filters_and_prunes_columns(spark, sf_dir):
+    df = build("scan_pruned", spark, sf_dir)
+    assert has_pushed_filters(df, "IsNotNull(l_quantity)", "LessThan(l_quantity,25.0)")
+    cols = pruned_columns(df)
+    # Only the projected + filtered columns leave the reader — 11-col table.
+    assert cols == {
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        "l_quantity",
+        "l_shipdate",
+    }
+
+
+def test_flagship_reads_only_two_columns(spark, sf_dir):
+    df = build("project_hash_email", spark, sf_dir)
+    assert pruned_columns(df) == {"c_custkey", "c_name"}
+
+
+def test_broadcast_joins_broadcast(spark, sf_dir):
+    for name in ["join_broadcast", "join_multiway", "topk_per_group"]:
+        assert has_broadcast_join(build(name, spark, sf_dir)), name
+
+
+def test_agg_partial_combines(spark, sf_dir):
+    for name in ["agg_groupby", "join_broadcast", "stream_tumbling"]:
+        assert has_partial_aggregate(build(name, spark, sf_dir)), name
+
+
+def test_sort_limit_is_take_ordered(spark, sf_dir):
+    df = build("sort_limit", spark, sf_dir)
+    assert "TakeOrderedAndProject" in explain_str(df)
+    assert shuffle_count(df) == 0  # no global sort exchange
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    # The union+carry as-of join must cost exactly one hash exchange (the
+    # window partitioning) — the property that beats a range join at scale.
+    df = build("join_asof", spark, sf_dir)
+    assert shuffle_count(df) == 1
+
+
+def test_agg_groupby_single_shuffle(spark, sf_dir):
+    assert shuffle_count(build("agg_groupby", spark, sf_dir)) == 1
