@@ -42,14 +42,21 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     every other); consecutive n-grams capture sequence identity.
     Expression-only: transform over an index range, no UDF.
     """
+    return F.array_distinct(word_ngrams(col, n))
+
+
+def word_ngrams(col: Column | str, n: int = 2) -> Column:
+    """All consecutive word n-grams (multiset, order preserved).
+
+    Guarded for docs shorter than n tokens: F.sequence(0, -1) would
+    otherwise generate a *descending* sequence and slice would fail.
+    """
     toks = tokens(col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
-    )
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def stopword_ratio(col: Column | str, stopwords: tuple[str, ...]) -> Column:

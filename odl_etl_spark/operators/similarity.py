@@ -43,6 +43,27 @@ def topk_cosine(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
+def label_centroids(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label mean vector (the k-means E-step), fully distributed:
+    posexplode → per-(label, dim) avg → re-assemble ordered array.
+    Returns (label, centroid: array<double>)."""
+    per_dim = (
+        df.select(F.col(label_col), F.posexplode(F.col(vec_col).cast("array<double>")))
+        .groupBy(label_col, "pos")
+        .agg(F.avg("col").alias("c"))
+    )
+    return (
+        per_dim.groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("_pc"))
+        .select(
+            label_col,
+            F.transform("_pc", lambda s: s.getField("c")).alias("centroid"),
+        )
+    )
+
+
 class IvfIndex:
     """IVF (inverted-file) ANN index: cell assignment + probed search."""
 

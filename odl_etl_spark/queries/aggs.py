@@ -167,8 +167,56 @@ def agg_having(spark, sf_dir):
     )
 
 
+@spec(
+    "agg_pivot",
+    """
+    SELECT user_id,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+    FROM events GROUP BY user_id
+    """,
+    doc=(
+        "Pivot (long→wide) of event counts per user. Pivot values are "
+        "declared explicitly — at scale, never let pivot run its implicit "
+        "distinct-collect over the full table to discover them."
+    ),
+)
+def agg_pivot(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .count()
+        .na.fill(0, kinds)
+        .select("user_id", *[F.col(k).alias(k) for k in kinds])
+    )
+
+
+@spec(
+    "agg_approx_quantile",
+    None,  # sketch-based quantiles are engine-specific — rows-only check
+    doc=(
+        "Approximate percentiles (p50/p95) per return flag via "
+        "percentile_approx — the sketch path that replaces a global sort "
+        "at 100 TB; unit test bounds it against exact percentile_cont."
+    ),
+)
+def agg_approx_quantile(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("pcts"),
+        F.count("*").alias("n"),
+    )
+
+
 SPECS = [
     agg_groupby,
+    agg_pivot,
+    agg_approx_quantile,
     agg_distinct,
     agg_approx_distinct,
     agg_rollup,

@@ -219,8 +219,53 @@ def join_asof(spark, sf_dir):
     )
 
 
+@spec(
+    "subq_in",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+    """,
+    doc="IN-subquery through the SQL surface (planned as a semi join).",
+)
+def subq_in(spark, sf_dir):
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_sq_customer")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("_sq_nation")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM _sq_customer
+        WHERE c_nationkey IN (SELECT n_nationkey FROM _sq_nation WHERE n_regionkey = 2)
+        """
+    )
+
+
+@spec(
+    "subq_scalar",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+    WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+    """,
+    doc=(
+        "Correlated scalar subquery (orders above 2x their customer's "
+        "average) — Catalyst decorrelates to an aggregate + join; no "
+        "per-row re-execution."
+    ),
+)
+def subq_scalar(spark, sf_dir):
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_sq_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM _sq_orders o
+        WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM _sq_orders o2
+                                  WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
 SPECS = [
     join_inner_equi,
+    subq_in,
+    subq_scalar,
     join_broadcast,
     join_left,
     join_semi,

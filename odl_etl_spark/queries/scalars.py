@@ -234,9 +234,37 @@ def udf_scalar_pandas(spark, sf_dir):
     )
 
 
+@spec(
+    "scalar_null",
+    """
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'AUTOMOBILE'), 'OTHER') AS seg_or_other,
+           CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS pos_bal,
+           COALESCE(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0)
+             AS pos_bal_filled,
+           (c_acctbal < 0) AS is_debtor
+    FROM customer
+    """,
+    doc="Null-handling family: coalesce / nullif / null-producing CASE.",
+)
+def scalar_null(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    pos_bal = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal"))
+    return c.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("AUTOMOBILE")), F.lit("OTHER")
+        ).alias("seg_or_other"),
+        pos_bal.alias("pos_bal"),
+        F.coalesce(pos_bal, F.lit(0.0)).alias("pos_bal_filled"),
+        (F.col("c_acctbal") < 0).alias("is_debtor"),
+    )
+
+
 SPECS = [
     project_hash_email,
     filter_pred,
+    scalar_null,
     scalar_string,
     scalar_date,
     scalar_math,

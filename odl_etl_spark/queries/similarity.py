@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from odl_etl_spark.functions.numeric import roundn
 from odl_etl_spark.functions.vectors import cosine
 from odl_etl_spark.io.sources import load_table
-from odl_etl_spark.operators.similarity import IvfIndex, topk_cosine
+from odl_etl_spark.operators.similarity import IvfIndex, label_centroids, topk_cosine
 from odl_etl_spark.queries.base import spec
 
 # Zipped-unnest double-precision cosine between two list<float> exprs.
@@ -115,4 +115,45 @@ def sim_ann_ivf(spark, sf_dir):
     return index.search(assigned, probe, k=10, nprobe=2)
 
 
-SPECS = [sim_topk, sim_pairwise_label, sim_ann_ivf]
+@spec(
+    "emb_centroid_dist",
+    """
+    WITH ex AS (
+      SELECT label, vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ), cent AS (
+      SELECT label, i, AVG(x) AS c FROM ex GROUP BY label, i
+    ), dots AS (
+      SELECT e.label, e.vec_id,
+             SUM(e.x * c.c) AS dot,
+             SQRT(SUM(e.x * e.x)) AS nv,
+             SQRT(SUM(c.c * c.c)) AS nc
+      FROM ex e JOIN cent c ON e.label = c.label AND e.i = c.i
+      GROUP BY e.label, e.vec_id
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           ROUND(AVG(dot / (nv * nc)) * 10000) / 10000 AS avg_cos_to_centroid
+    FROM dots GROUP BY label
+    """,
+    doc=(
+        "Per-label centroid (k-means E-step, fully distributed posexplode "
+        "→ per-dim avg) and average cosine of members to their centroid — "
+        "cluster-cohesion diagnostics for embedding corpora."
+    ),
+)
+def emb_centroid_dist(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = label_centroids(e)
+    return (
+        e.join(F.broadcast(cents), "label")
+        .select("label", cosine("embedding", "centroid").alias("_cos"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            roundn(F.avg("_cos"), 4).alias("avg_cos_to_centroid"),
+        )
+    )
+
+
+SPECS = [sim_topk, sim_pairwise_label, sim_ann_ivf, emb_centroid_dist]

@@ -250,8 +250,31 @@ def dedup_simhash(spark, sf_dir):
     return D.simhash_pairs(d, "doc_id", "text", max_hamming=6)
 
 
+@spec(
+    "text_ngrams",
+    f"""
+    WITH toks AS (SELECT {_TOKS_SQL} AS ts FROM documents),
+    idx AS (SELECT ts, UNNEST(range(1, len(ts))) AS i FROM toks),
+    bg AS (SELECT ts[i] || ' ' || ts[i + 1] AS gram FROM idx)
+    SELECT gram, COUNT(*) AS cnt FROM bg GROUP BY gram
+    ORDER BY cnt DESC, gram ASC LIMIT 15
+    """,
+    doc="Top bigrams by frequency (multiset n-grams, not distinct shingles).",
+)
+def text_ngrams(spark, sf_dir):
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return (
+        d.select(F.explode(T.word_ngrams("text", 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("gram").asc())
+        .limit(15)
+    )
+
+
 SPECS = [
     text_tokenize_tf,
+    text_ngrams,
     text_lang_stats,
     text_token_count,
     text_quality,

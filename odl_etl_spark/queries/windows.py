@@ -111,4 +111,29 @@ def win_ntile(spark, sf_dir):
     return c.select("c_custkey", F.ntile(10).over(w).alias("bal_decile"))
 
 
-SPECS = [win_rank, win_analytic, win_frame, win_ntile]
+@spec(
+    "win_cume",
+    """
+    SELECT c_custkey, c_mktsegment,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal, c_custkey) * 1000000) / 1000000
+             AS pct_rank,
+           ROUND(CUME_DIST() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal, c_custkey) * 1000000) / 1000000
+             AS cume
+    FROM customer
+    """,
+    doc="percent_rank / cume_dist distribution functions per segment.",
+)
+def win_cume(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        roundn(F.percent_rank().over(w), 6).alias("pct_rank"),
+        roundn(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+SPECS = [win_rank, win_analytic, win_frame, win_ntile, win_cume]
