@@ -52,9 +52,16 @@ def fingerprint_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def _shingle_postings(
     df: DataFrame, id_col: str, text_col: str, n: int, max_df: int | None
 ) -> DataFrame:
-    sh = spread(df).select(
-        F.col(id_col).alias("_id"),
-        F.explode(word_shingles(text_col, n)).alias("_s"),
+    # Postings carry a 64-bit shingle hash, not the string: the self-join
+    # shuffles 8-byte keys instead of ~25-char strings (collision odds at
+    # 64 bits are ~n²/2^65 — irrelevant beside the 0.8 threshold).
+    sh = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(word_shingles(text_col, n)).alias("_s"),
+        )
+        .select("_id", F.xxhash64("_s").alias("_s"))
     )
     if max_df is not None:
         hot = sh.groupBy("_s").count().where(F.col("count") > max_df).select("_s")

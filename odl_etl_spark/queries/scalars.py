@@ -153,7 +153,9 @@ def scalar_math(spark, sf_dir):
     doc="Typed field extraction from a JSON string column (events.props).",
 )
 def scalar_json(spark, sf_dir):
-    e = load_table(spark, sf_dir, "events")
+    from odl_etl_spark.io.sources import spread
+
+    e = spread(load_table(spark, sf_dir, "events"))
     return e.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k_val"),
