@@ -1,0 +1,57 @@
+"""Partition-scoped upsert (merge) into a Parquet lake dataset.
+
+Plain Parquet has no MERGE; the scalable pattern without a table format
+is *partition-scoped copy-on-write*: only the partitions present in the
+updates are rewritten (existing-minus-matched ∪ updates), then swapped
+in atomically via dynamic partition overwrite. Untouched partitions are
+never read or written — at 100 TB a daily upsert touches only the day
+partitions in the batch, not the lake.
+
+This generalizes the reference's daily re-sync (``mitx/mitx_etl.py:
+124-155`` replaces a whole date prefix): upsert with a full-partition
+update set degenerates to exactly that overwrite.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    partition_col: str = "ds",
+) -> int:
+    """Merge ``updates`` into the dataset at ``path`` by ``keys``.
+
+    Rows in touched partitions whose key matches an update are replaced;
+    unmatched rows are kept; update rows are inserted. Returns the number
+    of partitions rewritten. ``updates`` must carry ``partition_col``.
+    """
+    keys = list(keys)
+    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    if not touched:
+        return 0
+    try:
+        existing = spark.read.parquet(path).where(
+            F.col(partition_col).isin(touched)
+        )
+        kept = existing.join(
+            updates.select(*keys).distinct(), keys, "left_anti"
+        )
+        merged = kept.unionByName(updates.select(*existing.columns))
+    except Exception:  # first write: no existing dataset
+        merged = updates
+    # Eagerly materialize before the swap: the write overwrites the very
+    # files the plan reads, so the read must complete first
+    # (localCheckpoint cuts the lineage and pins the data).
+    merged = merged.localCheckpoint(eager=True)
+    merged.repartition(partition_col).write.mode("overwrite").partitionBy(
+        partition_col
+    ).parquet(path)
+    return len(touched)

@@ -1,0 +1,55 @@
+"""Partition-scoped upsert tests."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from odl_etl_spark.operators.upsert import upsert_partitioned
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string, ds string")
+
+
+def test_upsert_replaces_matches_keeps_rest_inserts_new(spark, tmp_path):
+    path = str(tmp_path / "ds_table")
+    base = _df(spark, [(1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2")])
+    base.repartition("ds").write.partitionBy("ds").parquet(path)
+
+    updates = _df(spark, [(2, "B!", "d1"), (9, "new", "d1")])
+    n = upsert_partitioned(spark, path, updates, keys=["k"])
+    assert n == 1  # only d1 rewritten
+
+    got = {(r["k"], r["ds"]): r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {
+        (1, "d1"): "a",     # kept
+        (2, "d1"): "B!",    # replaced
+        (9, "d1"): "new",   # inserted
+        (3, "d2"): "c",     # untouched partition intact
+    }
+
+
+def test_upsert_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "ds_table2")
+    _df(spark, [(1, "a", "d1")]).write.partitionBy("ds").parquet(path)
+    updates = _df(spark, [(1, "a2", "d1")])
+    upsert_partitioned(spark, path, updates, keys=["k"])
+    upsert_partitioned(spark, path, updates, keys=["k"])
+    rows = spark.read.parquet(path).collect()
+    assert len(rows) == 1 and rows[0]["v"] == "a2"
+
+
+def test_upsert_empty_updates_noop(spark, tmp_path):
+    path = str(tmp_path / "ds_table3")
+    _df(spark, [(1, "a", "d1")]).write.partitionBy("ds").parquet(path)
+    empty = _df(spark, []).limit(0)
+    assert upsert_partitioned(spark, path, empty, keys=["k"]) == 0
+    assert spark.read.parquet(path).count() == 1
+
+
+def test_upsert_first_write_creates_dataset(spark, tmp_path):
+    path = str(tmp_path / "fresh")
+    updates = _df(spark, [(1, "x", "d1"), (2, "y", "d2")])
+    n = upsert_partitioned(spark, path, updates, keys=["k"])
+    assert n == 2
+    assert spark.read.parquet(path).count() == 2
