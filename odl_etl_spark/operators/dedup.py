@@ -225,6 +225,36 @@ def simhash64(text_col: Column | str, token_arr: Column | None = None) -> Column
     return sig
 
 
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(_id, _sig) SimHash-64 signatures via explode + 64 vote aggregates.
+
+    Semantically identical to ``simhash64`` (same per-token hash, same
+    bit votes) but expressed as codegen'd SUM aggregates with map-side
+    partial combine instead of interpreted higher-order array functions
+    — the same restructuring that makes MinHash signatures scale.
+    """
+    from odl_etl_spark.functions.text import tokens
+
+    toks = (
+        spread(df)
+        .select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_t"))
+        .select("_id", F.xxhash64("_t").alias("_h"))
+    )
+    votes = toks.groupBy("_id").agg(
+        *[
+            F.sum(2 * F.getbit("_h", F.lit(i)) - 1).alias(f"_v{i}")
+            for i in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        weight = (1 << i) if i < 63 else -(1 << 63)
+        sig = sig + F.when(F.col(f"_v{i}") > 0, F.lit(weight).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return votes.select("_id", sig.alias("_sig"))
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -235,7 +265,7 @@ def simhash_pairs(
     within hamming distance 3 of a 64-bit hash must agree on at least one
     of 4 chunks; we use distance ≤ max_hamming with 4-chunk blocking as a
     high-recall heuristic), verify with exact hamming distance."""
-    sig = spread(df).select(F.col(id_col).alias("_id"), simhash64(text_col).alias("_sig"))
+    sig = simhash_signatures(df, id_col, text_col)
     chunks = sig.select(
         "_id",
         "_sig",
