@@ -112,6 +112,37 @@ def jdbc_source(
     return reader.load()
 
 
+def csv_source(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """CSV scan. Always pass an explicit schema in production — inference
+    costs an extra full pass over 100 TB and guesses types per-run."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def json_source(
+    spark: SparkSession, path: str, schema: str | None = None, **options: str
+) -> DataFrame:
+    """JSON-lines scan; same explicit-schema rule as csv_source."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
 def binary_source(
     spark: SparkSession, path: str, glob: str | None = None
 ) -> DataFrame:

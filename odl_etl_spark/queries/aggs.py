@@ -168,6 +168,28 @@ def agg_having(spark, sf_dir):
 
 
 @spec(
+    "agg_stats",
+    """
+    SELECT l_returnflag,
+           ROUND(CORR(l_quantity, l_extendedprice) * 10000) / 10000 AS qty_price_corr,
+           ROUND(COVAR_SAMP(l_quantity, l_discount) * 10000) / 10000 AS qty_disc_covar,
+           ROUND(STDDEV_SAMP(l_extendedprice) * 100) / 100 AS price_stddev,
+           ROUND(VAR_SAMP(l_quantity) * 100) / 100 AS qty_var
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Statistical aggregates: corr / covar_samp / stddev_samp / var_samp.",
+)
+def agg_stats(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        roundn(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        roundn(F.covar_samp("l_quantity", "l_discount"), 4).alias("qty_disc_covar"),
+        roundn(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+        roundn(F.var_samp("l_quantity"), 2).alias("qty_var"),
+    )
+
+
+@spec(
     "agg_pivot",
     """
     SELECT user_id,
@@ -215,6 +237,7 @@ def agg_approx_quantile(spark, sf_dir):
 
 SPECS = [
     agg_groupby,
+    agg_stats,
     agg_pivot,
     agg_approx_quantile,
     agg_distinct,

@@ -220,6 +220,23 @@ def join_asof(spark, sf_dir):
 
 
 @spec(
+    "join_full",
+    """
+    SELECT s.s_suppkey, s.s_name, n.n_nationkey, n.n_name
+    FROM supplier s FULL OUTER JOIN nation n
+      ON s.s_nationkey = n.n_nationkey AND s.s_acctbal > 5000.0
+    """,
+    doc="Full outer join: unmatched rows from both sides survive with nulls.",
+)
+def join_full(spark, sf_dir):
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return s.join(
+        n, (s.s_nationkey == n.n_nationkey) & (s.s_acctbal > 5000.0), "full"
+    ).select("s_suppkey", "s_name", "n_nationkey", "n_name")
+
+
+@spec(
     "subq_in",
     """
     SELECT c_custkey, c_name FROM customer
@@ -264,6 +281,7 @@ def subq_scalar(spark, sf_dir):
 
 SPECS = [
     join_inner_equi,
+    join_full,
     subq_in,
     subq_scalar,
     join_broadcast,

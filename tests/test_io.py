@@ -120,3 +120,19 @@ def test_binary_source_reads_blobs(spark, tmp_path):
     rows = {os.path.basename(r["path"]): r for r in df.collect()}
     assert rows["a.bin"]["content"] == bytearray(b"hello world")
     assert rows["b.bin"]["length"] == 100
+
+
+def test_csv_and_json_sources_roundtrip(spark, tmp_path):
+    import json as jsonlib
+
+    from odl_etl_spark.io.sources import csv_source, json_source
+
+    csv_p = tmp_path / "t.csv"
+    csv_p.write_text("k,v\n1,a\n2,b\n")
+    df = csv_source(spark, str(csv_p), schema="k long, v string")
+    assert sorted(map(tuple, df.collect())) == [(1, "a"), (2, "b")]
+
+    json_p = tmp_path / "t.jsonl"
+    json_p.write_text("\n".join(jsonlib.dumps({"k": i, "v": f"x{i}"}) for i in range(3)))
+    dj = json_source(spark, str(json_p), schema="k long, v string")
+    assert dj.count() == 3 and set(dj.columns) == {"k", "v"}

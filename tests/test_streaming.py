@@ -192,3 +192,36 @@ def test_watermark_drops_late_window_data(spark, tmp_path):
     assert all(r["n"] == 1 for r in rows)
     starts = [r["window_start"] for r in rows]
     assert len(starts) == len(set(starts))
+
+
+def test_stream_static_enrichment_join(spark, sf_dir, events_dir):
+    """Stream-static join: each micro-batch enriches against a static dim
+    (re-read per batch in real deployments; broadcast-sized here)."""
+    from odl_etl_spark.io.sources import load_table
+
+    users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("tier", F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd"))
+    )
+    stream = events_stream(spark, events_dir, max_files_per_trigger=1)
+    enriched = stream.join(users, "user_id").groupBy("tier").count()
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("t_enrich")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["tier"]: r["count"] for r in spark.sql("SELECT * FROM t_enrich").collect()}
+    want = {
+        r["tier"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .join(users, "user_id")
+        .groupBy("tier")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
