@@ -225,3 +225,41 @@ def test_stream_static_enrichment_join(spark, sf_dir, events_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_dir):
+    """Purchases joined to same-user clicks within the trailing 30 min —
+    stream-stream with event-time bounds vs the identical batch theta join."""
+    from odl_etl_spark.io.sources import load_table
+    from odl_etl_spark.streaming.joins import interval_join
+
+    def purchases(df):
+        return df.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+
+    def clicks(df):
+        return df.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+
+    stream = events_stream(spark, events_dir, max_files_per_trigger=1)
+    joined = interval_join(
+        purchases(stream), clicks(stream), key="user_id", within="30 minutes"
+    ).select("event_id", "event_id_r")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["event_id"], r["event_id_r"])
+        for r in spark.sql("SELECT * FROM t_ssjoin").collect()
+    )
+    ev = load_table(spark, sf_dir, "events")
+    want = sorted(
+        (r["event_id"], r["event_id_r"])
+        for r in interval_join(
+            purchases(ev), clicks(ev), key="user_id", within="30 minutes"
+        ).select("event_id", "event_id_r").collect()
+    )
+    assert got == want and len(got) > 0
