@@ -102,25 +102,43 @@ def jaccard_pairs(
     )
 
 
-def _minhash_signatures(
-    base: DataFrame, num_hashes: int, band_size: int
+def _shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    """(_id, _band, _bh) LSH band hashes from (_id, _sh shingle array).
+    """(_id, _s64) 64-bit hashes of every word n-gram shingle.
 
-    Hash family h_i(s) = xxhash64(i, s) — seeded by an extra int column,
-    a pure deterministic function of the shingle set. Computed by
-    exploding shingles and taking num_hashes ``min`` aggregates: partial
-    (map-side) aggregation collapses each partition to one signature row
-    per doc before the shuffle, and no per-row arrays are materialized
-    (64 transform-arrays per doc was the allocation hot spot).
+    Token-level pipeline: explode tokens → hash each token once → window
+    ``lead`` to combine n consecutive token hashes into a shingle hash.
+    No array higher-order functions anywhere (transform/slice/concat_ws
+    run interpreted per element — the hot-spot this replaces); the only
+    cost is one window sort per doc partition. Emits the shingle
+    *multiset*; min-aggregation downstream is duplicate-insensitive.
     """
-    # Hash each variable-length shingle to a fixed-width long ONCE, then
-    # derive the hash family from the long — 1 string hash + num_hashes
-    # long hashes per shingle instead of num_hashes string hashes.
-    sh = base.select(F.col("_id"), F.explode("_sh").alias("_s")).select(
-        "_id", F.xxhash64("_s").alias("_s64")
+    from pyspark.sql import Window
+
+    from odl_etl_spark.functions.text import tokens
+
+    toks = spread(df).select(
+        F.col(id_col).alias("_id"), F.posexplode(tokens(text_col)).alias("_pos", "_t")
     )
-    sigs = sh.groupBy("_id").agg(
+    hashed = toks.select("_id", "_pos", F.xxhash64("_t").alias("_h"))
+    w = Window.partitionBy("_id").orderBy("_pos")
+    leads = [F.col("_h")] + [F.lead("_h", k).over(w) for k in range(1, n)]
+    return hashed.select(
+        "_id", F.xxhash64(*leads).alias("_s64"), leads[-1].alias("_last")
+    ).where(F.col("_last").isNotNull()).select("_id", "_s64")
+
+
+def _minhash_signatures(
+    shingle_hashes: DataFrame, num_hashes: int, band_size: int
+) -> DataFrame:
+    """(_id, _band, _bh) LSH band hashes from (_id, _s64) shingle hashes.
+
+    Hash family h_i(s) = xxhash64(i, s64) — num_hashes cheap fixed-width
+    hashes per shingle, reduced by ``min`` aggregates with map-side
+    partial combine (one signature row per doc leaves each partition).
+    """
+    sigs = shingle_hashes.groupBy("_id").agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("_s64"))).alias(f"_mh{i}")
             for i in range(num_hashes)
@@ -151,14 +169,13 @@ def minhash_lsh_pairs(
     near-dedup feasible at 100 TB where all-pairs (even inverted-index)
     is not.
     """
-    base = spread(df).select(
-        F.col(id_col).alias("_id"), word_shingles(text_col, n).alias("_sh")
-    ).where(F.size("_sh") > 0)
-    # Only (id, band, hash) flows into the self-join — never the shingle
-    # arrays (exploding arrays per band and shuffling them is the thing
-    # that does not survive scale). Arrays are joined back per *distinct*
+    # Only (id, band, hash) flows into the self-join — never shingle
+    # strings or arrays (shuffling those is the thing that does not
+    # survive scale). Shingle arrays are joined back per *distinct*
     # candidate pair, of which there are few by construction.
-    banded = _minhash_signatures(base, num_hashes, band_size)
+    banded = _minhash_signatures(
+        _shingle_hashes(df, id_col, text_col, n), num_hashes, band_size
+    )
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (
         a.join(
