@@ -190,6 +190,28 @@ def agg_stats(spark, sf_dir):
 
 
 @spec(
+    "agg_collect",
+    """
+    SELECT n_regionkey,
+           array_to_string(list_sort(list(n_name)), ',') AS nations,
+           len(list(n_name)) AS n_nations
+    FROM nation GROUP BY n_regionkey
+    """,
+    doc=(
+        "Collect-to-list aggregation (array_agg/listagg shape), made "
+        "deterministic by sorting before serialization — collect_list "
+        "order is otherwise execution-dependent."
+    ),
+)
+def agg_collect(spark, sf_dir):
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+        F.count("n_name").alias("n_nations"),
+    )
+
+
+@spec(
     "agg_pivot",
     """
     SELECT user_id,
@@ -238,6 +260,7 @@ def agg_approx_quantile(spark, sf_dir):
 SPECS = [
     agg_groupby,
     agg_stats,
+    agg_collect,
     agg_pivot,
     agg_approx_quantile,
     agg_distinct,

@@ -136,4 +136,33 @@ def win_cume(spark, sf_dir):
     )
 
 
-SPECS = [win_rank, win_analytic, win_frame, win_ntile, win_cume]
+@spec(
+    "win_range_frame",
+    """
+    SELECT s_suppkey, s_acctbal,
+           COUNT(*) OVER (ORDER BY s_acctbal
+                          RANGE BETWEEN 500.0 PRECEDING AND 500.0 FOLLOWING) AS peers_500,
+           ROUND(SUM(s_acctbal) OVER (ORDER BY s_acctbal
+                          RANGE BETWEEN 500.0 PRECEDING AND CURRENT ROW) * 100) / 100
+             AS trailing_sum
+    FROM supplier
+    """,
+    doc=(
+        "Value-RANGE window frames (peers within ±500 of each balance) — "
+        "frames defined on the ORDER BY value, not row offsets."
+    ),
+)
+def win_range_frame(spark, sf_dir):
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.orderBy("s_acctbal")
+    return s.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.count("*").over(w.rangeBetween(-500, 500)).alias("peers_500"),
+        roundn(
+            F.sum("s_acctbal").over(w.rangeBetween(-500, Window.currentRow)), 2
+        ).alias("trailing_sum"),
+    )
+
+
+SPECS = [win_rank, win_analytic, win_frame, win_ntile, win_cume, win_range_frame]
