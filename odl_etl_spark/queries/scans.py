@@ -86,4 +86,36 @@ def sink_partitioned(spark, sf_dir):
     )
 
 
-SPECS = [scan_parquet, scan_pruned, sink_partitioned]
+_Q3_SQL = """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) / 100 AS revenue
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+"""
+
+
+@spec(
+    "sql_tpch_q3",
+    _Q3_SQL,
+    doc=(
+        "ANSI SQL passthrough: the IDENTICAL query text runs on Spark "
+        "(spark.sql over registered views) and on the DuckDB oracle — "
+        "TPC-H Q3 shape. Demonstrates the raw SQL surface next to the "
+        "DataFrame API."
+    ),
+)
+def sql_tpch_q3(spark, sf_dir):
+    from odl_etl_spark.io.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q3_SQL)
+
+
+SPECS = [scan_parquet, scan_pruned, sink_partitioned, sql_tpch_q3]
