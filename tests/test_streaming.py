@@ -263,3 +263,27 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_dir):
         ).select("event_id", "event_id_r").collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_to_partitioned_lake(spark, sf_dir, events_dir, tmp_path):
+    """foreachBatch lake sink: streamed events land date-partitioned and
+    row-complete; a restart with the same checkpoint appends nothing new."""
+    from odl_etl_spark.io.sources import load_table
+    from odl_etl_spark.streaming.sink import stream_to_partitioned_parquet
+
+    out, cp = str(tmp_path / "lake"), str(tmp_path / "cp")
+    stream = events_stream(spark, events_dir, max_files_per_trigger=1)
+    q = stream_to_partitioned_parquet(stream, out, cp)
+    q.awaitTermination(180)
+    lake = spark.read.parquet(out)
+    ev = load_table(spark, sf_dir, "events")
+    assert lake.count() == ev.count()
+    assert lake.select("ds").distinct().count() == ev.select(
+        F.date_format("ts", "yyyyMMdd")
+    ).distinct().count()
+    # Restart with same checkpoint: no new input files -> no duplicate rows.
+    q2 = stream_to_partitioned_parquet(
+        events_stream(spark, events_dir, max_files_per_trigger=1), out, cp
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == ev.count()
