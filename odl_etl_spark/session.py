@@ -65,6 +65,36 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def cluster_conf(
+    total_cores: int = 4000,
+    input_tb: float = 100.0,
+    target_partition_mb: int = 192,
+) -> dict[str, str]:
+    """Recommended conf for a real cluster run at ~``input_tb`` scale.
+
+    Rationale per key (the local DEFAULT_CONF posture scaled up):
+      * shuffle partitions ≈ max(2-3× total cores, data/target-size) — big
+        enough that a post-shuffle partition fits in executor memory,
+        with AQE coalescing the excess at runtime;
+      * maxPartitionBytes bounds scan task size (stable task runtimes);
+      * broadcast threshold generous — dims up to 256 MB stay broadcast;
+      * Kryo + compressed shuffle for network-bound stages.
+    """
+    by_size = int(input_tb * 1024 * 1024 / target_partition_mb)
+    shuffle_parts = max(total_cores * 3, min(by_size, 200_000))
+    return {
+        "spark.sql.shuffle.partitions": str(shuffle_parts),
+        "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
+        "spark.sql.autoBroadcastJoinThreshold": str(256 * 1024 * 1024),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.shuffle.compress": "true",
+        "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    }
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime-settable conf to an externally-created
     session (the driver hands us one in ``__spark_entry__.entry``)."""

@@ -76,3 +76,15 @@ def test_ngrams_short_doc_edge_cases(spark):
     assert [list(r["sh"]) for r in rows] == [[], [], []]
     two = df.where(F.col("text") == "one two").select(word_ngrams("text", 2).alias("g")).head()
     assert list(two["g"]) == ["one two"]
+
+
+def test_cluster_conf_scales_with_inputs():
+    from odl_etl_spark.session import cluster_conf
+
+    small = cluster_conf(total_cores=100, input_tb=1)
+    big = cluster_conf(total_cores=4000, input_tb=100)
+    assert int(big["spark.sql.shuffle.partitions"]) > int(
+        small["spark.sql.shuffle.partitions"]
+    )
+    assert big["spark.sql.adaptive.enabled"] == "true"
+    assert int(big["spark.sql.shuffle.partitions"]) <= 200_000
