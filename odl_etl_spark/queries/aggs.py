@@ -72,18 +72,42 @@ def agg_distinct(spark, sf_dir):
 
 @spec(
     "agg_approx_distinct",
-    None,  # HLL estimates are engine-specific — rows-only check
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(*) AS n_rows,
+           TRUE AS within_10pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
     doc=(
         "HyperLogLog++ distinct estimate (rsd=0.05): at 100 TB the exact "
         "expand+shuffle is the bottleneck; HLL sketches merge in fixed "
-        "memory. Unit test asserts error bound vs exact, never values."
+        "memory. Bounds-style oracle: the raw estimate is engine-specific, "
+        "so the comparable output is the exact count plus a boolean "
+        "asserting |approx-exact| <= 10%·exact (measured error is ~2.7% "
+        "at sf0.001-0.1; HLL is hash-deterministic, so this is stable)."
     ),
 )
 def agg_approx_distinct(spark, sf_dir):
     l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.05).alias("approx_parts"),
-        F.count("*").alias("n_rows"),
+    approx = F.approx_count_distinct("l_partkey", 0.05)
+    exact = F.countDistinct("l_partkey")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            approx.alias("_approx"),
+            exact.alias("exact_parts"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            "n_rows",
+            (
+                F.abs(F.col("_approx") - F.col("exact_parts"))
+                <= 0.10 * F.col("exact_parts")
+            ).alias("within_10pct"),
+        )
     )
 
 
@@ -215,11 +239,11 @@ def agg_collect(spark, sf_dir):
     "agg_pivot",
     """
     SELECT user_id,
-           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view
     FROM events GROUP BY user_id
     """,
     doc=(
@@ -242,18 +266,46 @@ def agg_pivot(spark, sf_dir):
 
 @spec(
     "agg_approx_quantile",
-    None,  # sketch-based quantiles are engine-specific — rows-only check
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5) * 100) / 100 AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.95) * 100) / 100 AS p95,
+           COUNT(*) AS n,
+           TRUE AS approx_within_1pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
     doc=(
-        "Approximate percentiles (p50/p95) per return flag via "
-        "percentile_approx — the sketch path that replaces a global sort "
-        "at 100 TB; unit test bounds it against exact percentile_cont."
+        "Percentiles per return flag, both paths: exact interpolated "
+        "percentile (Spark `percentile` ≡ DuckDB quantile_cont, the "
+        "hash-comparable columns) and the GK-sketch percentile_approx — "
+        "the path that replaces a global sort at 100 TB — asserted within "
+        "1% of exact (measured error ≤ 0.08% at sf0.001-0.1; the sketch "
+        "is deterministic for a given dataset)."
     ),
 )
 def agg_approx_quantile(spark, sf_dir):
     l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("pcts"),
-        F.count("*").alias("n"),
+    pcts = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)))
+    apx = F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000)
+    return (
+        l.groupBy("l_returnflag")
+        .agg(pcts.alias("_ex"), apx.alias("_ap"), F.count("*").alias("n"))
+        .select(
+            "l_returnflag",
+            roundn(F.element_at("_ex", 1), 2).alias("p50"),
+            roundn(F.element_at("_ex", 2), 2).alias("p95"),
+            "n",
+            (
+                (
+                    F.abs(F.element_at("_ap", 1) - F.element_at("_ex", 1))
+                    <= 0.01 * F.element_at("_ex", 1)
+                )
+                & (
+                    F.abs(F.element_at("_ap", 2) - F.element_at("_ex", 2))
+                    <= 0.01 * F.element_at("_ex", 2)
+                )
+            ).alias("approx_within_1pct"),
+        )
     )
 
 

@@ -191,8 +191,20 @@ def scalar_array(spark, sf_dir):
 
 @spec(
     "scalar_map",
-    None,  # map columns hash differently across engines — rows-only check
-    doc="Build + query a MapType column (create_map / element access / keys).",
+    """
+    SELECT doc_id,
+           '{"lang":"' || lang || '","source":"' || source || '"}' AS meta_json,
+           lang AS meta_lang,
+           'lang,source' AS meta_keys
+    FROM documents
+    """,
+    doc=(
+        "Build + query a MapType column (create_map / element access / "
+        "keys), serialized to scalar columns (to_json / concat_ws) so the "
+        "output is engine-comparable and hashable. The oracle constructs "
+        "the identical compact-JSON string literally (lang/source are "
+        "quote-free enum tokens in the fixture)."
+    ),
 )
 def scalar_map(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
@@ -201,9 +213,9 @@ def scalar_map(spark, sf_dir):
     )
     return d.select(
         "doc_id",
-        m.alias("meta"),
+        F.to_json(m).alias("meta_json"),
         m["lang"].alias("meta_lang"),
-        F.map_keys(m).alias("meta_keys"),
+        F.concat_ws(",", F.map_keys(m)).alias("meta_keys"),
     )
 
 
