@@ -64,8 +64,11 @@ def _shingle_postings(
         .select("_id", F.xxhash64("_s").alias("_s"))
     )
     if max_df is not None:
+        # No broadcast hint: the stop-shingle list grows with the corpus
+        # (every shingle with df > max_df), so let AQE pick broadcast vs
+        # shuffle — the anti-join shares the _s key with the main self-join.
         hot = sh.groupBy("_s").count().where(F.col("count") > max_df).select("_s")
-        sh = sh.join(F.broadcast(hot), "_s", "left_anti")
+        sh = sh.join(hot, "_s", "left_anti")
     return sh
 
 

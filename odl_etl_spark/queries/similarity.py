@@ -74,27 +74,39 @@ def sim_topk(spark, sf_dir):
     GROUP BY a.label
     """,
     doc=(
-        "Average intra-label pairwise cosine (cluster cohesion). Self-join "
-        "on the label key; at scale the label join is the blocking factor "
-        "that keeps this from being all-pairs."
+        "Average intra-label pairwise cosine (cluster cohesion) WITHOUT "
+        "the O(n²)-per-label self-join: since cos(a,b) = v̂a·v̂b, the sum "
+        "over all pairs is derivable from the per-label sum of normalized "
+        "vectors — Σ_{a<b} v̂a·v̂b = (‖Σv̂‖² − Σ‖v̂‖²)/2 and each ‖v̂‖² = 1, "
+        "so avg_cos = (‖S‖² − n) / (n(n−1)). One posexplode + two hash "
+        "aggregations, zero joins of the corpus; the oracle still computes "
+        "the literal all-pairs average, so the identity itself is what is "
+        "being differentially verified."
     ),
 )
 def sim_pairwise_label(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(
-        F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    from odl_etl_spark.functions.vectors import norm
+
+    v = F.col("embedding").cast("array<double>")
+    # (label, pos, normalized component): the per-row norm is computed
+    # once and carried through the generator select.
+    ex = e.select(
+        "label", norm(v).alias("_nrm"), F.posexplode(v).alias("_pos", "_x")
+    ).select("label", "_pos", (F.col("_x") / F.col("_nrm")).alias("_xn"))
+    # Each vector contributes one element per position, so the per-(label,
+    # pos) row count IS the label's vector count — no separate count+join.
+    comp = ex.groupBy("label", "_pos").agg(
+        F.sum("_xn").alias("_sx"), F.count("*").alias("_c")
     )
-    b = e.select(
-        F.col("label"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    s2 = comp.groupBy("label").agg(
+        F.sum(F.col("_sx") * F.col("_sx")).alias("_s2"), F.max("_c").alias("_n")
     )
-    return (
-        a.join(b, ["label"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("label")
-        .agg(
-            F.count("*").alias("n_pairs"),
-            roundn(F.avg(cosine("va", "vb")), 4).alias("avg_cos"),
-        )
+    n = F.col("_n").cast("double")
+    return s2.where(F.col("_n") >= 2).select(
+        "label",
+        (F.col("_n") * (F.col("_n") - 1) / 2).cast("long").alias("n_pairs"),
+        roundn((F.col("_s2") - n) / (n * (n - 1)), 4).alias("avg_cos"),
     )
 
 

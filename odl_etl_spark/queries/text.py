@@ -185,7 +185,18 @@ def dedup_fingerprint(spark, sf_dir):
     return D.fingerprint_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-_JACCARD_ORACLE = f"""
+def _jaccard_oracle(max_df: int | None = None) -> str:
+    """All-pairs 3-gram Jaccard ground truth; optionally mirrors the
+    operator's stop-shingle bound (drop shingles with document frequency
+    > max_df) so the filtered variants stay differentially checkable."""
+    df_filter = (
+        f""", hot AS (
+      SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {max_df}
+    ), shf AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot))"""
+        if max_df is not None
+        else ", shf AS (SELECT * FROM sh)"
+    )
+    return f"""
     WITH toks AS (
       SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
     ), idx AS (
@@ -193,11 +204,11 @@ _JACCARD_ORACLE = f"""
     ), sh AS (
       SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS s
       FROM idx WHERE i + 2 <= len(ts)
-    ), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+    ){df_filter}, cnt AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            ROUND(COUNT(*) * 1.0 / (MIN(ca.n) + MIN(cb.n) - COUNT(*)) * 10000) / 10000
              AS jaccard
-    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
     JOIN cnt ca ON ca.doc_id = a.doc_id
     JOIN cnt cb ON cb.doc_id = b.doc_id
     GROUP BY a.doc_id, b.doc_id
@@ -205,17 +216,29 @@ _JACCARD_ORACLE = f"""
 """
 
 
+_JACCARD_ORACLE = _jaccard_oracle()
+
+
+_JACCARD_MAX_DF = 5
+
+
 @spec(
     "dedup_ngram_jaccard",
-    _JACCARD_ORACLE,
+    _jaccard_oracle(max_df=_JACCARD_MAX_DF),
     doc=(
         "Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.8) via "
-        "inverted-index self-join — the ground-truth near-dedup."
+        "inverted-index self-join — the ground-truth near-dedup. The "
+        "max_df stop-shingle bound is ACTIVE (df > 5 shingles dropped, "
+        "mirrored in the oracle's document-frequency CTE): without it a "
+        "ubiquitous shingle makes the postings self-join quadratic at "
+        "scale; with it the hottest key is capped at max_df postings."
     ),
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+    pairs = D.jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.8, max_df=_JACCARD_MAX_DF
+    )
     return pairs.select(
         "id_a", "id_b", roundn(F.col("jaccard"), 4).alias("jaccard")
     )
