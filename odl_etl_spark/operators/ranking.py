@@ -1,0 +1,92 @@
+"""Distributed global ranking — exact row_number / ntile with no
+single-task sort.
+
+``Window.orderBy`` without a partition key collapses the whole input to
+one task (``Exchange SinglePartition``): fine for a 150-row report,
+fatal at 100 TB. The scale shape used here is the classic two-level
+rank:
+
+  1. ``repartitionByRange`` on the sort key — a distributed range
+     shuffle; partition *i* holds keys strictly below partition *i+1*.
+  2. Per-partition ``row_number`` over ``Window.partitionBy(pid)`` —
+     each task sorts only its own range.
+  3. Per-partition row counts → cumulative offsets. The offset table is
+     ONE ROW PER PARTITION, so the unpartitioned window that computes
+     the running offset is over a few hundred rows regardless of input
+     size, and joining it back is a broadcast by construction.
+
+Everything happens in one plan — no collect, no second job whose range
+boundaries could drift from the first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: list[str],
+    rn_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based global row number under a total order, distributed.
+
+    ``order_by`` must be a total order (include a unique tie-break key)
+    or ranks within ties are boundary-dependent. Adds ``rn_col`` plus a
+    ``_total`` column (the global row count, needed by ntile).
+    """
+    parts = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    ranged = df.repartitionByRange(parts, *order_by).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*order_by))
+    )
+    counts = local.groupBy("_pid").agg(F.count("*").alias("_c"))
+    # One row per shuffle partition: the unpartitioned windows below are
+    # over O(parts) rows, not O(input) — safe at any data scale.
+    wcum = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_c").over(wcum), F.lit(0)).alias("_off"),
+        F.sum("_c").over(wall).alias("_total"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(rn_col, F.col("_off") + F.col("_lrn"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
+def ntile_exact(
+    df: DataFrame,
+    order_by: list[str],
+    n_tiles: int,
+    tile_col: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact SQL NTILE(n) semantics over a global order, distributed.
+
+    With N rows and k tiles: base = N div k, rem = N mod k; the first
+    ``rem`` tiles get ``base+1`` rows. Pure arithmetic over the global
+    row number — bitwise-identical to ``NTILE(n) OVER (ORDER BY ...)``.
+    """
+    ranked = global_row_number(df, order_by, rn_col="_grn", num_partitions=num_partitions)
+    base = F.floor(F.col("_total") / n_tiles)
+    rem = F.col("_total") % n_tiles
+    big = base + 1  # size of the first `rem` tiles
+    cut = rem * big  # rows covered by the bigger tiles
+    rn = F.col("_grn")
+    tile = (
+        F.when(rn <= cut, F.floor((rn - 1) / big) + 1)
+        .otherwise(rem + F.floor((rn - cut - 1) / base) + 1)
+        .cast("int")
+    )
+    return ranked.withColumn(tile_col, tile).drop("_grn", "_total")

@@ -32,4 +32,40 @@ def registry() -> dict[str, QuerySpec]:
             if s.name in out:
                 raise ValueError(f"duplicate query key: {s.name}")
             out[s.name] = s
-    return out
+    return {k: out[k] for k in _check_order(out)}
+
+
+def _check_order(out: dict[str, QuerySpec]) -> list[str]:
+    """Key order = driver check order. The round-1 gate verified exactly
+    the first 50 registry keys, so keys still awaiting a correctness row
+    (the whole text/dedup/similarity tier) and keys whose spec changed
+    this round come first; the tail is keys already verified green on an
+    unchanged spec in round 1."""
+    first = [
+        # never oracle-checked by the driver (round 1 stopped at key 50)
+        "stream_dedup",
+        "text_tokenize_tf",
+        "text_ngrams",
+        "text_lang_stats",
+        "text_token_count",
+        "text_quality",
+        "text_langid",
+        "text_fingerprint",
+        "dedup_exact",
+        "dedup_fingerprint",
+        "dedup_ngram_jaccard",
+        "dedup_near",
+        "dedup_simhash",
+        "sim_topk",
+        "sim_pairwise_label",
+        "sim_ann_ivf",
+        "emb_centroid_dist",
+        # spec changed this round — re-verification needed
+        "scalar_map",
+        "agg_pivot",
+        "agg_approx_quantile",
+        "agg_approx_distinct",
+        "win_ntile",
+    ]
+    assert all(k in out for k in first), sorted(set(first) - set(out))
+    return first + [k for k in out if k not in set(first)]

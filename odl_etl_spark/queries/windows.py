@@ -100,15 +100,21 @@ def win_frame(spark, sf_dir):
     FROM customer
     """,
     doc=(
-        "Decile bucketing of account balance. Single unpartitioned window "
-        "— fine for ranked reporting output; at 100 TB the scale path for "
-        "quantiles is approx_percentile, not a global sort."
+        "Decile bucketing of account balance with exact NTILE semantics, "
+        "computed WITHOUT an unpartitioned window: range-shuffle on the "
+        "sort key, per-partition row_number, cumulative partition offsets "
+        "(one row per partition), then NTILE arithmetic on the global row "
+        "number — operators/ranking.py. The only single-partition stage "
+        "is over the O(#partitions)-row offset table."
     ),
 )
 def win_ntile(spark, sf_dir):
+    from odl_etl_spark.operators.ranking import ntile_exact
+
     c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select("c_custkey", F.ntile(10).over(w).alias("bal_decile"))
+    return ntile_exact(
+        c, ["c_acctbal", "c_custkey"], 10, tile_col="bal_decile"
+    ).select("c_custkey", "bal_decile")
 
 
 @spec(

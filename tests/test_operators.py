@@ -112,3 +112,38 @@ def test_jaccard_max_df_keeps_high_sim_pairs(spark, sf_dir):
     # so compare pair sets at a high threshold.
     if base:
         assert len(kept & base) / len(base) >= 0.8
+
+
+def test_ntile_exact_matches_window_ntile(spark):
+    # Distributed NTILE (range shuffle + partition offsets) must be
+    # bitwise-identical to the single-task Window.orderBy NTILE, including
+    # the remainder-spread rule, for n % k != 0 and n < k.
+    from pyspark.sql import Window
+
+    from odl_etl_spark.operators.ranking import ntile_exact
+
+    for n_rows, k in [(23, 10), (7, 10), (40, 4), (1, 3)]:
+        df = spark.range(n_rows).select(
+            F.col("id"), (F.col("id") * 37 % 11).alias("key")
+        )
+        got = {
+            r["id"]: r["tile"]
+            for r in ntile_exact(df, ["key", "id"], k, num_partitions=5).collect()
+        }
+        want = {
+            r["id"]: r["t"]
+            for r in df.select(
+                "id", F.ntile(k).over(Window.orderBy("key", "id")).alias("t")
+            ).collect()
+        }
+        assert got == want, (n_rows, k)
+
+
+def test_global_row_number_is_total_and_exact(spark):
+    from odl_etl_spark.operators.ranking import global_row_number
+
+    df = spark.range(100).select(F.col("id"), (99 - F.col("id")).alias("key"))
+    rows = global_row_number(df, ["key"], num_partitions=7).collect()
+    by_rn = sorted(rows, key=lambda r: r["rn"])
+    assert [r["rn"] for r in by_rn] == list(range(1, 101))
+    assert [r["key"] for r in by_rn] == list(range(100))

@@ -67,3 +67,41 @@ def test_asof_join_single_shuffle(spark, sf_dir):
 
 def test_agg_groupby_single_shuffle(spark, sf_dir):
     assert shuffle_count(build("agg_groupby", spark, sf_dir)) == 1
+
+
+def test_ntile_has_no_unpartitioned_window_over_input(spark, sf_dir):
+    # The global order must come from a distributed range shuffle, and the
+    # row_number window must be partitioned (by _pid). The only permitted
+    # unpartitioned window is the offset cumsum over the O(#partitions)-row
+    # count table (its spec orders by _pid and aggregates _c).
+    import re
+
+    plan = explain_str(build("win_ntile", spark, sf_dir))
+    assert "rangepartitioning" in plan
+    specs = re.findall(r"Arguments: \[(\w+\(\S*\)) windowspecdefinition\(([^,]+)", plan)
+    for fn, first_arg in specs:
+        if fn.startswith("row_number"):
+            assert first_arg.startswith("_pid"), f"row_number not partitioned: {first_arg}"
+        else:
+            assert fn.startswith("sum(_c"), f"unexpected unpartitioned window: {fn}"
+
+
+def test_pairwise_label_has_zero_joins(spark, sf_dir):
+    # The normalized-sum identity removes the O(n²)-per-label self-join:
+    # the plan is explode + two hash aggregations, nothing else.
+    plan = explain_str(build("sim_pairwise_label", spark, sf_dir))
+    assert "Join" not in plan
+    assert shuffle_count(build("sim_pairwise_label", spark, sf_dir)) == 2
+
+
+def test_centroid_dist_broadcasts_centroids(spark, sf_dir):
+    df = build("emb_centroid_dist", spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_ivf_search_is_pruned_scan_no_shuffle(spark, sf_dir):
+    # nprobe cell pruning turns ANN search into filter + TakeOrdered over
+    # the probed cells only — no exchange of the corpus.
+    df = build("sim_ann_ivf", spark, sf_dir)
+    assert shuffle_count(df) == 0
+    assert "TakeOrderedAndProject" in explain_str(df)
