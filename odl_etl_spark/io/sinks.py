@@ -26,10 +26,16 @@ def partitioned_write(
     partition_cols: list[str] | tuple[str, ...] = ("ds",),
     mode: str = "overwrite",
 ) -> None:
-    """Date/key-partitioned Parquet write. With the session's
-    ``partitionOverwriteMode=dynamic``, ``overwrite`` replaces only the
-    partitions present in ``df``."""
-    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    """Date/key-partitioned Parquet write. Dynamic partition overwrite is
+    set on the write itself (not inherited from session conf): ``overwrite``
+    replaces only the partitions present in ``df`` — with Spark's default
+    ``static`` mode it would wipe sibling partitions."""
+    (
+        df.write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
 
 
 def with_ds(df: DataFrame, ts_col: str, fmt: str = "yyyyMMdd") -> DataFrame:
@@ -50,16 +56,18 @@ def compact(
     If ``target_files`` is not given it is estimated from the input bytes
     so output files land near ``target_mb``. Uses coalesce (no shuffle)
     — order within files is preserved, only grouping changes.
+
+    Input size comes from the Hadoop FileSystem API, so the estimate is
+    correct for any scheme (``s3a://``, ``hdfs://``, ``file:/``) — a
+    local ``glob`` would see 0 bytes on an object store and collapse the
+    whole dataset into one task.
     """
     df = spark.read.parquet(path)
     if target_files is None:
-        import glob
-        import os
-
-        total = sum(
-            os.path.getsize(f)
-            for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-        )
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        total = fs.getContentSummary(jpath).getLength()
         target_files = max(1, round(total / (target_mb * 1024 * 1024)))
     df.coalesce(target_files).write.mode("overwrite").parquet(out_path)
     return target_files

@@ -33,25 +33,37 @@ def upsert_partitioned(
     unmatched rows are kept; update rows are inserted. Returns the number
     of partitions rewritten. ``updates`` must carry ``partition_col``.
     """
+    from pyspark.errors import AnalysisException
+
     keys = list(keys)
     touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
     if not touched:
         return 0
+    # Only the existence probe may fall back to "first write" — a schema
+    # mismatch while building the merge must raise, not silently drop the
+    # kept rows of touched partitions.
     try:
-        existing = spark.read.parquet(path).where(
-            F.col(partition_col).isin(touched)
-        )
-        kept = existing.join(
-            updates.select(*keys).distinct(), keys, "left_anti"
-        )
-        merged = kept.unionByName(updates.select(*existing.columns))
-    except Exception:  # first write: no existing dataset
+        existing = spark.read.parquet(path)
+    except AnalysisException:  # path not found: first write
+        existing = None
+    if existing is None:
         merged = updates
+    else:
+        existing = existing.where(F.col(partition_col).isin(touched))
+        kept = existing.join(updates.select(*keys).distinct(), keys, "left_anti")
+        merged = kept.unionByName(updates.select(*existing.columns))
     # Eagerly materialize before the swap: the write overwrites the very
     # files the plan reads, so the read must complete first
     # (localCheckpoint cuts the lineage and pins the data).
     merged = merged.localCheckpoint(eager=True)
-    merged.repartition(partition_col).write.mode("overwrite").partitionBy(
-        partition_col
-    ).parquet(path)
+    # Partition-scoped semantics must not hinge on ambient session conf:
+    # set dynamic overwrite on THIS write (with Spark's default `static`,
+    # mode('overwrite') would delete the entire dataset).
+    (
+        merged.repartition(partition_col)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
     return len(touched)

@@ -88,3 +88,12 @@ def test_cluster_conf_scales_with_inputs():
     )
     assert big["spark.sql.adaptive.enabled"] == "true"
     assert int(big["spark.sql.shuffle.partitions"]) <= 200_000
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest
+
+    fact = spark.createDataFrame([(1, "a")], "k long, v string")
+    dim = spark.createDataFrame([(1, "x")], "k long, d string")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(fact, dim, "k", how="full")

@@ -287,3 +287,19 @@ def test_stream_to_partitioned_lake(spark, sf_dir, events_dir, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_micro_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-landing the same batch_id must
+    rewrite, not duplicate; a *new* batch_id still appends."""
+    from odl_etl_spark.streaming.sink import write_micro_batch
+
+    out = str(tmp_path / "lake_idem")
+    batch = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-02 11:00:00")], "id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    write_micro_batch(batch, 7, out)
+    write_micro_batch(batch, 7, out)  # replay of a failed/retried batch
+    assert spark.read.parquet(out).count() == 2
+    write_micro_batch(batch.where("id = 1"), 8, out)  # genuinely new batch
+    assert spark.read.parquet(out).count() == 3

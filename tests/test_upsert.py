@@ -53,3 +53,18 @@ def test_upsert_first_write_creates_dataset(spark, tmp_path):
     n = upsert_partitioned(spark, path, updates, keys=["k"])
     assert n == 2
     assert spark.read.parquet(path).count() == 2
+
+
+def test_upsert_schema_mismatch_raises_not_data_loss(spark, tmp_path):
+    """A malformed updates frame must raise, not silently become a
+    'first write' that drops the kept rows of touched partitions."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    path = str(tmp_path / "ds_table_mismatch")
+    _df(spark, [(1, "a", "d1"), (2, "b", "d1")]).write.partitionBy("ds").parquet(path)
+    bad = spark.createDataFrame([(2, "d1")], "k long, ds string")  # missing v
+    with pytest.raises(AnalysisException):
+        upsert_partitioned(spark, path, bad, keys=["k"])
+    # Dataset untouched.
+    assert spark.read.parquet(path).count() == 2
