@@ -245,26 +245,58 @@ def simhash64(text_col: Column | str, token_arr: Column | None = None) -> Column
     return sig
 
 
-def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, token_hash: str = "xxhash64"
+) -> DataFrame:
     """(_id, _sig) SimHash-64 signatures via explode + 64 vote aggregates.
 
     Semantically identical to ``simhash64`` (same per-token hash, same
     bit votes) but expressed as codegen'd SUM aggregates with map-side
     partial combine instead of interpreted higher-order array functions
     — the same restructuring that makes MinHash signatures scale.
+
+    ``token_hash``:
+      * ``"xxhash64"`` (default) — fastest; Spark-specific hash.
+      * ``"md5"`` — 64-bit hash = first 16 hex nibbles of md5(token);
+        bit b (b=0 is the MSB of nibble 0) = (nibble[b//4] >> (3-b%4)) & 1.
+        Every piece (md5, substring, hex-digit value) is computable
+        identically in other engines (DuckDB: strpos on a hex alphabet),
+        which makes the signatures — and therefore the near-dup pair set
+        — differentially verifiable cross-engine.
     """
     from odl_etl_spark.functions.text import tokens
 
-    toks = (
-        spread(df)
-        .select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_t"))
-        .select("_id", F.xxhash64("_t").alias("_h"))
+    toks = spread(df).select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_t")
     )
-    votes = toks.groupBy("_id").agg(
-        *[
-            F.sum(2 * F.getbit("_h", F.lit(i)) - 1).alias(f"_v{i}")
-            for i in range(64)
-        ]
+    if token_hash == "xxhash64":
+        hashed = toks.select("_id", F.xxhash64("_t").alias("_h"))
+
+        def bit(b: int) -> Column:
+            return F.getbit("_h", F.lit(b))
+
+    elif token_hash == "md5":
+        # Materialize the 16 nibble values once; each of the 64 bit
+        # expressions is then a shift+mask on an int column (codegen'd).
+        hashed = toks.select("_id", F.md5("_t").alias("_m")).select(
+            "_id",
+            *[
+                F.conv(F.substring("_m", j + 1, 1), 16, 10)
+                .cast("int")
+                .alias(f"_nb{j}")
+                for j in range(16)
+            ],
+        )
+
+        def bit(b: int) -> Column:
+            return F.shiftright(F.col(f"_nb{b // 4}"), 3 - b % 4).bitwiseAND(
+                F.lit(1)
+            )
+
+    else:
+        raise ValueError(f"unknown token_hash: {token_hash!r}")
+    votes = hashed.groupBy("_id").agg(
+        *[F.sum(2 * bit(i) - 1).alias(f"_v{i}") for i in range(64)]
     )
     sig = F.lit(0).cast("long")
     for i in range(64):
@@ -280,12 +312,14 @@ def simhash_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 6,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs: block on 16-bit signature chunks (a pair
     within hamming distance 3 of a 64-bit hash must agree on at least one
-    of 4 chunks; we use distance ≤ max_hamming with 4-chunk blocking as a
-    high-recall heuristic), verify with exact hamming distance."""
-    sig = simhash_signatures(df, id_col, text_col)
+    of 4 chunks — pigeonhole, so recall is EXACT for max_hamming <= 3;
+    larger distances keep 4-chunk blocking as a high-recall heuristic),
+    verify with exact hamming distance."""
+    sig = simhash_signatures(df, id_col, text_col, token_hash=token_hash)
     chunks = sig.select(
         "_id",
         "_sig",

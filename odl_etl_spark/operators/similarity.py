@@ -64,6 +64,108 @@ def label_centroids(
     )
 
 
+def cosine_lsh_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 64,
+    band_size: int = 4,
+    seed: int = 2026,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via signed-random-projection LSH.
+
+    Candidate generation: project every vector onto ``n_planes`` seeded
+    Gaussian hyperplanes (a broadcast join on the dimension index — the
+    plane table is tiny), pack sign bits into ``n_planes/band_size`` band
+    codes, and self-join on (band, code): only (id, band, 8-byte code)
+    rows ever shuffle, never the vectors. Verification: exact cosine of
+    candidate pairs only (semi-join pulls just those vectors).
+
+    For a pair at cosine c the per-plane agreement probability is
+    p = 1 - acos(c)/π, so a band matches with p^band_size and the pair is
+    missed with (1-p^r)^b — at c=0.99, r=4, b=16 that is ~4e-13:
+    candidate recall is effectively exact, and verification makes
+    precision exact. Work is O(N·n_planes) + O(|candidates|) — the
+    all-pairs-free shape that survives 100 TB.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    first = df.select(vec_col).first()
+    if first is None:
+        return spark.createDataFrame(
+            [], f"id_a long, id_b long, cos_sim double"
+        )
+    dim = len(first[0])
+    rng = np.random.RandomState(seed)
+    hp = rng.standard_normal((n_planes, dim))
+    planes = spark.createDataFrame(
+        [
+            (p, i, float(hp[p, i]))
+            for p in range(n_planes)
+            for i in range(dim)
+        ],
+        "_plane int, _pos int, _h double",
+    )
+    ex = spread(df).select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("_pos", "_x"),
+    )
+    proj = (
+        ex.join(F.broadcast(planes), "_pos")
+        .groupBy("_id", "_plane")
+        .agg(F.sum(F.col("_x") * F.col("_h")).alias("_p"))
+    )
+    # Band code = the band's sign bits packed into a small int; exact
+    # integer arithmetic (powers of two summed at most once each).
+    banded = proj.groupBy(
+        "_id", (F.col("_plane") / band_size).cast("int").alias("_band")
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("_p") > 0,
+                F.pow(F.lit(2.0), (F.col("_plane") % band_size).cast("double")),
+            ).otherwise(F.lit(0.0))
+        )
+        .cast("long")
+        .alias("_bh")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bh") == F.col("b._bh"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("_cid"))
+        .unionByName(candidates.select(F.col("id_b").alias("_cid")))
+        .distinct()
+    )
+    vecs = df.join(
+        F.broadcast(cand_ids), F.col(id_col) == F.col("_cid"), "left_semi"
+    ).select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    va = vecs.select(F.col("_vid").alias("id_a"), F.col("_v").alias("_va"))
+    vb = vecs.select(F.col("_vid").alias("id_b"), F.col("_v").alias("_vb"))
+    p = 10**round_to
+    return (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.round(cosine("_va", "_vb") * p) / p).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 class IvfIndex:
     """IVF (inverted-file) ANN index: cell assignment + probed search."""
 

@@ -12,7 +12,12 @@ from pyspark.sql import functions as F
 from odl_etl_spark.functions.numeric import roundn
 from odl_etl_spark.functions.vectors import cosine
 from odl_etl_spark.io.sources import load_table
-from odl_etl_spark.operators.similarity import IvfIndex, label_centroids, topk_cosine
+from odl_etl_spark.operators.similarity import (
+    IvfIndex,
+    cosine_lsh_pairs,
+    label_centroids,
+    topk_cosine,
+)
 from odl_etl_spark.queries.base import spec
 
 # Zipped-unnest double-precision cosine between two list<float> exprs.
@@ -23,6 +28,14 @@ _COS = """
              FROM (SELECT UNNEST({a}) AS x) z))
        * SQRT((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
                FROM (SELECT UNNEST({b}) AS y) z)))
+"""
+
+# Zipped-unnest double-precision L2 distance (same accumulation order as
+# functions.vectors.l2_distance's F.aggregate fold — bit-reproducible).
+_L2 = """
+    SQRT((SELECT SUM((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                     * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))
+          FROM (SELECT UNNEST({a}) AS x, UNNEST({b}) AS y) z))
 """
 
 
@@ -112,11 +125,38 @@ def sim_pairwise_label(spark, sf_dir):
 
 @spec(
     "sim_ann_ivf",
-    None,  # ANN recall is index-specific — rows-only; unit test checks recall
+    f"""
+    WITH cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cell_id,
+             embedding AS cvec
+      FROM (SELECT * FROM embeddings ORDER BY vec_id ASC LIMIT 8)
+    ), probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+    asg AS (
+      SELECT e.vec_id, e.embedding,
+             (SELECT c.cell_id FROM cents c
+              ORDER BY {_L2.format(a='e.embedding', b='c.cvec')} ASC,
+                       c.cell_id ASC
+              LIMIT 1) AS cell_id
+      FROM embeddings e WHERE e.vec_id <> 0
+    ), pcells AS (
+      SELECT c.cell_id FROM cents c, probe
+      ORDER BY {_L2.format(a='probe.p', b='c.cvec')} ASC, c.cell_id ASC
+      LIMIT 2
+    )
+    SELECT a.vec_id,
+           ROUND(({_COS.format(a='a.embedding', b='probe.p')}) * 1000000)
+             / 1000000 AS cos_sim
+    FROM asg a, probe
+    WHERE a.cell_id IN (SELECT cell_id FROM pcells)
+    ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+    """,
     doc=(
         "IVF approximate NN: assign vectors to 8 deterministic centroid "
         "cells, probe the 2 nearest cells only — the partition-pruned scale "
-        "path (search cost ~nprobe/n_cells of brute force)."
+        "path (search cost ~nprobe/n_cells of brute force). The index is "
+        "fully deterministic (first-8-by-id centroids, L2 argmin with ties "
+        "to the lowest cell), so the oracle replicates it literally in SQL "
+        "— hash-checkable, not merely rows-only."
     ),
 )
 def sim_ann_ivf(spark, sf_dir):
@@ -168,4 +208,76 @@ def emb_centroid_dist(spark, sf_dir):
     )
 
 
-SPECS = [sim_topk, sim_pairwise_label, sim_ann_ivf, emb_centroid_dist]
+def _augmented_embeddings(spark, sf_dir):
+    """Embeddings plus deterministic near-duplicates: every 10th vector
+    re-appears (id + 1_000_000) with its first component shifted by +0.05
+    (the fixture's vectors are unit-norm, so that lands cosine ≈ 0.9987 to
+    the source — far above any natural pair; the fixture's max pairwise
+    cosine is ~0.6). The same construction is SQL-expressible, so the
+    planted-pair set is differentially checkable."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    jit = base.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.05)),
+            F.slice("embedding", 2, F.size("embedding") - 1),
+        ).alias("embedding"),
+    )
+    return base.unionByName(jit)
+
+
+@spec(
+    "dedup_embedding",
+    """
+    WITH jit AS (
+      SELECT vec_id + 1000000 AS vec_id,
+             list_prepend(CAST(embedding[1] AS DOUBLE) + 0.05,
+                          CAST(embedding[2:] AS DOUBLE[])) AS v
+      FROM embeddings WHERE vec_id % 10 = 0
+    ), corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL SELECT vec_id, v FROM jit
+    ), ex AS (
+      SELECT vec_id, generate_subscripts(v, 1) AS i, UNNEST(v) AS x
+      FROM corpus
+    ), nrm AS (
+      SELECT vec_id, SQRT(SUM(x * x)) AS n FROM ex GROUP BY vec_id
+    ), dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.x * b.x) AS dot
+      FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT id_a, id_b,
+           ROUND(dot / (na.n * nb.n) * 1000000) / 1000000 AS cos_sim
+    FROM dots
+    JOIN nrm na ON na.vec_id = dots.id_a
+    JOIN nrm nb ON nb.vec_id = dots.id_b
+    WHERE ROUND(dot / (na.n * nb.n) * 1000000) / 1000000 >= 0.99
+    """,
+    doc=(
+        "Embedding-cosine near-dedup: signed-random-projection LSH (64 "
+        "seeded hyperplanes, 16 bands × 4 bits) generates candidates — "
+        "only (id, band, code) rows shuffle — then exact cosine verifies. "
+        "Miss probability at cos ≥ 0.99 is (1-p⁴)¹⁶ ≈ 4e-13 with "
+        "p = 1-acos(c)/π ≈ 0.955, so the LSH output coincides with the "
+        "all-pairs oracle; work is O(N·64) + O(|candidates|), not O(N²). "
+        "The corpus is augmented with planted jittered near-dups (the "
+        "fixture has no natural pair above cosine 0.6)."
+    ),
+)
+def dedup_embedding(spark, sf_dir):
+    return cosine_lsh_pairs(
+        _augmented_embeddings(spark, sf_dir), threshold=0.99, round_to=6
+    )
+
+
+SPECS = [
+    sim_topk,
+    sim_pairwise_label,
+    sim_ann_ivf,
+    emb_centroid_dist,
+    dedup_embedding,
+]

@@ -263,14 +263,61 @@ def dedup_near(spark, sf_dir):
     )
 
 
+def _simhash_oracle(max_hamming: int) -> str:
+    """All-pairs SimHash-64 ground truth with md5-derived per-token bits.
+
+    Mirrors ``operators.dedup.simhash_signatures(token_hash="md5")``
+    literally: per token, the 64-bit hash is the first 16 hex nibbles of
+    md5(token); bit b = (nibble[b//4] >> (3-b%4)) & 1; each signature bit
+    is the sign of the per-bit ±1 vote sum; the signature packs vote i
+    into weight 2^i (i=63 → the BIGINT sign bit). Both engines compute
+    bit-identical signatures, so hamming distances — and the pair set —
+    coincide exactly.
+    """
+    nib = "(strpos('0123456789abcdef', substring(m, {j}, 1)) - 1)"
+    nibs = ",\n             ".join(
+        f"{nib.format(j=j + 1)} AS n{j}" for j in range(16)
+    )
+    votes = ",\n             ".join(
+        f"SUM(2 * ((n{b // 4} >> {3 - b % 4}) & 1) - 1) AS v{b}"
+        for b in range(64)
+    )
+    weights = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {(1 << i) if i < 63 else '-9223372036854775807 - 1'} ELSE 0 END)"
+        for i in range(64)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST({_TOKS_SQL}) AS t FROM documents
+    ), h AS (SELECT doc_id, md5(t) AS m FROM toks),
+    nb AS (SELECT doc_id,
+             {nibs}
+           FROM h),
+    v AS (SELECT doc_id,
+             {votes}
+          FROM nb GROUP BY doc_id),
+    s AS (SELECT doc_id, CAST({weights} AS BIGINT) AS sig FROM v)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+"""
+
+
 @spec(
     "dedup_simhash",
-    None,  # hash-function-specific signature — rows-only check + unit tests
-    doc="SimHash-64 near-dup pairs (16-bit chunk blocking, hamming ≤ 6).",
+    _simhash_oracle(max_hamming=3),
+    doc=(
+        "SimHash-64 near-dup pairs, md5-derived token hashes (cross-engine "
+        "computable), 16-bit chunk blocking, hamming ≤ 3. At ≤ 3 differing "
+        "bits a pair must agree on at least one of the 4 chunks "
+        "(pigeonhole), so the blocked result EQUALS the all-pairs oracle — "
+        "recall is exact, not probabilistic."
+    ),
 )
 def dedup_simhash(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    return D.simhash_pairs(d, "doc_id", "text", max_hamming=6)
+    return D.simhash_pairs(d, "doc_id", "text", max_hamming=3, token_hash="md5")
 
 
 @spec(

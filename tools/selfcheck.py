@@ -9,7 +9,8 @@ scale factor, then compares columns, row counts, and an order-insensitive
 canonicalized value multiset. Writes one JSON object per key, same shape
 as CORRECTNESS_r{N}.json.
 
-Usage: python tools/selfcheck.py [sf_dir] [out.json]
+Usage: python tools/selfcheck.py [sf_dir] [out.json] [key1,key2,...]
+(the optional third arg restricts the sweep to those registry keys)
 """
 
 from __future__ import annotations
@@ -72,6 +73,9 @@ def main() -> None:
         )
 
     qs, osql = E.queries(), E.oracle_sql()
+    if len(sys.argv) > 3:
+        keep = set(sys.argv[3].split(","))
+        qs = {k: v for k, v in qs.items() if k in keep}
     results: dict[str, dict] = {}
     for name, fn in qs.items():
         t0 = time.time()
