@@ -48,20 +48,25 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 def fake_image_decode(content: bytes) -> dict[str, Any]:
     """Deterministic stand-in for a real image decoder.
 
-    Derives (width, height, 8-dim embedding) purely from the bytes, so
-    tests are reproducible. A real implementation (PIL/torchvision) has
-    the same contract: bytes in, dict of features out.
+    Derives (width, height, 8-dim embedding) from ``md5(content)`` —
+    reproducible AND cross-engine computable (DuckDB's ``md5`` over the
+    same blob yields the same digest), so the mapInPandas plumbing is
+    differentially verifiable, not merely unit-tested. A real
+    implementation (PIL/torchvision) has the same contract: bytes in,
+    dict of features out.
     """
     if content is None or len(content) == 0:
         raise NotImplementedError(
             "real media decoding requires an image library not present in "
             "this environment; empty payloads have no fake features"
         )
-    h = int.from_bytes(content[:8].ljust(8, b"\0"), "little")
+    import hashlib
+
+    d = hashlib.md5(bytes(content)).hexdigest()
     return {
-        "width": 16 + (h % 1024),
-        "height": 16 + ((h >> 10) % 1024),
-        "embedding": [((h >> (8 * i)) % 251) / 251.0 for i in range(8)],
+        "width": 16 + int(d[0:4], 16) % 1024,
+        "height": 16 + int(d[4:8], 16) % 1024,
+        "embedding": [int(d[2 * i : 2 * i + 2], 16) / 255.0 for i in range(8)],
     }
 
 

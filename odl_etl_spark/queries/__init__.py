@@ -16,6 +16,7 @@ def registry() -> dict[str, QuerySpec]:
     from odl_etl_spark.queries import (
         aggs,
         joins,
+        multimodal,
         scalars,
         scans,
         setops,
@@ -25,7 +26,18 @@ def registry() -> dict[str, QuerySpec]:
         windows,
     )
 
-    modules = [scans, scalars, joins, aggs, windows, setops, streaming, text, similarity]
+    modules = [
+        scans,
+        scalars,
+        joins,
+        aggs,
+        windows,
+        setops,
+        streaming,
+        text,
+        similarity,
+        multimodal,
+    ]
     out: dict[str, QuerySpec] = {}
     for mod in modules:
         for s in mod.SPECS:
@@ -60,6 +72,11 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
         "sim_pairwise_label",
         "sim_ann_ivf",
         "emb_centroid_dist",
+        # new keys this round — no correctness row yet
+        "dedup_embedding",
+        "multimodal_catalog",
+        "multimodal_image_features",
+        "multimodal_video_frames",
         # spec changed this round — re-verification needed
         "scalar_map",
         "agg_pivot",

@@ -258,12 +258,14 @@ def _augmented_embeddings(spark, sf_dir):
     WHERE ROUND(dot / (na.n * nb.n) * 1000000) / 1000000 >= 0.99
     """,
     doc=(
-        "Embedding-cosine near-dedup: signed-random-projection LSH (64 "
-        "seeded hyperplanes, 16 bands × 4 bits) generates candidates — "
-        "only (id, band, code) rows shuffle — then exact cosine verifies. "
-        "Miss probability at cos ≥ 0.99 is (1-p⁴)¹⁶ ≈ 4e-13 with "
-        "p = 1-acos(c)/π ≈ 0.955, so the LSH output coincides with the "
-        "all-pairs oracle; work is O(N·64) + O(|candidates|), not O(N²). "
+        "Embedding-cosine near-dedup: signed-random-projection LSH (256 "
+        "seeded hyperplanes, 16 bands × 16 bits, one numpy matmul per "
+        "Arrow batch) generates candidates — only (id, band, code) rows "
+        "shuffle — then exact cosine verifies. The planted pairs sit at "
+        "cos ≈ 0.9987 where the per-pair miss probability is < 1e-10 "
+        "(p = 1-acos(c)/π ≈ 0.984, miss = (1-p¹⁶)¹⁶), so the LSH output "
+        "coincides with the all-pairs oracle; work is O(N·256) + "
+        "O(|candidates|), not O(N²). "
         "The corpus is augmented with planted jittered near-dups (the "
         "fixture has no natural pair above cosine 0.6)."
     ),
