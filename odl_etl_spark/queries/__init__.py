@@ -74,6 +74,7 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
         "emb_centroid_dist",
         # new keys this round — no correctness row yet
         "dedup_embedding",
+        "dedup_cluster",
         "multimodal_catalog",
         "multimodal_image_features",
         "multimodal_video_frames",

@@ -185,7 +185,7 @@ def dedup_fingerprint(spark, sf_dir):
     return D.fingerprint_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-def _jaccard_oracle(max_df: int | None = None) -> str:
+def _jaccard_oracle(max_df: int | None = None, threshold: float = 0.8) -> str:
     """All-pairs 3-gram Jaccard ground truth; optionally mirrors the
     operator's stop-shingle bound (drop shingles with document frequency
     > max_df) so the filtered variants stay differentially checkable."""
@@ -212,7 +212,7 @@ def _jaccard_oracle(max_df: int | None = None) -> str:
     JOIN cnt ca ON ca.doc_id = a.doc_id
     JOIN cnt cb ON cb.doc_id = b.doc_id
     GROUP BY a.doc_id, b.doc_id
-    HAVING COUNT(*) * 1.0 / (MIN(ca.n) + MIN(cb.n) - COUNT(*)) >= 0.8
+    HAVING COUNT(*) * 1.0 / (MIN(ca.n) + MIN(cb.n) - COUNT(*)) >= {threshold}
 """
 
 
@@ -342,6 +342,55 @@ def text_ngrams(spark, sf_dir):
     )
 
 
+@spec(
+    "dedup_cluster",
+    f"""
+    WITH RECURSIVE base AS ({_jaccard_oracle(max_df=_JACCARD_MAX_DF, threshold=0.5)}),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM base
+      UNION ALL SELECT id_b, id_a FROM base
+    ), reach (n, m) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.v, r.m FROM reach r JOIN sym e ON e.u = r.n
+    )
+    SELECT n AS doc_id, MIN(m) AS cluster_id,
+           CAST(CASE WHEN MIN(m) = n THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM reach GROUP BY n
+    """,
+    doc=(
+        "Near-dup cluster assignment — the keep-one step that completes "
+        "the dedup ladder. Edges = exact 3-gram Jaccard >= 0.5 pairs "
+        "(stop-shingle bound active); components via iterative min-label "
+        "propagation (operators/components.py): diameter-many rounds of "
+        "join + groupBy-min with per-round localCheckpoint. The fixture "
+        "graph includes a 3-node component, so transitive closure is "
+        "exercised, not just pair mirroring. Oracle = DuckDB recursive "
+        "CTE over the same edge SQL. cluster_id = min doc_id reachable; "
+        "keep = 1 on the representative (singletons keep themselves)."
+    ),
+)
+def dedup_cluster(spark, sf_dir):
+    from odl_etl_spark.operators.components import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    edges = D.jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, max_df=_JACCARD_MAX_DF
+    ).select("id_a", "id_b")
+    comp = connected_components(edges, "id_a", "id_b")
+    return (
+        d.select("doc_id")
+        .join(comp, d["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+            (F.coalesce("component", "doc_id") == F.col("doc_id"))
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
 SPECS = [
     text_tokenize_tf,
     text_ngrams,
@@ -355,4 +404,5 @@ SPECS = [
     dedup_ngram_jaccard,
     dedup_near,
     dedup_simhash,
+    dedup_cluster,
 ]
