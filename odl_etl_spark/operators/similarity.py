@@ -15,7 +15,7 @@ k-means offline — the serving-side mechanics are identical.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from odl_etl_spark.functions.vectors import cosine, l2_distance
@@ -41,6 +41,47 @@ def topk_cosine(
         (F.round(cosine(F.col(vec_col), _vec_lit(probe)) * p) / p).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def knn_join(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+    vec_col: str = "embedding",
+    probe_vec_col: str = "_p",
+    round_to: int = 6,
+) -> DataFrame:
+    """Batch k-NN join: the k nearest corpus vectors per probe vector.
+
+    The probe set broadcasts (BroadcastNestedLoopJoin), so scoring is one
+    codegen'd pass over the corpus — the corpus never shuffles for the
+    cross product. Top-k per probe is declared as the textbook
+    ``row_number() <= k`` filter and Catalyst's WindowGroupLimit rewrite
+    makes it two-phase automatically: a Partial group-limit truncates
+    each input partition to k rows BEFORE the probe-keyed exchange, so
+    the per-probe sort sees #partitions·k rows instead of N (a manual
+    (probe, partition-id) pre-window would add a second exchange for the
+    same effect — tests/test_plans.py pins the Partial mode so a Spark
+    downgrade can't silently funnel N·P rows through #probes reducers).
+    Ranking uses the rounded similarity (ties to the lower id) — the
+    total order the cross-engine oracle can reproduce.
+    """
+    p = 10**round_to
+    scored = (
+        spread(corpus)
+        .crossJoin(F.broadcast(probes))
+        .select(
+            F.col(probe_id_col),
+            F.col(id_col),
+            (F.round(cosine(vec_col, probe_vec_col) * p) / p).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
 
 
 def label_centroids(

@@ -75,6 +75,8 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
         # new keys this round — no correctness row yet
         "dedup_embedding",
         "dedup_cluster",
+        "text_tfidf",
+        "sim_knn_join",
         "multimodal_catalog",
         "multimodal_image_features",
         "multimodal_video_frames",

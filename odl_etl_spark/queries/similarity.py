@@ -15,6 +15,7 @@ from odl_etl_spark.io.sources import load_table
 from odl_etl_spark.operators.similarity import (
     IvfIndex,
     cosine_lsh_pairs,
+    knn_join,
     label_centroids,
     topk_cosine,
 )
@@ -276,10 +277,46 @@ def dedup_embedding(spark, sf_dir):
     )
 
 
+@spec(
+    "sim_knn_join",
+    f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding AS p FROM embeddings
+      WHERE vec_id < 8
+    ), scored AS (
+      SELECT pr.probe_id, e.vec_id,
+             ROUND(({_COS.format(a='e.embedding', b='pr.p')}) * 1000000)
+               / 1000000 AS cos_sim
+      FROM embeddings e, probes pr WHERE e.vec_id >= 8
+    )
+    SELECT probe_id, vec_id, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+    doc=(
+        "Batch k-NN join: 5 nearest corpus vectors for each of 8 probe "
+        "vectors. Probes broadcast, the corpus never shuffles for the "
+        "cross product, and top-k per probe is two-phase (local "
+        "truncation to k per input partition before the only probe-keyed "
+        "exchange) — a single-phase window would funnel all N·P scored "
+        "rows through 8 reducers."
+    ),
+)
+def sim_knn_join(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("_p")
+    )
+    return knn_join(e.where(F.col("vec_id") >= 8), probes, k=5)
+
+
 SPECS = [
     sim_topk,
     sim_pairwise_label,
     sim_ann_ivf,
     emb_centroid_dist,
     dedup_embedding,
+    sim_knn_join,
 ]

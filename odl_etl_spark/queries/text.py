@@ -391,6 +391,54 @@ def dedup_cluster(spark, sf_dir):
     )
 
 
+@spec(
+    "text_tfidf",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, t AS term, COUNT(*) AS tf
+      FROM (SELECT doc_id, UNNEST({_TOKS_SQL}) AS t FROM documents)
+      GROUP BY doc_id, t
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term,
+           ROUND(tf.tf * LN(n.n_docs * 1.0 / dfreq.df) * 10000) / 10000
+             AS tfidf
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ORDER BY tfidf DESC, doc_id ASC, term ASC LIMIT 25
+    """,
+    doc=(
+        "tf-idf scoring: per-doc term frequency x ln(N/df), top 25 "
+        "terms. Two hash aggregations; the document-frequency table is "
+        "vocabulary-sized and broadcast into the final join, so the big "
+        "(doc, term) side never re-shuffles — at 100 TB the vocabulary "
+        "still fits the 64 MB broadcast budget after a min-df cut."
+    ),
+)
+def text_tfidf(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # O(1) driver scalar, folded into the expression
+    tf = (
+        spread(d)
+        .select("doc_id", F.explode(T.tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .select(
+            "doc_id",
+            "term",
+            roundn(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+        .orderBy(F.col("tfidf").desc(), F.col("doc_id").asc(), F.col("term").asc())
+        .limit(25)
+    )
+
+
 SPECS = [
     text_tokenize_tf,
     text_ngrams,
@@ -405,4 +453,5 @@ SPECS = [
     dedup_near,
     dedup_simhash,
     dedup_cluster,
+    text_tfidf,
 ]

@@ -147,3 +147,43 @@ def test_global_row_number_is_total_and_exact(spark):
     by_rn = sorted(rows, key=lambda r: r["rn"])
     assert [r["rn"] for r in by_rn] == list(range(1, 101))
     assert [r["key"] for r in by_rn] == list(range(100))
+
+
+def test_connected_components_transitive_chain(spark):
+    from odl_etl_spark.operators.components import connected_components
+
+    # 0-1-2-3-4 chain (diameter 4, needs >1 round), {10,11} pair, and a
+    # triangle {20,21,22} with a redundant edge.
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_knn_join_matches_brute_force(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from odl_etl_spark.io.sources import load_table
+    from odl_etl_spark.operators.similarity import knn_join, topk_cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("_p")
+    )
+    corpus = e.where(F.col("vec_id") >= 3)
+    got = knn_join(corpus, probes, k=4)
+    for pid, pvec in [(r["probe_id"], list(r["_p"])) for r in probes.collect()]:
+        want = [
+            (r["vec_id"], r["cos_sim"])
+            for r in topk_cosine(corpus, [float(x) for x in pvec], k=4).collect()
+        ]
+        have = [
+            (r["vec_id"], r["cos_sim"])
+            for r in got.where(F.col("probe_id") == pid).orderBy("rnk").collect()
+        ]
+        assert have == want, pid

@@ -8,6 +8,8 @@ global sort, shuffle counts).
 
 from __future__ import annotations
 
+import re
+
 from odl_etl_spark.plans import (
     explain_str,
     has_broadcast_join,
@@ -105,3 +107,15 @@ def test_ivf_search_is_pruned_scan_no_shuffle(spark, sf_dir):
     df = build("sim_ann_ivf", spark, sf_dir)
     assert shuffle_count(df) == 0
     assert "TakeOrderedAndProject" in explain_str(df)
+
+
+def test_knn_join_broadcasts_probes_and_truncates_locally(spark, sf_dir):
+    # Probes broadcast (corpus never shuffles for the cross product), and
+    # Catalyst's WindowGroupLimit rewrite runs in Partial mode before the
+    # probe-keyed exchange — only #partitions·k rows reach the final
+    # per-probe rank. A regression here funnels N·P rows through
+    # #probes reducers.
+    df = build("sim_knn_join", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert re.search(r"WindowGroupLimit .*row_number\(\), 5, Partial", plan)
