@@ -25,13 +25,28 @@ def partitioned_write(
     path: str,
     partition_cols: list[str] | tuple[str, ...] = ("ds",),
     mode: str = "overwrite",
+    files_per_partition: int = 1,
 ) -> None:
     """Date/key-partitioned Parquet write. Dynamic partition overwrite is
     set on the write itself (not inherited from session conf): ``overwrite``
     replaces only the partitions present in ``df`` — with Spark's default
-    ``static`` mode it would wipe sibling partitions."""
+    ``static`` mode it would wipe sibling partitions.
+
+    Repartitioning on the key first gives one right-sized file per
+    partition instead of the tasks×partitions sliver blowup; but keying
+    purely on the partition column funnels each date's rows through ONE
+    task, which caps write parallelism at #dates. ``files_per_partition``
+    salts the repartition so each date fans out to that many writer
+    tasks/files — size it as partition_bytes / target_file_bytes (e.g. a
+    10 GB day at 512 MB targets → 20)."""
+    cols = [F.col(c) for c in partition_cols]
+    if files_per_partition > 1:
+        salt = F.pmod(F.xxhash64(*df.columns), F.lit(files_per_partition))
+        out = df.repartition(*cols, salt.alias("_salt"))
+    else:
+        out = df.repartition(*cols)
     (
-        df.write.mode(mode)
+        out.write.mode(mode)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*partition_cols)
         .parquet(path)

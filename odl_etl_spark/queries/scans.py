@@ -16,6 +16,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from odl_etl_spark.io.sinks import partitioned_write
 from odl_etl_spark.io.sources import load_table
 from odl_etl_spark.functions.numeric import roundn
 from odl_etl_spark.queries.base import spec
@@ -73,11 +74,13 @@ def sink_partitioned(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders").withColumn(
         "ds", F.date_format("o_orderdate", "yyyy-MM")
     )
-    # Repartition on the partition key first: each output partition is
-    # written by one task (one right-sized file) instead of every task
-    # writing a sliver of every partition — tasks×partitions small files
-    # is the classic lake write anti-pattern.
-    orders.repartition("ds").write.mode("overwrite").partitionBy("ds").parquet(out)
+    # partitioned_write repartitions on the key first: each output
+    # partition is written by one task (one right-sized file) instead of
+    # every task writing a sliver of every partition — tasks×partitions
+    # small files is the classic lake write anti-pattern. At larger
+    # per-date volumes, files_per_partition salts the repartition to fan
+    # each date over N writer tasks (see io/sinks.py).
+    partitioned_write(orders, out, ("ds",))
     return (
         spark.read.parquet(out)
         .groupBy("ds")

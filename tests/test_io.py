@@ -136,3 +136,20 @@ def test_csv_and_json_sources_roundtrip(spark, tmp_path):
     json_p.write_text("\n".join(jsonlib.dumps({"k": i, "v": f"x{i}"}) for i in range(3)))
     dj = json_source(spark, str(json_p), schema="k long, v string")
     assert dj.count() == 3 and set(dj.columns) == {"k", "v"}
+
+
+def test_partitioned_write_salted_fanout(spark, sf_dir, tmp_path):
+    import glob
+
+    from odl_etl_spark.io.sinks import partitioned_write
+    from odl_etl_spark.io.sources import load_table
+
+    out = str(tmp_path / "salted")
+    orders = with_ds(load_table(spark, sf_dir, "orders"), "o_orderdate", "yyyy")
+    partitioned_write(orders, out, ("ds",), files_per_partition=3)
+    # Each ds partition fans out over up to 3 writer tasks/files, and the
+    # salted write round-trips losslessly.
+    for d in glob.glob(os.path.join(out, "ds=*")):
+        n = len(glob.glob(os.path.join(d, "*.parquet")))
+        assert 1 <= n <= 3, d
+    assert spark.read.parquet(out).count() == orders.count()
