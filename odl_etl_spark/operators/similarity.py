@@ -167,6 +167,9 @@ def cosine_lsh_pairs(
 
     band_codes = pandas_udf(_band_codes, "array<long>")
 
+    # Both sides of the candidate self-join shuffle this identically, so
+    # ReuseExchange runs the projection UDF over the corpus once — no
+    # checkpoint needed (measured: adding one is net slower).
     banded = (
         spread(df)
         .select(F.col(id_col).alias("_id"), band_codes(F.col(vec_col)).alias("_c"))

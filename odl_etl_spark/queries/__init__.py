@@ -77,6 +77,7 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
         "dedup_cluster",
         "text_tfidf",
         "sim_knn_join",
+        "text_pii_scrub",
         "multimodal_catalog",
         "multimodal_image_features",
         "multimodal_video_frames",

@@ -439,6 +439,71 @@ def text_tfidf(spark, sf_dir):
     )
 
 
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@spec(
+    "text_pii_scrub",
+    f"""
+    WITH raw AS (
+      SELECT c_custkey,
+             c_name || ' <' || lower(replace(c_name, '#', '.'))
+               || '@example.com> phone '
+               || printf('%02d-%03d-%03d-%04d',
+                         10 + c_custkey % 90, 100 + c_custkey % 900,
+                         100 + (c_custkey * 7) % 900,
+                         1000 + (c_custkey * 13) % 9000) AS t
+      FROM customer
+    )
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{_PHONE_RE}', '[PHONE]', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS INTEGER)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS INTEGER)
+             AS n_phones
+    FROM raw
+    """,
+    doc=(
+        "PII scrubbing — the redaction pass every training corpus needs: "
+        "email + phone patterns replaced with typed placeholders, with "
+        "per-row match counts for an audit trail. PII-bearing text is "
+        "synthesized deterministically from customer (the fixture has no "
+        "natural PII) so redaction actually fires on every row. Pure "
+        "codegen'd regexp_replace/regexp_count — no UDF; the patterns "
+        "stay in the Java-regex ∩ RE2 common dialect so both engines "
+        "match identical spans."
+    ),
+)
+def text_pii_scrub(spark, sf_dir):
+    c = spread(load_table(spark, sf_dir, "customer"))
+    raw = c.select(
+        "c_custkey",
+        F.concat(
+            F.col("c_name"),
+            F.lit(" <"),
+            F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
+            F.lit("@example.com> phone "),
+            F.format_string(
+                "%02d-%03d-%03d-%04d",
+                F.col("c_custkey") % 90 + 10,
+                F.col("c_custkey") % 900 + 100,
+                (F.col("c_custkey") * 7) % 900 + 100,
+                (F.col("c_custkey") * 13) % 9000 + 1000,
+            ),
+        ).alias("t"),
+    )
+    return raw.select(
+        "c_custkey",
+        F.regexp_replace(
+            F.regexp_replace("t", _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+        ).alias("scrubbed"),
+        F.regexp_count(F.col("t"), F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(_PHONE_RE)).alias("n_phones"),
+    )
+
+
 SPECS = [
     text_tokenize_tf,
     text_ngrams,
@@ -454,4 +519,5 @@ SPECS = [
     dedup_simhash,
     dedup_cluster,
     text_tfidf,
+    text_pii_scrub,
 ]
