@@ -35,10 +35,13 @@ def connected_components(
     iterative DataFrame algorithms. The loop is driver-side control flow
     only; all data stays distributed.
     """
-    sym = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
-    sym = sym.unionByName(
-        sym.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
-    ).localCheckpoint(eager=True)
+    # Checkpoint the edge list BEFORE symmetrizing: the union's two
+    # branches would otherwise each materialize the (possibly expensive)
+    # upstream pair-mining pipeline in the same job.
+    e = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v")).localCheckpoint(
+        eager=True
+    )
+    sym = e.unionByName(e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
     labels = (
         sym.select("_u")
         .distinct()
