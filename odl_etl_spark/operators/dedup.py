@@ -132,6 +132,65 @@ def _shingle_hashes(
     ).where(F.col("_last").isNotNull()).select("_id", "_s64")
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003) —
+    rolling-hash fingerprinting with a guarantee: any token run of
+    length ≥ w+k-1 shared by two documents yields a shared fingerprint.
+
+    Rolling k-gram hashes per document, then every window of ``w``
+    consecutive hashes selects its minimum; the distinct minima are the
+    document's fingerprint set. Hashes are md5-derived (first 15 hex
+    nibbles → 60-bit positive BIGINT), so any engine computes identical
+    fingerprints from the same text — the whole pipeline is
+    differentially checkable. The only non-agg cost is one window sort
+    per document partition (same posture as ``_shingle_hashes``);
+    selection and dedup are expression-level. Docs shorter than w+k-1
+    tokens contribute their single all-kgram window (position 0).
+
+    Returns distinct ``(_id, _fp)`` rows.
+    """
+    from pyspark.sql import Window
+
+    from odl_etl_spark.functions.text import tokens
+
+    toks = spread(df).select(
+        F.col(id_col).alias("_id"), F.posexplode(tokens(text_col)).alias("_pos", "_t")
+    )
+    wd = Window.partitionBy("_id").orderBy("_pos")
+    grams = [F.col("_t")] + [F.lead("_t", j).over(wd) for j in range(1, k)]
+    kg = (
+        toks.select(
+            "_id",
+            "_pos",
+            F.conv(F.substring(F.md5(F.concat_ws(" ", *grams)), 1, 15), 16, 10)
+            .cast("long")
+            .alias("_h"),
+            grams[-1].alias("_lastg"),
+        )
+        .where(F.col("_lastg").isNotNull())
+        .drop("_lastg")
+    )
+    wmin = Window.partitionBy("_id").orderBy("_pos").rowsBetween(0, w - 1)
+    wcnt = Window.partitionBy("_id")
+    return (
+        kg.select(
+            "_id",
+            "_pos",
+            F.min("_h").over(wmin).alias("_fp"),
+            F.count("*").over(wcnt).alias("_m"),
+        )
+        .where((F.col("_pos") <= F.col("_m") - w) | (F.col("_pos") == 0))
+        .select("_id", "_fp")
+        .distinct()
+    )
+
+
 def _minhash_signatures(
     shingle_hashes: DataFrame, num_hashes: int, band_size: int
 ) -> DataFrame:

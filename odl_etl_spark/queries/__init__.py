@@ -78,6 +78,7 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
         "text_tfidf",
         "sim_knn_join",
         "text_pii_scrub",
+        "text_winnow_fp",
         "multimodal_catalog",
         "multimodal_image_features",
         "multimodal_video_frames",

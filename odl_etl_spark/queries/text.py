@@ -439,6 +439,65 @@ def text_tfidf(spark, sf_dir):
     )
 
 
+def _winnow_oracle(k: int = 3, w: int = 4) -> str:
+    """Literal SQL replica of ``operators.dedup.winnow_fingerprints``:
+    same md5-derived 60-bit k-gram hashes (15 hex nibbles as exact
+    integer arithmetic), same full-window + position-0 selection rule,
+    so both engines produce identical fingerprint sets."""
+    h60 = " + ".join(
+        f"(strpos('0123456789abcdef', substring(m, {j + 1}, 1)) - 1) * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    gram = " || ' ' || ".join(f"ts[i + {j}]" for j in range(k))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
+    ), kgm AS (
+      SELECT doc_id, i - 1 AS pos, md5({gram}) AS m
+      FROM toks, UNNEST(range(1, GREATEST(len(ts) - {k - 2}, 1))) u(i)
+      WHERE i + {k - 1} <= len(ts)
+    ), kg AS (
+      SELECT doc_id, pos, CAST({h60} AS BIGINT) AS h FROM kgm
+    ), win AS (
+      SELECT doc_id, pos,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp,
+             COUNT(*) OVER (PARTITION BY doc_id) AS m
+      FROM kg
+    ), sel AS (
+      SELECT DISTINCT doc_id, fp FROM win WHERE pos <= m - {w} OR pos = 0
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps,
+           CAST(bit_xor(fp) AS BIGINT) AS fp_xor, MIN(fp) AS fp_min
+    FROM sel GROUP BY doc_id
+"""
+
+
+@spec(
+    "text_winnow_fp",
+    _winnow_oracle(k=3, w=4),
+    doc=(
+        "Winnowing rolling-hash fingerprints (Schleimer et al., SIGMOD "
+        "2003): k-gram hashes, sliding-window minima, distinct per doc — "
+        "any shared token run of >= w+k-1 tokens between two documents "
+        "shares a fingerprint (the substring-level dedup/plagiarism "
+        "primitive; the bag-of-words sha256 key catches reordering, this "
+        "catches excerpts). md5-derived 60-bit hashes make the whole "
+        "pipeline hash-checkable cross-engine. Emitted per doc as "
+        "(count, xor, min) of the fingerprint set."
+    ),
+)
+def text_winnow_fp(spark, sf_dir):
+    fps = D.winnow_fingerprints(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3, w=4
+    )
+    return fps.groupBy(F.col("_id").alias("doc_id")).agg(
+        F.count("*").alias("n_fps"),
+        F.expr("bit_xor(_fp)").alias("fp_xor"),
+        F.min("_fp").alias("fp_min"),
+    )
+
+
 _EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 _PHONE_RE = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
 
@@ -520,4 +579,5 @@ SPECS = [
     dedup_cluster,
     text_tfidf,
     text_pii_scrub,
+    text_winnow_fp,
 ]
