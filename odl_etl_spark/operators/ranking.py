@@ -90,3 +90,43 @@ def ntile_exact(
         .cast("int")
     )
     return ranked.withColumn(tile_col, tile).drop("_grn", "_total")
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_by: list[str],
+    value_col: str,
+    cum_col: str = "cum_before",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exclusive global prefix sum of ``value_col`` under a total order,
+    distributed with the same two-level shape as ``global_row_number``:
+    range shuffle → per-partition running sum → O(parts)-row offset
+    table broadcast back. ``cum_col`` = sum of all values strictly
+    before the row (0 for the first row) — the primitive behind greedy
+    sequence packing, byte budgeting, and contiguous bucketing.
+    """
+    parts = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    ranged = df.repartitionByRange(parts, *order_by).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    wlocal = (
+        Window.partitionBy("_pid").orderBy(*order_by).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+    )
+    local = ranged.withColumn(
+        "_lcum", F.coalesce(F.sum(value_col).over(wlocal), F.lit(0))
+    )
+    totals = local.groupBy("_pid").agg(F.sum(value_col).alias("_c"))
+    wcum = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_c").over(wcum), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(cum_col, F.col("_off") + F.col("_lcum"))
+        .drop("_pid", "_lcum", "_off")
+    )

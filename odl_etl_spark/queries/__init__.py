@@ -79,6 +79,9 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
         "sim_knn_join",
         "text_pii_scrub",
         "text_winnow_fp",
+        "text_pack_sequences",
+        "sample_stratified",
+        "text_bpe_count",
         "multimodal_catalog",
         "multimodal_image_features",
         "multimodal_video_frames",

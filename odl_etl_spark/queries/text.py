@@ -498,6 +498,128 @@ def text_winnow_fp(spark, sf_dir):
     )
 
 
+@spec(
+    "text_pack_sequences",
+    f"""
+    WITH n AS (
+      SELECT doc_id, len({_TOKS_SQL}) AS n_tokens FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM n
+    )
+    SELECT CAST(cum_before // 512 AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM c GROUP BY 1
+    """,
+    doc=(
+        "Greedy sequence packing for LLM training: documents in a "
+        "deterministic order are packed contiguously into 512-token "
+        "context windows (a doc belongs to the pack its running offset "
+        "starts in). The global exclusive prefix sum is distributed via "
+        "operators/ranking.py:global_cumsum — range shuffle, "
+        "per-partition running sums, an O(#partitions)-row offset table "
+        "broadcast back — NO unpartitioned window over the input "
+        "(win_ntile's pattern generalized to prefix aggregates)."
+    ),
+)
+def text_pack_sequences(spark, sf_dir):
+    from odl_etl_spark.operators.ranking import global_cumsum
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count("text").alias("n_tokens")
+    )
+    c = global_cumsum(d, ["doc_id"], "n_tokens")
+    return (
+        c.withColumn("pack_id", (F.col("cum_before") / 512).cast("bigint"))
+        .groupBy("pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# Per-language sampling rates out of 100 (corpus rebalancing).
+_SAMPLE_RATES = {"en": 35, "de": 60, "es": 60, "fr": 60, "zh": 90}
+
+
+@spec(
+    "sample_stratified",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               AS hb
+      FROM documents
+    )
+    SELECT doc_id, lang FROM h
+    WHERE hb % 100 < CASE lang
+      WHEN 'en' THEN 35 WHEN 'de' THEN 60 WHEN 'es' THEN 60
+      WHEN 'fr' THEN 60 WHEN 'zh' THEN 90 ELSE 0 END
+    """,
+    doc=(
+        "Deterministic stratified sampling (corpus rebalancing by "
+        "language): keep a row iff md5(doc_id)'s first byte mod 100 "
+        "falls under the stratum's rate. Unlike sampleBy this is "
+        "reproducible across runs/engines AND consistent under "
+        "repartitioning — it is a pure codegen'd filter, no shuffle, no "
+        "RNG state; at 100 TB it composes with partition pruning."
+    ),
+)
+def sample_stratified(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    hb = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast(
+        "int"
+    )
+    rate = F.element_at(
+        F.create_map(
+            *[x for k, v in _SAMPLE_RATES.items() for x in (F.lit(k), F.lit(v))]
+        ),
+        F.col("lang"),
+    )
+    return d.where(hb % 100 < F.coalesce(rate, F.lit(0))).select("doc_id", "lang")
+
+
+# BPE-ish pre-tokenizer: contraction suffixes, space-prefixed word/number
+# runs, punctuation runs (GPT-2 shape, restricted to the Java∩RE2 dialect —
+# no lookahead).
+_BPE_RE = "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s']+"
+
+
+@spec(
+    "text_bpe_count",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE.replace("'", "''")}')) AS INTEGER)
+             AS n_bpe_pieces,
+           len({_TOKS_SQL}) AS n_ws_tokens
+    FROM documents
+    """,
+    doc=(
+        "BPE-ish token counting: a GPT-2-shaped pre-tokenizer regex "
+        "(contractions, space-prefixed word/number runs, punctuation "
+        "runs; restricted to the Java-regex ∩ RE2 dialect) counts the "
+        "pieces a subword tokenizer would split on, beside the "
+        "whitespace count — the cost estimator for token budgeting."
+    ),
+)
+def text_bpe_count(spark, sf_dir):
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_BPE_RE)).alias("n_bpe_pieces"),
+        T.token_count("text").alias("n_ws_tokens"),
+    )
+
+
 _EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 _PHONE_RE = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
 
@@ -580,4 +702,7 @@ SPECS = [
     text_tfidf,
     text_pii_scrub,
     text_winnow_fp,
+    text_pack_sequences,
+    sample_stratified,
+    text_bpe_count,
 ]

@@ -119,3 +119,16 @@ def test_knn_join_broadcasts_probes_and_truncates_locally(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
     assert re.search(r"WindowGroupLimit .*row_number\(\), 5, Partial", plan)
+
+
+def test_pack_sequences_cumsum_is_distributed(spark, sf_dir):
+    # The only unpartitioned window allowed is the one over the
+    # O(#partitions)-row offset table (orders by _pid, sums _c); the
+    # input-sized running sum must be partitioned by _pid after a range
+    # shuffle — same contract as win_ntile.
+    plan = explain_str(build("text_pack_sequences", spark, sf_dir))
+    assert "rangepartitioning" in plan
+    specs = re.findall(r"\[(\w+\(\S*\)) windowspecdefinition\(([^,]+)", plan)
+    assert specs, "no window specs found"
+    for fn, first_arg in specs:
+        assert first_arg.startswith("_pid") or fn.startswith("sum(_c"), (fn, first_arg)
