@@ -82,6 +82,7 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
         "text_pack_sequences",
         "sample_stratified",
         "text_bpe_count",
+        "corpus_filter",
         "multimodal_catalog",
         "multimodal_image_features",
         "multimodal_video_frames",

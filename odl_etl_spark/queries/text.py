@@ -546,6 +546,74 @@ def text_pack_sequences(spark, sf_dir):
     )
 
 
+@spec(
+    "corpus_filter",
+    f"""
+    WITH q AS (
+      SELECT doc_id, lang, len({_TOKS_SQL}) AS n_tokens,
+             ROUND(GREATEST(LEAST(
+               0.5 * LEAST(len({_TOKS_SQL}) / 50.0, 1.0)
+               + 0.5 * LEAST(len(list_filter({_TOKS_SQL},
+                     x -> x IN ('the', 'a', 'of'))) * 1.0
+                   / GREATEST(len({_TOKS_SQL}), 1) * 5.0, 1.0)
+               - 0.25 * LEAST((length(text) - length(regexp_replace(text,
+                     '[^\\w\\s]', '', 'g'))) * 1.0
+                   / GREATEST(length(text), 1) * 5.0, 1.0),
+               1.0), 0.0) * 10000) / 10000 AS q_score
+      FROM documents
+    ), keep AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+    )
+    SELECT q.doc_id, q.lang, q.n_tokens, q.q_score,
+           CAST(q.doc_id IN (SELECT doc_id FROM keep) AS INTEGER)
+             AS dedup_keep,
+           CAST(q.n_tokens >= 5 AND q.q_score >= 0.3
+                AND q.doc_id IN (SELECT doc_id FROM keep) AS INTEGER)
+             AS kept
+    FROM q
+    """,
+    doc=(
+        "The composed corpus-cleaning pass (C4/Gopher-style): minimum "
+        "length, quality-score threshold, and exact-dedup keep-one, "
+        "emitted as per-rule audit flags plus the final verdict — the "
+        "query a training-data user actually ships. One scan computes "
+        "every expression-level rule; the dedup membership is a "
+        "left-semi join against the hash-agg representative set (no "
+        "second scan of text at the join, only the 8-byte ids shuffle)."
+    ),
+)
+def corpus_filter(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    keep = (
+        d.groupBy(F.sha2(F.col("text"), 256))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    q = spread(d).select(
+        "doc_id",
+        "lang",
+        T.token_count("text").alias("n_tokens"),
+        roundn(T.quality_score("text"), 4).alias("q_score"),
+    )
+    flagged = q.join(
+        keep.withColumn("_k", F.lit(1)), "doc_id", "left"
+    ).withColumn("dedup_keep", F.coalesce("_k", F.lit(0)))
+    return flagged.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "q_score",
+        "dedup_keep",
+        (
+            (F.col("n_tokens") >= 5)
+            & (F.col("q_score") >= 0.3)
+            & (F.col("dedup_keep") == 1)
+        )
+        .cast("int")
+        .alias("kept"),
+    )
+
+
 # Per-language sampling rates out of 100 (corpus rebalancing).
 _SAMPLE_RATES = {"en": 35, "de": 60, "es": 60, "fr": 60, "zh": 90}
 
@@ -705,4 +773,5 @@ SPECS = [
     text_pack_sequences,
     sample_stratified,
     text_bpe_count,
+    corpus_filter,
 ]

@@ -187,3 +187,64 @@ def test_knn_join_matches_brute_force(spark, sf_dir):
             for r in got.where(F.col("probe_id") == pid).orderBy("rnk").collect()
         ]
         assert have == want, pid
+
+
+def test_connected_components_empty_edges(spark):
+    from odl_etl_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(edges, "src", "dst").count() == 0
+
+
+def test_winnow_shares_fingerprint_on_common_run(spark):
+    import pyspark.sql.functions as F
+
+    from odl_etl_spark.operators.dedup import winnow_fingerprints
+
+    # k=3, w=4: guarantee threshold is w+k-1 = 6 shared tokens.
+    common = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words {common} tail one"),
+            (2, f"other prefix {common} different end"),
+            (3, "no overlap with anything here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, "doc_id", "text", k=3, w=4)
+    a = {r["_fp"] for r in fps.where(F.col("_id") == 1).collect()}
+    b = {r["_fp"] for r in fps.where(F.col("_id") == 2).collect()}
+    c = {r["_fp"] for r in fps.where(F.col("_id") == 3).collect()}
+    assert a & b, "docs sharing a 6-token run must share a fingerprint"
+    assert not (a & c) and not (b & c)
+
+
+def test_winnow_short_doc_gets_fingerprint(spark):
+    from odl_etl_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "just three tokens")], "doc_id long, text string")
+    # 3 tokens -> one 3-gram -> fewer kgrams than w: position-0 window.
+    assert winnow_fingerprints(df, "doc_id", "text", k=3, w=4).count() == 1
+
+
+def test_global_cumsum_matches_single_partition_window(spark):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from odl_etl_spark.operators.ranking import global_cumsum
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7 + 1).alias("v")
+    )
+    got = {
+        r["id"]: r["cum_before"]
+        for r in global_cumsum(df, ["id"], "v", num_partitions=8).collect()
+    }
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id", F.coalesce(F.sum("v").over(w), F.lit(0)).alias("c")
+        ).collect()
+    }
+    assert got == want
