@@ -83,6 +83,7 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
         "sample_stratified",
         "text_bpe_count",
         "corpus_filter",
+        "stream_interval_join",
         "multimodal_catalog",
         "multimodal_image_features",
         "multimodal_video_frames",

@@ -144,4 +144,48 @@ def stream_dedup(spark, sf_dir):
     )
 
 
-SPECS = [stream_tumbling, stream_sliding, stream_session, stream_dedup]
+@spec(
+    "stream_interval_join",
+    """
+    SELECT p.user_id, COUNT(*) AS n_pairs,
+           ROUND(SUM(p.value) * 100) / 100 AS purchase_value,
+           epoch_us(MAX(CAST(c.ts AS TIMESTAMP))) AS last_click_us
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND CAST(c.ts AS TIMESTAMP)
+         >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
+     AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+    GROUP BY p.user_id
+    """,
+    doc=(
+        "Stream-stream interval join, batch-equivalent form: purchases "
+        "joined to same-user clicks in the trailing 30 minutes "
+        "(streaming/joins.py:interval_join — identical logic runs on "
+        "readStream with watermarks bounding both sides' state; the "
+        "replay test asserts stream == batch). The time-range condition "
+        "is what makes stream state evictable AND what lets AQE plan a "
+        "plain keyed join here."
+    ),
+)
+def stream_interval_join(spark, sf_dir):
+    from odl_etl_spark.streaming.joins import interval_join
+
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase")
+    c = e.where(F.col("event_type") == "click").select("user_id", "ts")
+    joined = interval_join(p, c, key="user_id", within="30 minutes")
+    return joined.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        roundn(F.sum("value"), 2).alias("purchase_value"),
+        F.unix_micros(F.max("ts_r")).alias("last_click_us"),
+    )
+
+
+SPECS = [
+    stream_tumbling,
+    stream_sliding,
+    stream_session,
+    stream_dedup,
+    stream_interval_join,
+]
