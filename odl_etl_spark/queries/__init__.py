@@ -15,6 +15,7 @@ def registry() -> dict[str, QuerySpec]:
     # import for tooling that only wants the names.
     from odl_etl_spark.queries import (
         aggs,
+        events,
         joins,
         multimodal,
         scalars,
@@ -34,6 +35,7 @@ def registry() -> dict[str, QuerySpec]:
         windows,
         setops,
         streaming,
+        events,
         text,
         similarity,
         multimodal,
@@ -84,6 +86,12 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
         "text_bpe_count",
         "corpus_filter",
         "stream_interval_join",
+        "text_repetition",
+        "dedup_decontaminate",
+        "corpus_mix",
+        "events_funnel",
+        "events_retention",
+        "events_transitions",
         "multimodal_catalog",
         "multimodal_image_features",
         "multimodal_video_frames",

@@ -753,6 +753,177 @@ def text_pii_scrub(spark, sf_dir):
     )
 
 
+@spec(
+    "text_repetition",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+    idx AS (SELECT doc_id, ts, UNNEST(range(1, len(ts))) AS i FROM toks),
+    bg AS (SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS gram FROM idx),
+    per AS (SELECT doc_id, gram, COUNT(*) AS c FROM bg GROUP BY doc_id, gram),
+    st AS (SELECT doc_id, SUM(c) AS total, COUNT(*) AS n_distinct, MAX(c) AS top
+           FROM per GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(st.total, 0) AS BIGINT) AS n_bigrams,
+           ROUND(CASE WHEN st.total > 0
+                 THEN 1.0 - st.n_distinct * 1.0 / st.total ELSE 0.0 END
+                 * 10000) / 10000 AS dup_bigram_frac,
+           ROUND(CASE WHEN st.total > 0
+                 THEN st.top * 1.0 / st.total ELSE 0.0 END
+                 * 10000) / 10000 AS top_bigram_frac
+    FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id
+    """,
+    doc=(
+        "Gopher-style repetition signals: fraction of duplicate bigrams "
+        "(1 - distinct/total) and the most-frequent-bigram share, per "
+        "document — the repetition filters a C4/Gopher cleaning pass "
+        "thresholds on. Two cascaded hash aggregations over the exploded "
+        "bigrams (both keyed by doc_id, so the second agg and the join "
+        "back reuse the first shuffle's partitioning); docs too short "
+        "for a bigram surface with zeros via the left join."
+    ),
+)
+def text_repetition(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    per = (
+        spread(d)
+        .select("doc_id", F.explode(T.word_ngrams("text", 2)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    st = per.groupBy("doc_id").agg(
+        F.sum("c").alias("_total"),
+        F.count("*").alias("_distinct"),
+        F.max("c").alias("_top"),
+    )
+    has = F.col("_total") > 0
+    return (
+        d.select("doc_id")
+        .join(st, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_total", F.lit(0)).alias("n_bigrams"),
+            roundn(
+                F.when(has, 1.0 - F.col("_distinct") / F.col("_total")).otherwise(0.0),
+                4,
+            ).alias("dup_bigram_frac"),
+            roundn(
+                F.when(has, F.col("_top") / F.col("_total")).otherwise(0.0), 4
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+# Decontamination: the held-out "benchmark" slice is a deterministic
+# fixture carve-out (doc_id % 17 == 0 ≈ 6% of docs); a training doc is
+# contaminated when it shares >= _DECON_MIN distinct 3-gram shingles
+# with ANY benchmark doc.
+_DECON_MOD = 17
+_DECON_MIN = 3
+
+
+@spec(
+    "dedup_decontaminate",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+    idx AS (SELECT doc_id, ts, UNNEST(range(1, GREATEST(len(ts) - 1, 1))) AS i
+            FROM toks),
+    sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS s
+           FROM idx WHERE i + 2 <= len(ts)),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % {_DECON_MOD} = 0),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS n_shared
+      FROM sh WHERE doc_id % {_DECON_MOD} <> 0 AND s IN (SELECT s FROM bench)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+           CAST(COALESCE(h.n_shared, 0) >= {_DECON_MIN} AS INTEGER)
+             AS contaminated
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE d.doc_id % {_DECON_MOD} <> 0
+    """,
+    doc=(
+        "Benchmark decontamination — flag training documents sharing "
+        ">= 3 distinct 3-gram shingles with a held-out eval slice. The "
+        "100 TB shape is the point: the benchmark shingle set is small "
+        "(eval suites are MBs, not TBs), so it is DISTINCT-ed and "
+        "broadcast; the 100 TB training side streams through a "
+        "broadcast-hash semi-count with NO shuffle of the corpus — "
+        "only the per-doc hit counts (8-byte id + count) aggregate."
+    ),
+)
+def dedup_decontaminate(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    sh = spread(d).select(
+        "doc_id", F.explode(T.word_shingles("text", 3)).alias("s")
+    )
+    bench = (
+        sh.where(F.col("doc_id") % _DECON_MOD == 0).select("s").distinct()
+    )
+    hits = (
+        sh.where(F.col("doc_id") % _DECON_MOD != 0)
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_n"))
+    )
+    return (
+        d.where(F.col("doc_id") % _DECON_MOD != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_n", F.lit(0)).alias("n_shared"),
+            (F.coalesce("_n", F.lit(0)) >= _DECON_MIN).cast("int").alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+_MIX_BUDGET = 1_000_000  # token budget the epochs column is quoted against
+
+
+@spec(
+    "corpus_mix",
+    f"""
+    WITH per AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), z AS (SELECT SUM(sqrt(n_tokens)) AS z FROM per)
+    SELECT source, n_docs, n_tokens,
+           ROUND(sqrt(n_tokens) / z.z * 10000) / 10000 AS mix_weight,
+           ROUND(sqrt(n_tokens) / z.z * {_MIX_BUDGET} / n_tokens * 100) / 100
+             AS epochs
+    FROM per CROSS JOIN z
+    """,
+    doc=(
+        "Data-mixing weights (multilingual/multi-source rebalancing, "
+        "alpha = 0.5 temperature sampling a la multilingual BERT/XLM): "
+        "per-source token counts, normalized sqrt-scaled sampling "
+        "weights, and the implied epochs over each source at a fixed "
+        "token budget. One hash agg to source granularity (tiny), then "
+        "a broadcast cross join of the 1-row normalizer — the corpus "
+        "is scanned once; everything after is dimension-sized."
+    ),
+)
+def corpus_mix(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(T.token_count("text")).alias("n_tokens"),
+    )
+    z = per.agg(F.sum(F.sqrt("n_tokens")).alias("_z"))
+    w = F.sqrt("n_tokens") / F.col("_z")
+    return per.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        roundn(w, 4).alias("mix_weight"),
+        roundn(w * _MIX_BUDGET / F.col("n_tokens"), 2).alias("epochs"),
+    )
+
+
 SPECS = [
     text_tokenize_tf,
     text_ngrams,
@@ -774,4 +945,7 @@ SPECS = [
     sample_stratified,
     text_bpe_count,
     corpus_filter,
+    text_repetition,
+    dedup_decontaminate,
+    corpus_mix,
 ]
