@@ -92,6 +92,9 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
         "events_funnel",
         "events_retention",
         "events_transitions",
+        "emb_quantize",
+        "join_skew_salted",
+        "agg_sketch_partial",
         "multimodal_catalog",
         "multimodal_image_features",
         "multimodal_video_frames",

@@ -309,6 +309,47 @@ def agg_approx_quantile(spark, sf_dir):
     )
 
 
+@spec(
+    "agg_sketch_partial",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS within_10pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc=(
+        "Mergeable-sketch rollup — THE 100 TB distinct-count pattern: "
+        "HLL sketches built at fine granularity (returnflag x "
+        "linestatus; in production, per partition/day) then "
+        "hll_union_agg-merged to the coarse level WITHOUT rescanning "
+        "the fact table. Sketch merge is associative, so pre-aggregated "
+        "daily sketches answer any coarser rollup in dimension-sized "
+        "work. Bounds-style oracle (as agg_approx_distinct): the "
+        "comparable output is the exact count plus a boolean asserting "
+        "the merged estimate lands within 10% of it."
+    ),
+)
+def agg_sketch_partial(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    part = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_partkey").alias("_sk")
+    )
+    merged = part.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_approx")
+    )
+    exact = l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
+    return exact.join(merged, "l_returnflag").select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("_approx") - F.col("exact_parts"))
+            <= 0.10 * F.col("exact_parts")
+        ).alias("within_10pct"),
+    )
+
+
 SPECS = [
     agg_groupby,
     agg_stats,
@@ -321,4 +362,5 @@ SPECS = [
     agg_cube,
     agg_gsets,
     agg_having,
+    agg_sketch_partial,
 ]

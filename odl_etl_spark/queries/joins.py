@@ -279,6 +279,48 @@ def subq_scalar(spark, sf_dir):
     )
 
 
+@spec(
+    "join_skew_salted",
+    """
+    SELECT s.s_nationkey,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l.l_quantity) * 100) / 100 AS sum_qty,
+           ROUND(SUM(l.l_extendedprice) * 100) / 100 AS sum_price
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY s.s_nationkey
+    """,
+    doc=(
+        "Skew-resistant fact⋈dim join via key salting "
+        "(operators/skew.py): the fact side gets a round-robin salt, "
+        "the dim side is exploded n_salts ways, so one pathological hot "
+        "supplier key spreads over 8 shuffle buckets instead of "
+        "hot-spotting a single reducer (the structural fallback when "
+        "AQE's sort-merge-only skew split can't fire, e.g. broadcast-"
+        "disabled shuffled-hash plans). Salting is internal only — the "
+        "oracle is the PLAIN join: identical output is the correctness "
+        "claim."
+    ),
+)
+def join_skew_salted(spark, sf_dir):
+    from odl_etl_spark.operators.skew import salted_join
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_quantity", "l_extendedprice"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    return (
+        salted_join(l, s, on="suppkey", n_salts=8)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            roundn(F.sum("l_quantity"), 2).alias("sum_qty"),
+            roundn(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
 SPECS = [
     join_inner_equi,
     join_full,
@@ -291,4 +333,5 @@ SPECS = [
     join_theta_range,
     join_multiway,
     join_asof,
+    join_skew_salted,
 ]

@@ -312,6 +312,69 @@ def sim_knn_join(spark, sf_dir):
     return knn_join(e.where(F.col("vec_id") >= 8), probes, k=5)
 
 
+@spec(
+    "emb_quantize",
+    """
+    WITH m AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) AS amax,
+             embedding
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id, amax,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * (127.0 / amax)) AS INTEGER))
+               AS qv
+      FROM m
+    )
+    SELECT vec_id,
+           ROUND(amax * 10000) / 10000 AS amax,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_min(qv) AS INTEGER) AS q_min,
+           CAST(list_max(qv) AS INTEGER) AS q_max
+    FROM q
+    """,
+    doc=(
+        "Symmetric int8 quantization of the embedding column (the 4x "
+        "storage/bandwidth cut before an ANN index is materialized): "
+        "per-vector absmax scale, elementwise round(x * 127/amax). Pure "
+        "expression-level transform/aggregate — codegen'd, no UDF, no "
+        "shuffle (row-local math). Both engines multiply by the SAME "
+        "prefolded (127/amax) factor so ties round identically; the "
+        "quantized vector is emitted as (sum, min, max) checksums "
+        "because raw array cells aren't driver-canonicalizable."
+    ),
+)
+def emb_quantize(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    m = e.select(
+        "vec_id",
+        "embedding",
+        F.array_max(
+            F.transform("embedding", lambda x: F.abs(x.cast("double")))
+        ).alias("_amax"),
+    )
+    q = m.select(
+        "vec_id",
+        F.col("_amax"),
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * (F.lit(127.0) / F.col("_amax")))
+            .cast("int"),
+        ).alias("_qv"),
+    )
+    return q.select(
+        "vec_id",
+        roundn(F.col("_amax"), 4).alias("amax"),
+        F.aggregate(
+            "_qv", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("q_sum"),
+        F.array_min("_qv").alias("q_min"),
+        F.array_max("_qv").alias("q_max"),
+    )
+
+
 SPECS = [
     sim_topk,
     sim_pairwise_label,
@@ -319,4 +382,5 @@ SPECS = [
     emb_centroid_dist,
     dedup_embedding,
     sim_knn_join,
+    emb_quantize,
 ]
