@@ -121,6 +121,54 @@ def test_knn_join_broadcasts_probes_and_truncates_locally(spark, sf_dir):
     assert re.search(r"WindowGroupLimit .*row_number\(\), 5, Partial", plan)
 
 
+def test_decontaminate_broadcasts_benchmark_set(spark, sf_dir):
+    # The held-out shingle set must broadcast; the training corpus side
+    # streams through a BroadcastHashJoin with no corpus shuffle before
+    # the per-doc count aggregation.
+    df = build("dedup_decontaminate", spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_emb_quantize_is_shuffle_free(spark, sf_dir):
+    # Quantization is row-local expression math: zero exchanges.
+    df = build("emb_quantize", spark, sf_dir)
+    assert shuffle_count(df) == 0
+    assert "Join" not in explain_str(df)
+
+
+def test_transitions_lag_window_is_user_partitioned(spark, sf_dir):
+    # The input-sized lag window must be partitioned by user_id; the only
+    # unpartitioned-ish window is the normalizer over the tiny transition
+    # aggregate (partitioned by from_type).
+    plan = explain_str(build("events_transitions", spark, sf_dir))
+    specs = re.findall(r"\[(\w+\(\S*\)?) windowspecdefinition\(([^,]+)", plan)
+    assert specs, "no window specs found"
+    for fn, first_arg in specs:
+        if fn.startswith("lag"):
+            assert first_arg.startswith("user_id"), (fn, first_arg)
+
+
+def test_salted_join_output_matches_plain_join(spark, sf_dir):
+    # The salt must be internal-only: aggregate output equals the plain
+    # join's (also enforced by the DuckDB oracle, asserted here so a
+    # salting regression fails fast in CI without the oracle harness).
+    from pyspark.sql import functions as F
+
+    from odl_etl_spark.io.sources import load_table
+
+    salted = build("join_skew_salted", spark, sf_dir)
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    plain = (
+        l.join(s, l["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_items"))
+    )
+    got = {r["s_nationkey"]: r["n_items"] for r in salted.collect()}
+    want = {r["s_nationkey"]: r["n_items"] for r in plain.collect()}
+    assert got == want
+
+
 def test_pack_sequences_cumsum_is_distributed(spark, sf_dir):
     # The only unpartitioned window allowed is the one over the
     # O(#partitions)-row offset table (orders by _pid, sums _c); the
