@@ -22,11 +22,24 @@ def write_bucketed(
     bucket_col: str,
     n_buckets: int = 16,
     sort_col: str | None = None,
+    path: str | None = None,
 ) -> None:
-    """Persist as a bucketed managed table (metastore keeps the layout)."""
+    """Persist as a bucketed table (metastore keeps the layout).
+
+    With ``path`` the table is external at that location (bucketing
+    metadata still lives in the catalog) — use an absolute path so the
+    layout doesn't land under the session's cwd-relative warehouse dir.
+    """
+    import shutil
+
+    df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
+    if path is not None:
+        shutil.rmtree(path, ignore_errors=True)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_col:
         writer = writer.sortBy(sort_col)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

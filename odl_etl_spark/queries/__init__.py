@@ -16,6 +16,7 @@ def registry() -> dict[str, QuerySpec]:
     from odl_etl_spark.queries import (
         aggs,
         events,
+        graph,
         joins,
         multimodal,
         scalars,
@@ -38,6 +39,7 @@ def registry() -> dict[str, QuerySpec]:
         events,
         text,
         similarity,
+        graph,
         multimodal,
     ]
     out: dict[str, QuerySpec] = {}
@@ -95,6 +97,11 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
         "emb_quantize",
         "join_skew_salted",
         "agg_sketch_partial",
+        "agg_exact_median",
+        "join_bucketed",
+        "sink_csv_roundtrip",
+        "sink_jsonl_roundtrip",
+        "graph_pagerank",
         "multimodal_catalog",
         "multimodal_image_features",
         "multimodal_video_frames",

@@ -310,6 +310,33 @@ def agg_approx_quantile(spark, sf_dir):
 
 
 @spec(
+    "agg_exact_median",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5) * 100) / 100 AS med_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.25) * 100) / 100 AS p25_price,
+           ROUND(quantile_cont(l_extendedprice, 0.75) * 100) / 100 AS p75_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc=(
+        "Exact median / quartiles per group: Spark's exact percentile "
+        "(linear interpolation, same formula as DuckDB quantile_cont) — "
+        "the exact counterpart of the agg_approx_quantile sketch. Exact "
+        "percentile buffers each group's values, so at 100 TB it is for "
+        "bounded-cardinality groups only; unbounded groups use the "
+        "approx sketch (mergeable, fixed memory)."
+    ),
+)
+def agg_exact_median(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        roundn(F.percentile("l_quantity", 0.5), 2).alias("med_qty"),
+        roundn(F.percentile("l_extendedprice", 0.25), 2).alias("p25_price"),
+        roundn(F.percentile("l_extendedprice", 0.75), 2).alias("p75_price"),
+    )
+
+
+@spec(
     "agg_sketch_partial",
     """
     SELECT l_returnflag,
@@ -363,4 +390,5 @@ SPECS = [
     agg_gsets,
     agg_having,
     agg_sketch_partial,
+    agg_exact_median,
 ]

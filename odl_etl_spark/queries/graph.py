@@ -1,0 +1,82 @@
+"""Graph-analytics specs: link analysis over lake-derived edge lists.
+
+Derivation: the reference's user→artifact mapping (email_mapping.py) is
+an entity graph; the lake-scale generalizations are connected components
+(``dedup_cluster``, operators/components.py) and PageRank-style link
+analysis (operators/pagerank.py). The supplier—part bipartite graph from
+lineitem stands in for any entity co-occurrence graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from odl_etl_spark.io.sources import load_table
+from odl_etl_spark.operators.pagerank import DAMP_DEN, DAMP_NUM, SCALE, pagerank_fixed
+from odl_etl_spark.queries.base import spec
+
+
+def _pagerank_oracle(iterations: int = 3, k: int = 20) -> str:
+    """Chained-CTE replica of the fixed-point iteration. All arithmetic
+    is BIGINT (contributions are exact integer floor divisions), so the
+    engines agree bit-for-bit regardless of aggregation order."""
+    prev, chain = "r0", ""
+    for i in range(1, iterations + 1):
+        chain += f""", s{i} AS (
+      SELECT ed.dst, SUM(r.rank // ed.outdeg) AS s
+      FROM ed JOIN {prev} r ON r.node = ed.src GROUP BY ed.dst
+    ), r{i} AS (
+      SELECT n.node,
+             (SELECT base FROM consts)
+               + COALESCE(s{i}.s, 0) * {DAMP_NUM} // {DAMP_DEN} AS rank
+      FROM nodes n LEFT JOIN s{i} ON s{i}.dst = n.node
+    )"""
+        prev = f"r{i}"
+    return f"""
+    WITH raw AS (
+      SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
+      FROM lineitem
+    ), e AS (
+      SELECT src, dst FROM raw UNION SELECT dst, src FROM raw
+    ), deg AS (
+      SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src
+    ), nodes AS (SELECT src AS node FROM deg),
+    consts AS (
+      SELECT ({SCALE} - {SCALE} * {DAMP_NUM} // {DAMP_DEN})
+               // (SELECT COUNT(*) FROM nodes) AS base,
+             {SCALE} // (SELECT COUNT(*) FROM nodes) AS init
+    ), ed AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg ON deg.src = e.src),
+    r0 AS (SELECT node, (SELECT init FROM consts) AS rank FROM nodes){chain}
+    SELECT node, rank FROM {prev}
+    ORDER BY rank DESC, node ASC LIMIT {k}
+"""
+
+
+@spec(
+    "graph_pagerank",
+    _pagerank_oracle(iterations=3, k=20),
+    doc=(
+        "PageRank (3 fixed iterations, damping 0.85) over the symmetrized "
+        "supplier—part co-occurrence graph, top 20 nodes. The whole "
+        "iteration runs in scaled BIGINT arithmetic "
+        "(operators/pagerank.py): per-edge contributions are exact floor "
+        "divisions and damping is the ratio 17/20, so ranks are "
+        "bit-identical across engines and cluster sizes — float PageRank "
+        "is order-dependent and would never hash-match. Per round: one "
+        "node-keyed join + one hash agg; the rank table is node-sized, "
+        "the edge⋈degree join is precomputed once outside the loop."
+    ),
+)
+def graph_pagerank(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    edges = l.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    ).distinct()
+    r = pagerank_fixed(edges, iterations=3)
+    return r.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(20)
+
+
+SPECS = [
+    graph_pagerank,
+]

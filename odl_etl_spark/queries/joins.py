@@ -280,6 +280,52 @@ def subq_scalar(spark, sf_dir):
 
 
 @spec(
+    "join_bucketed",
+    """
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l.l_extendedprice) * 100) / 100 AS sum_price
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+    doc=(
+        "Bucketed co-located fact⋈fact join (io/bucketing.py): both "
+        "sides are written bucketBy(8, orderkey) — the join shuffle is "
+        "paid ONCE at write time, and every subsequent join or agg on "
+        "the key plans with zero exchanges below the join "
+        "(tests/test_plans.py pins shuffle_count == 1: only the final "
+        "status agg shuffles). At 100 TB this is the difference between "
+        "re-shuffling two fact tables per query and never shuffling "
+        "them again. Oracle is the plain join — bucketing is layout, "
+        "not semantics."
+    ),
+)
+def join_bucketed(spark, sf_dir):
+    import os
+    import tempfile
+
+    from odl_etl_spark.io.bucketing import bucketed_join, write_bucketed
+
+    base = os.path.join(tempfile.gettempdir(), "odl_etl_spark_buckets")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderstatus"
+    )
+    write_bucketed(l, "b_lineitem", "orderkey", 8, path=os.path.join(base, "l"))
+    write_bucketed(o, "b_orders", "orderkey", 8, path=os.path.join(base, "o"))
+    return (
+        bucketed_join(spark, "b_lineitem", "b_orders", "orderkey")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            roundn(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@spec(
     "join_skew_salted",
     """
     SELECT s.s_nationkey,
@@ -334,4 +380,5 @@ SPECS = [
     join_multiway,
     join_asof,
     join_skew_salted,
+    join_bucketed,
 ]

@@ -89,6 +89,69 @@ def sink_partitioned(spark, sf_dir):
     )
 
 
+@spec(
+    "sink_csv_roundtrip",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           ROUND(SUM(c_acctbal) * 100) / 100 AS total_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+    doc=(
+        "CSV sink + re-read (headered, Spark-written shortest-roundtrip "
+        "doubles re-parse exactly), then aggregate — proves the "
+        "interchange-format path end-to-end, not just parquet. The "
+        "re-read declares an explicit schema: schema inference is a "
+        "full extra pass over the data and is banned at scale."
+    ),
+)
+def sink_csv_roundtrip(spark, sf_dir):
+    out = os.path.join(tempfile.gettempdir(), "odl_etl_spark_sink", "customer_csv")
+    shutil.rmtree(out, ignore_errors=True)
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    c.write.mode("overwrite").option("header", True).csv(out)
+    back = (
+        spark.read.schema("c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE")
+        .option("header", True)
+        .csv(out)
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), roundn(F.sum("c_acctbal"), 2).alias("total_bal")
+    )
+
+
+@spec(
+    "sink_jsonl_roundtrip",
+    """
+    SELECT p_brand,
+           COUNT(*) AS n,
+           ROUND(SUM(p_retailprice) * 100) / 100 AS total_price
+    FROM part GROUP BY p_brand
+    """,
+    doc=(
+        "JSON-lines sink + re-read with explicit schema, then aggregate "
+        "— the log-interchange format path (the reference's mailgun "
+        "events arrive as JSON; mitx_etl.py). Explicit schema on "
+        "re-read for the same no-inference-pass reason as CSV."
+    ),
+)
+def sink_jsonl_roundtrip(spark, sf_dir):
+    out = os.path.join(tempfile.gettempdir(), "odl_etl_spark_sink", "part_jsonl")
+    shutil.rmtree(out, ignore_errors=True)
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    p.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "p_partkey BIGINT, p_brand STRING, p_retailprice DOUBLE"
+    ).json(out)
+    return back.groupBy("p_brand").agg(
+        F.count("*").alias("n"), roundn(F.sum("p_retailprice"), 2).alias("total_price")
+    )
+
+
 _Q3_SQL = """
     SELECT l_orderkey,
            ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) / 100 AS revenue
@@ -121,4 +184,11 @@ def sql_tpch_q3(spark, sf_dir):
     return spark.sql(_Q3_SQL)
 
 
-SPECS = [scan_parquet, scan_pruned, sink_partitioned, sql_tpch_q3]
+SPECS = [
+    scan_parquet,
+    scan_pruned,
+    sink_partitioned,
+    sink_csv_roundtrip,
+    sink_jsonl_roundtrip,
+    sql_tpch_q3,
+]

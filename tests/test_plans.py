@@ -169,6 +169,36 @@ def test_salted_join_output_matches_plain_join(spark, sf_dir):
     assert got == want
 
 
+def test_bucketed_join_has_no_join_shuffle(spark, sf_dir):
+    # Both sides bucketed by the join key: with broadcast disabled (so
+    # the fact⋈fact sort-merge path is exercised, as it would be at
+    # 100 TB) the ONLY exchange in the plan is the final status agg —
+    # the join itself reads co-located buckets.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = build("join_bucketed", spark, sf_dir)
+        plan = explain_str(df)
+        assert "SortMergeJoin" in plan
+        assert shuffle_count(df) == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_pagerank_is_integer_exact_and_repeatable(spark, sf_dir):
+    # Fixed-point ranks must be BIGINT and identical across runs and
+    # partitionings — the property float PageRank cannot give.
+    df = build("graph_pagerank", spark, sf_dir)
+    assert dict(df.dtypes)["rank"] == "bigint"
+    a = [tuple(r) for r in df.collect()]
+    b = [tuple(r) for r in build("graph_pagerank", spark, sf_dir).collect()]
+    assert a == b
+    # ranks sum to ~SCALE over the FULL node set is quantized below it;
+    # top-20 ranks are strictly positive and sorted.
+    ranks = [r for _, r in a]
+    assert ranks == sorted(ranks, reverse=True) and ranks[-1] > 0
+
+
 def test_pack_sequences_cumsum_is_distributed(spark, sf_dir):
     # The only unpartitioned window allowed is the one over the
     # O(#partitions)-row offset table (orders by _pid, sums _c); the
