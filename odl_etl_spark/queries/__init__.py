@@ -101,6 +101,8 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
         "join_bucketed",
         "sink_csv_roundtrip",
         "sink_jsonl_roundtrip",
+        "sink_upsert",
+        "udaf_regression",
         "graph_pagerank",
         "multimodal_catalog",
         "multimodal_image_features",

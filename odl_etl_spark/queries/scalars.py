@@ -249,6 +249,64 @@ def udf_scalar_pandas(spark, sf_dir):
 
 
 @spec(
+    "udaf_regression",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(regr_slope(l_extendedprice, l_quantity) * 100) / 100
+             AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity) * 100) / 100
+             AS intercept
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc=(
+        "Grouped pandas UDAF (applyInPandas): per-group OLS fit of "
+        "extendedprice on quantity — the 'custom aggregate the built-ins "
+        "don't have' path, Arrow-batched, one group per pandas frame. "
+        "Centered two-pass sums in float64 match DuckDB's regr_slope/"
+        "regr_intercept to well under the 2-decimal rounding. At 100 TB "
+        "the group count (not group size) bounds parallelism — for "
+        "high-cardinality keys this shape scales out; for few huge "
+        "groups prefer an algebraic reformulation into built-in sums."
+    ),
+)
+def udaf_regression(spark, sf_dir):
+    import pandas as pd  # noqa: F401
+
+    e = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+
+    def fit(pdf):
+        import numpy as np
+        import pandas as pd
+
+        x = pdf["l_quantity"].to_numpy(dtype="float64")
+        y = pdf["l_extendedprice"].to_numpy(dtype="float64")
+        xm, ym = x.mean(), y.mean()
+        sxx = ((x - xm) ** 2).sum()
+        slope = ((x - xm) * (y - ym)).sum() / sxx
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "n": [len(pdf)],
+                "slope": [slope],
+                "intercept": [ym - slope * xm],
+            }
+        )
+
+    fitted = e.groupBy("l_returnflag").applyInPandas(
+        fit, "l_returnflag string, n bigint, slope double, intercept double"
+    )
+    return fitted.select(
+        "l_returnflag",
+        "n",
+        roundn(F.col("slope"), 2).alias("slope"),
+        roundn(F.col("intercept"), 2).alias("intercept"),
+    )
+
+
+@spec(
     "scalar_null",
     """
     SELECT c_custkey,
@@ -286,4 +344,5 @@ SPECS = [
     scalar_array,
     scalar_map,
     udf_scalar_pandas,
+    udaf_regression,
 ]

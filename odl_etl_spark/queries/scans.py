@@ -152,6 +152,71 @@ def sink_jsonl_roundtrip(spark, sf_dir):
     )
 
 
+@spec(
+    "sink_upsert",
+    """
+    WITH base AS (
+      SELECT o_orderkey, STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m') AS ds,
+             o_totalprice
+      FROM orders
+    ), upd AS (
+      SELECT o_orderkey, ds, o_totalprice * 2 AS o_totalprice
+      FROM base WHERE ds = '1995-06'
+      UNION ALL
+      SELECT o_orderkey + 10000000, ds, 111.0 FROM base WHERE ds = '1995-06'
+    ), merged AS (
+      SELECT * FROM base WHERE ds <> '1995-06'
+      UNION ALL
+      SELECT * FROM base
+      WHERE ds = '1995-06'
+        AND o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      UNION ALL
+      SELECT * FROM upd
+    )
+    SELECT ds, COUNT(*) AS n, ROUND(SUM(o_totalprice) * 100) / 100 AS total
+    FROM merged GROUP BY ds
+    """,
+    doc=(
+        "Partition-scoped upsert (operators/upsert.py): plain Parquet "
+        "has no MERGE, so touched partitions are rewritten as "
+        "kept-minus-matched ∪ updates and swapped atomically via "
+        "per-write dynamic partition overwrite — untouched months are "
+        "never read or written (at 100 TB a daily upsert touches the "
+        "day's partitions, not the lake). The update batch doubles one "
+        "month's totals and inserts synthetic new keys; the oracle "
+        "reconstructs the merged lake state relationally."
+    ),
+)
+def sink_upsert(spark, sf_dir):
+    from odl_etl_spark.operators.upsert import upsert_partitioned
+
+    out = os.path.join(tempfile.gettempdir(), "odl_etl_spark_sink", "orders_upsert")
+    shutil.rmtree(out, ignore_errors=True)
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("ds"),
+        "o_totalprice",
+    )
+    partitioned_write(base, out, ("ds",))
+    month = base.where(F.col("ds") == "1995-06")
+    upd = month.withColumn("o_totalprice", F.col("o_totalprice") * 2).unionByName(
+        month.select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            "ds",
+            F.lit(111.0).alias("o_totalprice"),
+        )
+    )
+    upsert_partitioned(spark, out, upd, keys=["o_orderkey"], partition_col="ds")
+    return (
+        spark.read.parquet(out)
+        .groupBy(F.col("ds").cast("string").alias("ds"))
+        .agg(
+            F.count("*").alias("n"),
+            roundn(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
 _Q3_SQL = """
     SELECT l_orderkey,
            ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) / 100 AS revenue
@@ -190,5 +255,6 @@ SPECS = [
     sink_partitioned,
     sink_csv_roundtrip,
     sink_jsonl_roundtrip,
+    sink_upsert,
     sql_tpch_q3,
 ]
