@@ -76,6 +76,12 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
         "sim_pairwise_label",
         "sim_ann_ivf",
         "emb_centroid_dist",
+        # spec changed this round — re-verification needed
+        "scalar_map",
+        "agg_pivot",
+        "agg_approx_quantile",
+        "agg_approx_distinct",
+        "win_ntile",
         # new keys this round — no correctness row yet
         "dedup_embedding",
         "dedup_cluster",
@@ -107,12 +113,14 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
         "multimodal_catalog",
         "multimodal_image_features",
         "multimodal_video_frames",
-        # spec changed this round — re-verification needed
-        "scalar_map",
-        "agg_pivot",
-        "agg_approx_quantile",
-        "agg_approx_distinct",
-        "win_ntile",
+        "events_sessionize",
+        "events_attribution",
+        "timeseries_gapfill",
+        "agg_histogram",
+        "agg_mode",
+        "unpivot_long",
+        "explode_posexplode",
+        "sim_ann_hyperplane",
     ]
     assert all(k in out for k in first), sorted(set(first) - set(out))
     return first + [k for k in out if k not in set(first)]

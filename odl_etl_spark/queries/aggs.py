@@ -377,6 +377,109 @@ def agg_sketch_partial(spark, sf_dir):
     )
 
 
+@spec(
+    "agg_histogram",
+    """
+    SELECT CAST(LEAST(FLOOR(o_totalprice / 30000), 19) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice) * 100) / 100 AS total
+    FROM orders GROUP BY 1
+    """,
+    doc=(
+        "Fixed-width histogram (width_bucket semantics: 20 bins of 30k "
+        "with a clamped top bin): the bucket id is a pure expression, so "
+        "this is one codegen'd partial+final hash aggregation over at "
+        "most 20 groups — bytes-per-partition shuffle regardless of "
+        "input size. The scale pattern for distribution profiling."
+    ),
+)
+def agg_histogram(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 30000), F.lit(19)).cast(
+        "bigint"
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        roundn(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@spec(
+    "agg_mode",
+    """
+    WITH c AS (
+      SELECT l_returnflag, l_quantity, COUNT(*) AS n
+      FROM lineitem GROUP BY 1, 2
+    ), r AS (
+      SELECT l_returnflag, l_quantity, n,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY n DESC, l_quantity ASC) AS rk
+      FROM c
+    )
+    SELECT l_returnflag, l_quantity AS mode_qty, n
+    FROM r WHERE rk = 1
+    """,
+    doc=(
+        "Per-group modal value: count-compress first (hash agg over "
+        "|group × distinct value| rows), then rank the tiny count table "
+        "— the window sort runs over the compressed aggregate, never the "
+        "input. Ties break to the smallest value for determinism."
+    ),
+)
+def agg_mode(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("n").desc(), F.col("l_quantity").asc()
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"), "n")
+    )
+
+
+@spec(
+    "unpivot_long",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(AVG(l_quantity) * 100) / 100 AS avg_qty
+    FROM lineitem GROUP BY 1, 2
+    """,
+    doc=(
+        "Pivot→unpivot round-trip: the wide per-(returnflag × linestatus) "
+        "matrix is melted back to long form with df.unpivot (Spark's "
+        "melt; null cells from absent combinations dropped), and the "
+        "oracle is the plain two-key GROUP BY the round-trip must "
+        "reproduce. Both pivot and unpivot operate on the |groups|-row "
+        "aggregate, so the reshape costs nothing at scale."
+    ),
+)
+def unpivot_long(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.avg("l_quantity"))
+    )
+    return (
+        wide.unpivot(
+            ids=["l_returnflag"],
+            values=["F", "O"],
+            variableColumnName="l_linestatus",
+            valueColumnName="avg_qty_raw",
+        )
+        .where(F.col("avg_qty_raw").isNotNull())
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            roundn(F.col("avg_qty_raw"), 2).alias("avg_qty"),
+        )
+    )
+
+
 SPECS = [
     agg_groupby,
     agg_stats,
@@ -391,4 +494,7 @@ SPECS = [
     agg_having,
     agg_sketch_partial,
     agg_exact_median,
+    agg_histogram,
+    agg_mode,
+    unpivot_long,
 ]

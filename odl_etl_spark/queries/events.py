@@ -164,8 +164,143 @@ def events_transitions(spark, sf_dir):
     )
 
 
+@spec(
+    "events_sessionize",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+             LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+      FROM events
+    ), m AS (
+      SELECT user_id, event_id, t_us,
+             CASE WHEN prev_us IS NULL
+                       OR t_us - prev_us > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM o
+    ), s AS (
+      SELECT user_id, t_us,
+             SUM(is_new) OVER (PARTITION BY user_id
+                               ORDER BY t_us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS session_id
+      FROM m
+    ), g AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             MAX(t_us) - MIN(t_us) AS dur_us
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT user_id, COUNT(*) AS n_sessions,
+           SUM(n_events) AS n_events,
+           MAX(n_events) AS max_session_events,
+           SUM(dur_us) AS total_dur_us
+    FROM g GROUP BY user_id
+    """,
+    doc=(
+        "Gaps-and-islands sessionization (30-min inactivity gap): lag to "
+        "mark session starts, running sum to number sessions, two keyed "
+        "aggregations for per-session then per-user stats. Every window "
+        "and groupBy is partitioned by user_id, so one hash partitioning "
+        "is reused across the whole chain and no global sort exists — "
+        "the per-user sort is bounded by a user's event count at any "
+        "scale. Timestamps compare in integer microseconds (epoch_us / "
+        "unix_micros) so the gap predicate is exact on both engines."
+    ),
+)
+def events_sessionize(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    t_us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "event_id",
+        t_us.alias("t_us"),
+        F.when(
+            F.lag(t_us).over(w).isNull()
+            | ((t_us - F.lag(t_us).over(w)) > 1800 * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = (
+        marked.select(
+            "user_id", "t_us", F.sum("is_new").over(ws).alias("session_id")
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max("t_us") - F.min("t_us")).alias("dur_us"),
+        )
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_session_events"),
+        F.sum("dur_us").alias("total_dur_us"),
+    )
+
+
+@spec(
+    "events_attribution",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, value,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS channel
+      FROM events
+    )
+    SELECT COALESCE(channel, 'none') AS channel,
+           COUNT(*) AS n_purchases,
+           ROUND(SUM(value) * 100) / 100 AS revenue
+    FROM o WHERE event_type = 'purchase'
+    GROUP BY COALESCE(channel, 'none')
+    """,
+    doc=(
+        "Last-touch attribution: each purchase's value is credited to the "
+        "user's most recent prior non-purchase event type via "
+        "last(..., ignorenulls) over a PRECEDING-only frame — the "
+        "classic marketing-attribution shape without a self-join. The "
+        "window is user-partitioned (parallel, bounded sorts); the final "
+        "aggregate is over |event types| rows."
+    ),
+)
+def events_attribution(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    channel = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.select("event_type", "value", channel.alias("channel"))
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("none")).alias("channel"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            roundn(F.sum("value"), 2).alias("revenue"),
+        )
+    )
+
+
 SPECS = [
     events_funnel,
     events_retention,
     events_transitions,
+    events_sessionize,
+    events_attribution,
 ]

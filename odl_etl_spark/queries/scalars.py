@@ -333,6 +333,46 @@ def scalar_null(spark, sf_dir):
     )
 
 
+@spec(
+    "explode_posexplode",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), e AS (
+      SELECT 0 AS pos, toks[1] AS tok FROM t WHERE len(toks) >= 1
+      UNION ALL SELECT 1, toks[2] FROM t WHERE len(toks) >= 2
+      UNION ALL SELECT 2, toks[3] FROM t WHERE len(toks) >= 3
+      UNION ALL SELECT 3, toks[4] FROM t WHERE len(toks) >= 4
+      UNION ALL SELECT 4, toks[5] FROM t WHERE len(toks) >= 5
+    )
+    SELECT pos, COUNT(*) AS n_docs, COUNT(DISTINCT tok) AS n_tokens
+    FROM e GROUP BY pos
+    """,
+    doc=(
+        "Lateral explode with ordinality: posexplode over the first five "
+        "tokens of each document (slice before explode, so the generator "
+        "emits 5 rows/doc, not |tokens|), then positional vocabulary "
+        "stats. The 1-row→N-rows generator runs inside whole-stage "
+        "codegen; the slice bounds the fan-out, which is what keeps a "
+        "generate step safe on 100 TB of long documents."
+    ),
+)
+def explode_posexplode(spark, sf_dir):
+    from odl_etl_spark.functions import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select(
+        F.posexplode(F.slice(T.tokens("text"), 1, 5)).alias("pos", "tok")
+    )
+    return ex.groupBy("pos").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("tok").alias("n_tokens"),
+    )
+
+
 SPECS = [
     project_hash_email,
     filter_pred,
@@ -345,4 +385,5 @@ SPECS = [
     scalar_map,
     udf_scalar_pandas,
     udaf_regression,
+    explode_posexplode,
 ]

@@ -375,6 +375,88 @@ def emb_quantize(spark, sf_dir):
     )
 
 
+_DOT = """
+    (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+     FROM (SELECT UNNEST({a}) AS x, UNNEST({b}) AS y) z)
+"""
+
+
+@spec(
+    "sim_ann_hyperplane",
+    f"""
+    WITH hp AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS h,
+             embedding AS hvec
+      FROM embeddings WHERE vec_id BETWEEN 1 AND 5
+    ), sig AS (
+      SELECT e.vec_id, e.embedding,
+             SUM(CASE WHEN ({_DOT.format(a='e.embedding', b='hp.hvec')}) >= 0
+                      THEN CAST(POW(2, hp.h) AS BIGINT) ELSE 0 END) AS bucket
+      FROM embeddings e CROSS JOIN hp
+      GROUP BY e.vec_id, e.embedding
+    ), probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+    psig AS (SELECT bucket FROM sig WHERE vec_id = 0)
+    SELECT s.vec_id,
+           ROUND(({_COS.format(a='s.embedding', b='probe.p')}) * 1000000)
+             / 1000000 AS cos_sim
+    FROM sig s, probe, psig
+    WHERE s.bucket = psig.bucket AND s.vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+    """,
+    doc=(
+        "Random-hyperplane (sign-bit) LSH ANN search: 5 data-derived "
+        "hyperplanes (embeddings 1..5 — deterministic, so the oracle "
+        "replicates the index literally in SQL) give a 32-bucket cosine "
+        "partitioning; the probe searches ONLY its own bucket "
+        "(~1/32 of the corpus). The signature is a pure codegen'd "
+        "expression (5 zip_with/aggregate dots per row, no shuffle, no "
+        "Python); the bucket filter prunes before the only "
+        "TakeOrderedAndProject. Same sign convention both engines: "
+        "dot ≥ 0 sets the bit, double-accumulated in array order, so "
+        "buckets are bit-identical. The scale path partitions the lake "
+        "BY bucket so a probe touches one partition "
+        "(operators/similarity.py:108 is the pair-mining variant with "
+        "seeded Gaussian planes and banding)."
+    ),
+)
+def sim_ann_hyperplane(spark, sf_dir):
+    from odl_etl_spark.functions.vectors import dot
+
+    e = load_table(spark, sf_dir, "embeddings")
+    hps = [
+        [float(x) for x in r["embedding"]]
+        for r in e.where(F.col("vec_id").between(1, 5))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    probe = _probe_vec(spark, sf_dir, 0)
+
+    # Probe bucket, computed driver-side with the same left-fold double
+    # accumulation as the Spark/DuckDB expressions (bit-identical).
+    def _fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    probe_bucket = sum(
+        (1 << h) for h, hp in enumerate(hps) if _fold_dot(probe, hp) >= 0
+    )
+
+    hp_lits = [F.array(*[F.lit(x) for x in hp]) for hp in hps]
+    bucket = None
+    for h, hp in enumerate(hp_lits):
+        bit = F.when(dot(F.col("embedding"), hp) >= 0, F.lit(1 << h)).otherwise(
+            F.lit(0)
+        )
+        bucket = bit if bucket is None else bucket + bit
+    cand = e.where(F.col("vec_id") != 0).where(
+        bucket.cast("bigint") == F.lit(probe_bucket)
+    )
+    return topk_cosine(cand, probe, k=10, round_to=6)
+
+
 SPECS = [
     sim_topk,
     sim_pairwise_label,
@@ -383,4 +465,5 @@ SPECS = [
     dedup_embedding,
     sim_knn_join,
     emb_quantize,
+    sim_ann_hyperplane,
 ]

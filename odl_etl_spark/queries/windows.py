@@ -171,4 +171,72 @@ def win_range_frame(spark, sf_dir):
     )
 
 
-SPECS = [win_rank, win_analytic, win_frame, win_ntile, win_cume, win_range_frame]
+@spec(
+    "timeseries_gapfill",
+    """
+    WITH b AS (
+      SELECT o_orderstatus AS status, CAST(o_orderdate AS DATE) AS d,
+             COUNT(*) AS n, SUM(o_totalprice) AS total
+      FROM orders GROUP BY 1, 2
+    ), r AS (
+      SELECT status, MIN(d) AS lo, MAX(d) AS hi FROM b GROUP BY status
+    ), spine AS (
+      SELECT status,
+             CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+                                         CAST(hi AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+      FROM r
+    ), j AS (
+      SELECT s.status, s.d, b.n, b.total
+      FROM spine s LEFT JOIN b ON b.status = s.status AND b.d = s.d
+    )
+    SELECT status, d, COALESCE(n, 0) AS n,
+           ROUND(LAST_VALUE(total IGNORE NULLS)
+                   OVER (PARTITION BY status ORDER BY d) * 100) / 100
+             AS filled_total
+    FROM j
+    """,
+    doc=(
+        "Time-series gap-fill: per-series date spine (sequence + explode "
+        "from the 3-row bounds aggregate — generation cost is O(series × "
+        "days), independent of fact size), left join of the daily "
+        "aggregate onto the spine, and forward-fill of missing days via "
+        "last(..., ignorenulls) over an ORDER BY d window. The fill "
+        "window is partitioned per series and its length is the calendar "
+        "span, not the row count — bounded at any data scale. The daily "
+        "pre-aggregate is the only pass over the fact table."
+    ),
+)
+def timeseries_gapfill(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.to_date("o_orderdate").alias("d"),
+    ).agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("total"))
+    bounds = daily.groupBy("status").agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    spine = bounds.select(
+        "status", F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    j = spine.join(daily, ["status", "d"], "left")
+    w = Window.partitionBy("status").orderBy("d")
+    return j.select(
+        "status",
+        "d",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        roundn(F.last("total", ignorenulls=True).over(w), 2).alias(
+            "filled_total"
+        ),
+    )
+
+
+SPECS = [
+    win_rank,
+    win_analytic,
+    win_frame,
+    win_ntile,
+    win_cume,
+    win_range_frame,
+    timeseries_gapfill,
+]

@@ -210,3 +210,41 @@ def test_pack_sequences_cumsum_is_distributed(spark, sf_dir):
     assert specs, "no window specs found"
     for fn, first_arg in specs:
         assert first_arg.startswith("_pid") or fn.startswith("sum(_c"), (fn, first_arg)
+
+
+def test_ann_hyperplane_is_pruned_scan_no_shuffle(spark, sf_dir):
+    # The 5 signature dots are codegen'd expressions and the bucket
+    # filter prunes before ranking: filter + TakeOrdered, zero exchanges
+    # of the corpus (same contract as the IVF path).
+    df = build("sim_ann_hyperplane", spark, sf_dir)
+    assert shuffle_count(df) == 0
+    assert "TakeOrderedAndProject" in explain_str(df)
+
+
+def test_sessionize_windows_are_user_partitioned(spark, sf_dir):
+    # Every window in the gaps-and-islands chain is partitioned by
+    # user_id — no global sort exists at any scale.
+    plan = explain_str(build("events_sessionize", spark, sf_dir))
+    specs = re.findall(r"windowspecdefinition\(([^,]+)", plan)
+    assert specs, "no window specs found"
+    for first_arg in specs:
+        assert first_arg.startswith("user_id"), f"unpartitioned window: {first_arg}"
+
+
+def test_gapfill_window_is_series_partitioned(spark, sf_dir):
+    # The forward-fill window is partitioned per series (status); its
+    # length is the calendar span, not the fact row count.
+    plan = explain_str(build("timeseries_gapfill", spark, sf_dir))
+    specs = re.findall(r"windowspecdefinition\(([^,]+)", plan)
+    assert specs, "no window specs found"
+    for first_arg in specs:
+        assert first_arg.startswith("status"), f"unpartitioned window: {first_arg}"
+
+
+def test_mode_window_runs_over_compressed_aggregate(spark, sf_dir):
+    # The rank window's input is the count table (partial+final agg
+    # before the window), never the raw input.
+    df = build("agg_mode", spark, sf_dir)
+    plan = explain_str(df)
+    assert has_partial_aggregate(df)
+    assert plan.index("partial_count") < plan.index("windowspecdefinition")
