@@ -99,6 +99,69 @@ def extract_image_features(
     )
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+_FAKE_RATES = (8000, 16000, 22050, 44100)
+
+
+def fake_audio_decode(content: bytes) -> dict[str, Any]:
+    """Deterministic stand-in for a real audio decoder (same contract as
+    ``fake_image_decode``): md5-derived sample rate / RMS, byte-count-
+    derived sample count, so DuckDB reproduces every feature from the
+    same blob and the mapInPandas path is hash-checked, not just
+    unit-tested. A real implementation (soundfile/torchaudio) drops into
+    the same signature: bytes in, dict of features out."""
+    if content is None or len(content) == 0:
+        raise NotImplementedError(
+            "real media decoding requires an audio library not present in "
+            "this environment; empty payloads have no fake features"
+        )
+    import hashlib
+
+    d = hashlib.md5(bytes(content)).hexdigest()
+    n_samples = len(content) * 4
+    rate = _FAKE_RATES[int(d[0], 16) % 4]
+    return {
+        "sample_rate": rate,
+        "n_samples": n_samples,
+        "duration_ms": n_samples * 1000 // rate,
+        "rms": int(d[8:12], 16) / 65535.0,
+    }
+
+
+def extract_audio_features(
+    media: DataFrame,
+    decoder: Callable[[bytes], dict[str, Any]] = fake_audio_decode,
+) -> DataFrame:
+    """Decode + featurize audio blobs via Arrow-batched ``mapInPandas``;
+    same batching/projection posture as ``extract_image_features``."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decoder(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": [f["sample_rate"] for f in feats],
+                    "n_samples": [f["n_samples"] for f in feats],
+                    "duration_ms": [f["duration_ms"] for f in feats],
+                    "rms": [f["rms"] for f in feats],
+                }
+            )
+
+    return media.where(F.col("kind") == "audio").mapInPandas(
+        decode_batches, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
 def sample_video_frames(
     media: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8
 ) -> DataFrame:

@@ -58,6 +58,13 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
     this round come first; the tail is keys already verified green on an
     unchanged spec in round 1."""
     first = [
+        # newest keys — no correctness row yet
+        "text_chunk",
+        "scd2_build",
+        "timeseries_resample",
+        "events_anomaly",
+        "multimodal_audio_features",
+        "sink_orc_roundtrip",
         # never oracle-checked by the driver (round 1 stopped at key 50)
         "stream_dedup",
         "text_tokenize_tf",

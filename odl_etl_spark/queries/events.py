@@ -192,9 +192,9 @@ def events_transitions(spark, sf_dir):
       FROM s GROUP BY user_id, session_id
     )
     SELECT user_id, COUNT(*) AS n_sessions,
-           SUM(n_events) AS n_events,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
            MAX(n_events) AS max_session_events,
-           SUM(dur_us) AS total_dur_us
+           CAST(SUM(dur_us) AS BIGINT) AS total_dur_us
     FROM g GROUP BY user_id
     """,
     doc=(
@@ -297,10 +297,207 @@ def events_attribution(spark, sf_dir):
     )
 
 
+@spec(
+    "scd2_build",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS prev
+      FROM events
+    ), chg AS (
+      SELECT user_id, event_type AS state, t_us AS eff_from_us, event_id
+      FROM o WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, state, eff_from_us,
+           COALESCE(LEAD(eff_from_us) OVER (PARTITION BY user_id
+                                            ORDER BY eff_from_us, event_id),
+                    253402300799000000) AS eff_to_us,
+           CASE WHEN LEAD(eff_from_us) OVER (PARTITION BY user_id
+                                             ORDER BY eff_from_us, event_id)
+                     IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM chg
+    """,
+    doc=(
+        "Slowly-changing-dimension type-2 build (the CDC/warehouse shape "
+        "the reference's daily snapshot sync approximates): per-user "
+        "state-change detection via lag, then validity intervals "
+        "[eff_from, eff_to) via lead over the change rows only. Both "
+        "windows are user-partitioned — parallel bounded sorts, no "
+        "global ordering — and the second window runs over the "
+        "change-compressed (much smaller) relation. Timestamps compare "
+        "as integer epoch-microseconds on both engines; the open row's "
+        "eff_to is the 9999-12-31 sentinel rather than NULL so the "
+        "column stays non-null BIGINT through any pandas/Arrow transport "
+        "(nullable int64 silently becomes float64 and poisons dtype-"
+        "sensitive hash comparison)."
+    ),
+)
+def scd2_build(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.unix_micros("ts").alias("eff_from_us"),
+            "event_id",
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("state")))
+        .drop("prev")
+    )
+    wv = Window.partitionBy("user_id").orderBy("eff_from_us", "event_id")
+    eff_to = F.lead("eff_from_us").over(wv)
+    return chg.select(
+        "user_id",
+        "state",
+        "eff_from_us",
+        F.coalesce(eff_to, F.lit(253402300799000000)).alias("eff_to_us"),
+        F.when(eff_to.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+@spec(
+    "timeseries_resample",
+    """
+    WITH b AS (
+      SELECT event_type, value, event_id, CAST(ts AS TIMESTAMP) AS t,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS bkt
+      FROM events
+    ), o AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bkt
+                                ORDER BY t, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bkt
+                                ORDER BY t DESC, event_id DESC) AS rn_d
+      FROM b
+    )
+    SELECT event_type, bkt * 21600000000 AS bucket_us,
+           ROUND(MAX(CASE WHEN rn_a = 1 THEN value END) * 100) / 100 AS open,
+           ROUND(MAX(value) * 100) / 100 AS high,
+           ROUND(MIN(value) * 100) / 100 AS low,
+           ROUND(MAX(CASE WHEN rn_d = 1 THEN value END) * 100) / 100 AS close,
+           COUNT(*) AS n_events
+    FROM o GROUP BY event_type, bkt
+    """,
+    doc=(
+        "Time-series downsampling to 6-hour OHLC bars per event type — "
+        "the metrics-rollup shape for high-frequency event streams. "
+        "First/last are picked by row_number over (ts, event_id) — a "
+        "total order, so open/close are deterministic even with "
+        "duplicate timestamps. Windows and the final agg share the "
+        "(event_type, bucket) partitioning, so one shuffle feeds both; "
+        "per-partition sort size is bounded by a bucket's row count at "
+        "any scale. Bucket ids are integer epoch-microsecond floors — "
+        "identical arithmetic on both engines."
+    ),
+)
+def timeseries_resample(spark, sf_dir):
+    bucket_us = 21_600_000_000
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        "event_id",
+        "ts",
+        F.expr(f"unix_micros(ts) div {bucket_us}").alias("bkt"),
+    )
+    wa = Window.partitionBy("event_type", "bkt").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "bkt").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    o = e.select(
+        "event_type",
+        "bkt",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return o.groupBy("event_type", "bkt").agg(
+        roundn(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 2).alias("open"),
+        roundn(F.max("value"), 2).alias("high"),
+        roundn(F.min("value"), 2).alias("low"),
+        roundn(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 2).alias("close"),
+        F.count("*").alias("n_events"),
+    ).select(
+        "event_type",
+        (F.col("bkt") * bucket_us).alias("bucket_us"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_events",
+    )
+
+
+@spec(
+    "events_anomaly",
+    """
+    WITH h AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), w AS (
+      SELECT event_type, hr, n,
+             SUM(n) OVER (PARTITION BY event_type) AS total,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_hours
+      FROM h
+    )
+    SELECT event_type, hr * 3600000000 AS hour_us, n,
+           ROUND((CAST(n * n_hours AS DOUBLE) / total) * 10000) / 10000 AS lift
+    FROM w WHERE n * n_hours > 2 * total
+    """,
+    doc=(
+        "Traffic-anomaly detection: hourly event counts per type, "
+        "flagging hours whose volume exceeds 2× that type's mean hourly "
+        "rate. The anomaly predicate is pure integer arithmetic "
+        "(n · n_hours > 2 · total) so the selected row set is "
+        "bit-identical across engines — no float-boundary hazard — and "
+        "the reported lift is a single IEEE divide, rounded identically. "
+        "The stats window runs over the hour-grain aggregate (|types| × "
+        "|hours| rows), never the raw events; one shuffle on "
+        "(event_type, hour), one broadcast-sized window."
+    ),
+)
+def events_anomaly(spark, sf_dir):
+    hour_us = 3_600_000_000
+    h = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr(f"unix_micros(ts) div {hour_us}").alias("hr"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    ws = Window.partitionBy("event_type")
+    w = h.select(
+        "event_type",
+        "hr",
+        "n",
+        F.sum("n").over(ws).alias("total"),
+        F.count("*").over(ws).alias("n_hours"),
+    )
+    return w.where(F.col("n") * F.col("n_hours") > 2 * F.col("total")).select(
+        "event_type",
+        (F.col("hr") * hour_us).alias("hour_us"),
+        "n",
+        roundn((F.col("n") * F.col("n_hours")).cast("double") / F.col("total"), 4).alias(
+            "lift"
+        ),
+    )
+
+
 SPECS = [
     events_funnel,
     events_retention,
     events_transitions,
     events_sessionize,
     events_attribution,
+    scd2_build,
+    timeseries_resample,
+    events_anomaly,
 ]

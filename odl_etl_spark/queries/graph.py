@@ -47,7 +47,7 @@ def _pagerank_oracle(iterations: int = 3, k: int = 20) -> str:
              {SCALE} // (SELECT COUNT(*) FROM nodes) AS init
     ), ed AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg ON deg.src = e.src),
     r0 AS (SELECT node, (SELECT init FROM consts) AS rank FROM nodes){chain}
-    SELECT node, rank FROM {prev}
+    SELECT node, CAST(rank AS BIGINT) AS rank FROM {prev}
     ORDER BY rank DESC, node ASC LIMIT {k}
 """
 

@@ -19,7 +19,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from odl_etl_spark.io.sources import load_table, spread
+from odl_etl_spark.functions.numeric import roundn
 from odl_etl_spark.operators.multimodal import (
+    extract_audio_features,
     extract_image_features,
     sample_video_frames,
 )
@@ -154,4 +156,51 @@ def multimodal_video_frames(spark, sf_dir):
     )
 
 
-SPECS = [multimodal_catalog, multimodal_image_features, multimodal_video_frames]
+@spec(
+    "multimodal_audio_features",
+    f"""
+    WITH aud AS (
+      SELECT doc_id AS media_id, md5(text) AS d,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT media_id,
+           CAST(CASE ({_hexval('d', 1, 1)}) % 4
+                WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER) AS sample_rate,
+           CAST(n_bytes * 4 AS BIGINT) AS n_samples,
+           CAST(n_bytes * 4 * 1000 //
+                (CASE ({_hexval('d', 1, 1)}) % 4
+                 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                 WHEN 2 THEN 22050 ELSE 44100 END) AS BIGINT) AS duration_ms,
+           ROUND((CAST({_hexval('d', 9, 4)} AS DOUBLE) / 65535) * 1000000)
+             / 1000000 AS rms
+    FROM aud
+    """,
+    doc=(
+        "Arrow-batched audio decode/featurize over mapInPandas "
+        "(operators/multimodal.py:extract_audio_features): blobs in, "
+        "(sample_rate, n_samples, duration_ms, rms) out, bytes dropped "
+        "before any shuffle — completes the image/video/audio modality "
+        "set. The fake decoder derives features from md5(content) and "
+        "byte length, so DuckDB recomputes them from the same bytes and "
+        "the Python batch path is hash-checked end to end."
+    ),
+)
+def multimodal_audio_features(spark, sf_dir):
+    feats = extract_audio_features(media_from_documents(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        roundn(F.col("rms"), 6).alias("rms"),
+    )
+
+
+SPECS = [
+    multimodal_catalog,
+    multimodal_image_features,
+    multimodal_video_frames,
+    multimodal_audio_features,
+]

@@ -153,6 +153,37 @@ def sink_jsonl_roundtrip(spark, sf_dir):
 
 
 @spec(
+    "sink_orc_roundtrip",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice) * 100) / 100 AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc=(
+        "ORC sink + explicit-schema re-read, then aggregate — the third "
+        "columnar interchange format after parquet/CSV/JSONL (ORC is the "
+        "other first-class Hadoop columnar format; doubles round-trip "
+        "bit-exactly). Explicit schema on re-read: no inference pass."
+    ),
+)
+def sink_orc_roundtrip(spark, sf_dir):
+    out = os.path.join(tempfile.gettempdir(), "odl_etl_spark_sink", "orders_orc")
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    o.write.mode("overwrite").orc(out)
+    back = spark.read.schema(
+        "o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE"
+    ).orc(out)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        roundn(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@spec(
     "sink_upsert",
     """
     WITH base AS (
@@ -255,6 +286,7 @@ SPECS = [
     sink_partitioned,
     sink_csv_roundtrip,
     sink_jsonl_roundtrip,
+    sink_orc_roundtrip,
     sink_upsert,
     sql_tpch_q3,
 ]

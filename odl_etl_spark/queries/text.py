@@ -924,6 +924,61 @@ def corpus_mix(spark, sf_dir):
     )
 
 
+@spec(
+    "text_chunk",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), n AS (
+      SELECT doc_id, toks,
+             1 + (GREATEST(len(toks) - 32, 0) + 23) // 24 AS n_chunks
+      FROM t
+    ), c AS (
+      SELECT doc_id, toks,
+             CAST(UNNEST(range(0, n_chunks)) AS INTEGER) AS chunk_idx
+      FROM n
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32))
+                AS INTEGER) AS n_tokens,
+           md5(array_to_string(
+                 list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' '))
+             AS chunk_md5
+    FROM c
+    """,
+    doc=(
+        "Overlapping token-window chunking (32-token windows, stride 24 — "
+        "the RAG/pretraining document-splitting shape): tokens → "
+        "integer-arithmetic chunk count → sequence+posexplode fan-out → "
+        "per-chunk slice. Pure generator/expression work, no UDF and no "
+        "shuffle — chunking is embarrassingly parallel and the bounded "
+        "fan-out (≤ n_tokens/stride rows per doc) keeps task output "
+        "proportional to input at 100 TB. Chunk content is emitted as "
+        "md5 so the hash check covers the exact slice contents."
+    ),
+)
+def text_chunk(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(F.col("doc_id"), T.tokens("text").alias("toks")).withColumn(
+        "n_chunks",
+        F.lit(1) + F.expr("(greatest(size(toks) - 32, 0) + 23) div 24"),
+    )
+    c = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0).cast("int"), (F.col("n_chunks") - 1).cast("int"))
+        ).alias("chunk_idx"),
+    )
+    sl = F.slice(F.col("toks"), F.col("chunk_idx") * 24 + 1, F.lit(32))
+    return c.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(sl).cast("int").alias("n_tokens"),
+        F.md5(F.array_join(sl, " ")).alias("chunk_md5"),
+    )
+
+
 SPECS = [
     text_tokenize_tf,
     text_ngrams,
@@ -948,4 +1003,5 @@ SPECS = [
     text_repetition,
     dedup_decontaminate,
     corpus_mix,
+    text_chunk,
 ]

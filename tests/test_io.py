@@ -98,6 +98,29 @@ def test_video_frame_sampling_fanout(spark):
     assert frames.where(F.col("frame_idx") < 0).count() == 0
 
 
+def test_audio_feature_extraction(spark):
+    from odl_etl_spark.operators.multimodal import (
+        _FAKE_RATES,
+        extract_audio_features,
+    )
+
+    rows = [
+        (i, "audio", "audio/wav", bytes(range(max(i % 251, 1))) * (i + 1), {})
+        for i in range(10)
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_audio_features(media).collect()
+    assert len(feats) == 10
+    by_id = {r["media_id"]: r for r in feats}
+    for i, r in by_id.items():
+        assert r["sample_rate"] in _FAKE_RATES
+        assert r["n_samples"] == len(rows[i][3]) * 4
+        assert r["duration_ms"] == r["n_samples"] * 1000 // r["sample_rate"]
+        assert 0.0 <= r["rms"] <= 1.0
+    again = {r["media_id"]: r["rms"] for r in extract_audio_features(media).collect()}
+    assert {r["media_id"]: r["rms"] for r in feats} == again
+
+
 def test_jdbc_wrapper_validates_args(spark):
     import pytest
 
