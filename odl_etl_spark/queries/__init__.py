@@ -18,6 +18,7 @@ def registry() -> dict[str, QuerySpec]:
         events,
         graph,
         joins,
+        ml,
         multimodal,
         scalars,
         scans,
@@ -41,6 +42,7 @@ def registry() -> dict[str, QuerySpec]:
         similarity,
         graph,
         multimodal,
+        ml,
     ]
     out: dict[str, QuerySpec] = {}
     for mod in modules:
@@ -59,6 +61,11 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
     unchanged spec in round 1."""
     first = [
         # newest keys — no correctness row yet
+        "emb_kmeans",
+        "emb_covariance",
+        "sketch_countmin",
+        "text_bm25",
+        "corpus_split",
         "text_chunk",
         "scd2_build",
         "timeseries_resample",

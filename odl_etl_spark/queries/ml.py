@@ -1,0 +1,476 @@
+"""ML / retrieval specs over the documents + embeddings corpora.
+
+Derivation: the reference feeds learning-analytics pipelines
+(mitodl/odl-etl mitx_etl.py's course-data exports); the 100 TB
+generalization is the training-data ML tier — clustering, second-moment
+statistics, sketched frequency estimation, lexical retrieval, and
+deterministic corpus splitting. Every spec is expression-level Spark
+(zero Python in the hot path) with a literal DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from odl_etl_spark.functions.numeric import roundn
+from odl_etl_spark.io.sources import load_table, spread
+from odl_etl_spark.queries.base import spec
+
+_K = 8
+_ITERS = 2
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+_NIB = "(strpos('0123456789abcdef', substring({d}, {j}, 1)) - 1)"
+
+
+def _hexval(d: str, start: int, n: int) -> str:
+    """DuckDB expression: integer value of ``n`` hex nibbles of ``d``
+    starting at 1-based position ``start`` (same trick as
+    queries/multimodal.py — md5 as a portable deterministic hash)."""
+    return " + ".join(
+        f"{_NIB.format(d=d, j=start + i)} * {16 ** (n - 1 - i)}" for i in range(n)
+    )
+
+
+def _spark_hex(col, start: int, n: int):
+    """Spark twin of ``_hexval``: integer value of n hex nibbles of an
+    md5 digest column (conv is codegen'd, no UDF)."""
+    return F.conv(F.substring(col, start, n), 16, 10).cast("bigint")
+
+
+# --------------------------------------------------------------------------
+# k-means (fixed-point, like graph_pagerank: deterministic init, fixed
+# iteration count, so the whole trajectory is SQL-replicable)
+# --------------------------------------------------------------------------
+
+
+def _kmeans_oracle(k: int = _K, iters: int = _ITERS) -> str:
+    """Chained-CTE Lloyd's iterations: init centroids = per-dim means of
+    the (vec_id % k) groups; each round assigns by squared-L2 argmin
+    (row_number tie-break on cluster id) and re-averages."""
+    prev_cent, chain = "cent0", ""
+    for t in range(1, iters + 1):
+        chain += f""", d{t} AS (
+      SELECT e.vec_id, c.c, SUM((e.x - c.cx) * (e.x - c.cx)) AS d2
+      FROM ex e JOIN {prev_cent} c ON e.i = c.i
+      GROUP BY e.vec_id, c.c
+    ), a{t} AS (
+      SELECT vec_id, c, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+      FROM d{t}
+    ), asg{t} AS (SELECT vec_id, c, d2 FROM a{t} WHERE rn = 1
+    ), cent{t} AS (
+      SELECT a.c, e.i, AVG(e.x) AS cx
+      FROM ex e JOIN asg{t} a ON a.vec_id = e.vec_id
+      GROUP BY a.c, e.i
+    )"""
+        prev_cent = f"cent{t}"
+    return f"""
+    WITH ex AS (
+      SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ), cent0 AS (
+      SELECT vec_id % {k} AS c, i, AVG(x) AS cx FROM ex GROUP BY vec_id % {k}, i
+    ){chain}
+    SELECT c AS cluster, COUNT(*) AS n_vecs,
+           ROUND(AVG(d2) * 10000) / 10000 AS avg_d2
+    FROM asg{iters} GROUP BY c
+"""
+
+
+@spec(
+    "emb_kmeans",
+    _kmeans_oracle(),
+    doc=(
+        "Lloyd's k-means, k=8, 2 fixed iterations, deterministic init "
+        "(per-dim means of the vec_id%k groups). Spark runs the classic "
+        "distributed loop: centroids are collected to the driver per "
+        "round (k x d = 512 doubles — O(1) parameter data, the "
+        "broadcast-variables pattern) and re-enter the plan as LITERAL "
+        "nested arrays, so each assignment pass is one codegen'd scan — "
+        "transform() computes all k squared distances per row, "
+        "array_position(.., array_min(..)) is the argmin with "
+        "first-index (= lowest cluster) tie-break, matching the "
+        "oracle's row_number ORDER BY d2, c. Per iteration: one scan + "
+        "one (cluster, dim)-keyed agg with map-side combine; at 100 TB "
+        "that is k*d partials per task, no shuffle of the corpus, and "
+        "the iteration count is fixed — the identical chained-CTE "
+        "trajectory is what the oracle replays."
+    ),
+)
+def emb_kmeans(spark, sf_dir, k: int = _K, iters: int = _ITERS):
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ex = e.select(
+        "vec_id", (F.col("vec_id") % k).alias("c"), F.posexplode("v").alias("i", "x")
+    )
+    cent_rows = (
+        ex.groupBy("c", "i").agg(F.avg("x").alias("cx")).collect()
+    )  # k*d parameter doubles, never data-sized
+
+    assigned = None
+    for _ in range(iters):
+        by_c: dict[int, dict[int, float]] = {}
+        for r in cent_rows:
+            by_c.setdefault(r["c"], {})[r["i"]] = r["cx"]
+        clusters = sorted(by_c)
+        cent_lit = F.array(
+            *[
+                F.array(*[F.lit(by_c[c][i]) for i in sorted(by_c[c])])
+                for c in clusters
+            ]
+        )
+        cid_lit = F.array(*[F.lit(c) for c in clusters])
+        d2s = F.transform(
+            cent_lit,
+            lambda cv: F.aggregate(
+                F.zip_with(F.col("v"), cv, lambda x, m: (x - m) * (x - m)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        assigned = e.select(
+            "vec_id",
+            "v",
+            F.element_at(
+                cid_lit, F.array_position(d2s, F.array_min(d2s)).cast("int")
+            ).alias("cluster"),
+            F.array_min(d2s).alias("d2"),
+        )
+        cent_rows = (
+            assigned.select(
+                F.col("cluster").alias("c"), F.posexplode("v").alias("i", "x")
+            )
+            .groupBy("c", "i")
+            .agg(F.avg("x").alias("cx"))
+            .collect()
+        )
+
+    return assigned.groupBy("cluster").agg(
+        F.count("*").alias("n_vecs"), roundn(F.avg("d2"), 4).alias("avg_d2")
+    )
+
+
+# --------------------------------------------------------------------------
+# covariance / Gram matrix (PCA prep)
+# --------------------------------------------------------------------------
+
+
+@spec(
+    "emb_covariance",
+    """
+    WITH ex AS (
+      SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ), mu AS (
+      SELECT i, AVG(x) AS m, COUNT(*) AS n FROM ex GROUP BY i
+    ), pr AS (
+      SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS sxy
+      FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i
+    )
+    SELECT pr.i, pr.j,
+           ROUND((sxy / mi.n - mi.m * mj.m) * 1000000) / 1000000 AS cov
+    FROM pr JOIN mu mi ON mi.i = pr.i JOIN mu mj ON mj.i = pr.j
+    """,
+    doc=(
+        "Upper-triangle empirical covariance of the embedding "
+        "distribution (the one dense matrix PCA/whitening needs). The "
+        "Spark side never self-joins the corpus: a nested transform() "
+        "emits each row's d(d+1)/2 upper-triangle products as one "
+        "generator expression, so the only shuffle is the final "
+        "(i,j)-keyed agg — 2,080 groups regardless of corpus size, "
+        "map-side-combined to one partial matrix per task. That is the "
+        "standard distributed Gram-matrix computation: reduce "
+        "per-partition outer-product partials, never pairs of rows. "
+        "Dimension means join in as a broadcast (d rows)."
+    ),
+)
+def emb_covariance(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("v"),
+            lambda x, i: F.transform(
+                F.slice(F.col("v"), i + 1, F.size("v") - i),
+                lambda y, j: F.struct(
+                    (i + 1).alias("i"), (i + j + 1).alias("j"), (x * y).alias("p")
+                ),
+            ),
+        )
+    )
+    sums = (
+        spread(e)
+        .select(F.explode(pairs).alias("t"))
+        .select("t.i", "t.j", "t.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("sxy"))
+    )
+    mu = (
+        e.select(F.posexplode("v").alias("i0", "x"))
+        .select((F.col("i0") + 1).alias("i"), "x")
+        .groupBy("i")
+        .agg(F.avg("x").alias("m"), F.count("*").alias("n"))
+    )
+    mi = mu.select(F.col("i").alias("_i"), F.col("m").alias("mi"), "n")
+    mj = mu.select(F.col("i").alias("_j"), F.col("m").alias("mj"))
+    return (
+        sums.join(F.broadcast(mi), sums.i == mi._i)
+        .join(F.broadcast(mj), sums.j == mj._j)
+        .select(
+            "i",
+            "j",
+            roundn(F.col("sxy") / F.col("n") - F.col("mi") * F.col("mj"), 6).alias(
+                "cov"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# count-min sketch heavy hitters
+# --------------------------------------------------------------------------
+
+_CM_ROWS = 4
+_CM_W = 64
+
+
+def _cm_bucket_sql(j: int) -> str:
+    # row j uses nibbles [1+4j, 4+4j] of md5(term) — 4 independent
+    # 16-bit hashes from one digest.
+    return f"({_hexval('m', 1 + 4 * j, 4)}) % {_CM_W}"
+
+
+@spec(
+    "sketch_countmin",
+    f"""
+    WITH toks AS (
+      SELECT UNNEST({_TOKS_SQL}) AS term FROM documents
+    ), th AS (
+      SELECT term, md5(term) AS m FROM toks
+    ), tb AS (
+      SELECT term,
+             {', '.join(f'{_cm_bucket_sql(j)} AS b{j}' for j in range(_CM_ROWS))}
+      FROM th
+    ), sk AS (
+      {' UNION ALL '.join(
+          f"SELECT {j} AS r, b{j} AS b, COUNT(*) AS cnt FROM tb GROUP BY b{j}"
+          for j in range(_CM_ROWS)
+      )}
+    ), exact AS (
+      SELECT term, COUNT(*) AS tf,
+             {', '.join(f'MIN(b{j}) AS b{j}' for j in range(_CM_ROWS))}
+      FROM tb GROUP BY term
+    ), cand AS (
+      SELECT * FROM exact ORDER BY tf DESC, term ASC LIMIT 10
+    )
+    SELECT c.term, c.tf AS exact_tf, CAST(MIN(s.cnt) AS BIGINT) AS est_tf
+    FROM cand c JOIN sk s
+      ON (s.r = 0 AND s.b = c.b0) OR (s.r = 1 AND s.b = c.b1)
+      OR (s.r = 2 AND s.b = c.b2) OR (s.r = 3 AND s.b = c.b3)
+    GROUP BY c.term, c.tf
+    """,
+    doc=(
+        "Count-min sketch (4 x 64, md5-nibble hash rows) over the token "
+        "stream, probed for the exact top-10 terms: est_tf = min over "
+        "rows of the hashed bucket's count, always >= exact_tf. The "
+        "sketch is the mergeable-summary pattern (same family as the "
+        "agg_sketch_partial HLL key): per-task partials are 256 "
+        "counters regardless of input size, combined map-side, so at "
+        "100 TB the frequency table never materializes — only the "
+        "fixed-size sketch and the candidate probe move. Hashing is "
+        "conv(substring(md5)) — codegen'd, identical nibble arithmetic "
+        "on both engines."
+    ),
+)
+def sketch_countmin(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    from odl_etl_spark.functions import text as T
+
+    toks = spread(d).select(F.explode(T.tokens("text")).alias("term"))
+    th = toks.select("term", F.md5("term").alias("m"))
+    tb = th.select(
+        "term",
+        *[
+            (_spark_hex(F.col("m"), 1 + 4 * j, 4) % _CM_W).alias(f"b{j}")
+            for j in range(_CM_ROWS)
+        ],
+    )
+    sk = None
+    for j in range(_CM_ROWS):
+        part = tb.groupBy(F.col(f"b{j}").alias("b")).agg(F.count("*").alias("cnt"))
+        part = part.select(F.lit(j).alias("r"), "b", "cnt")
+        sk = part if sk is None else sk.unionByName(part)
+    exact = tb.groupBy("term").agg(
+        F.count("*").alias("tf"),
+        *[F.min(f"b{j}").alias(f"b{j}") for j in range(_CM_ROWS)],
+    )
+    cand = exact.orderBy(F.col("tf").desc(), F.col("term").asc()).limit(10)
+    probe_cond = None
+    for j in range(_CM_ROWS):
+        c = (F.col("s.r") == j) & (F.col("s.b") == F.col(f"c.b{j}"))
+        probe_cond = c if probe_cond is None else (probe_cond | c)
+    return (
+        cand.alias("c")
+        .join(F.broadcast(sk.alias("s")), probe_cond)
+        .groupBy(F.col("c.term").alias("term"), F.col("c.tf").alias("exact_tf"))
+        .agg(F.min("s.cnt").alias("est_tf"))
+    )
+
+
+# --------------------------------------------------------------------------
+# BM25 lexical retrieval
+# --------------------------------------------------------------------------
+
+_K1 = 1.2
+_B = 0.75
+
+
+@spec(
+    "text_bm25",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, t AS term, COUNT(*) AS tf
+      FROM (SELECT doc_id, UNNEST({_TOKS_SQL}) AS t FROM documents)
+      GROUP BY doc_id, t
+    ), dl AS (
+      SELECT doc_id, CAST(len({_TOKS_SQL}) AS DOUBLE) AS dl FROM documents
+    ), stats AS (
+      SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), q AS (
+      SELECT term, df,
+             ROW_NUMBER() OVER (ORDER BY df DESC, term ASC) AS rnk
+      FROM dfreq QUALIFY rnk BETWEEN 11 AND 15
+    ), scored AS (
+      SELECT tf.doc_id,
+             LN(1 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+               * tf.tf * ({_K1} + 1)
+               / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / s.avgdl)) AS sc
+      FROM tf JOIN q USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    )
+    SELECT doc_id, ROUND(SUM(sc) * 10000) / 10000 AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+    """,
+    doc=(
+        "BM25 (k1=1.2, b=0.75) retrieval for a data-derived 5-term query "
+        "(df ranks 11-15 — frequent but not ubiquitous, so both engines "
+        "derive the identical query). The plan is inverted-index-shaped: "
+        "the (doc, term, tf) postings relation is the big side and "
+        "shuffles once; query terms, document lengths' global stats, and "
+        "the df table are broadcast. ORDER BY the ROUNDED score with a "
+        "doc_id tie-break so the top-20 cut is stable under 1-ulp "
+        "float-summation differences between engines. At 100 TB the "
+        "postings for 5 query terms are a tiny filtered slice — the "
+        "semi-join on the query vocabulary prunes before any scoring."
+    ),
+)
+def text_bm25(spark, sf_dir):
+    from odl_etl_spark.functions import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = spread(d).select("doc_id", T.tokens("text").alias("ts"))
+    tf = (
+        toks.select("doc_id", F.explode("ts").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = toks.select("doc_id", F.size("ts").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs")
+    ).collect()[0]  # two scalars — driver parameter data
+    avgdl, n_docs = stats["avgdl"], stats["n_docs"]
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window
+
+    # TakeOrderedAndProject cuts the vocabulary to 15 rows distributedly;
+    # the unpartitioned row_number then ranks a 15-row frame, not the
+    # full df table (which is vocabulary-sized at 100 TB).
+    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    q = (
+        dfreq.orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(15)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk").between(11, 15))
+        .select("term", "df")
+    )
+    idf = F.log(1 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    sc = (
+        idf
+        * F.col("tf")
+        * (_K1 + 1)
+        / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.lit(float(avgdl))))
+    )
+    return (
+        tf.join(F.broadcast(q), "term")
+        .join(dl, "doc_id")
+        .select("doc_id", sc.alias("sc"))
+        .groupBy("doc_id")
+        .agg(roundn(F.sum("sc"), 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# deterministic corpus split
+# --------------------------------------------------------------------------
+
+
+@spec(
+    "corpus_split",
+    f"""
+    WITH b AS (
+      SELECT doc_id, lang, n_chars,
+             ({_hexval("md5(CAST(doc_id AS VARCHAR))", 1, 4)}) % 100 AS bkt
+      FROM documents
+    )
+    SELECT CASE WHEN bkt < 80 THEN 'train'
+                WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars) * 100) / 100 AS avg_chars,
+           COUNT(DISTINCT lang) AS n_langs,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM b GROUP BY 1
+    """,
+    doc=(
+        "Deterministic 80/10/10 train/val/test split by hash bucket "
+        "(md5(doc_id) nibbles % 100) — the reproducible-eval-holdout "
+        "primitive every training pipeline needs: membership is a pure "
+        "function of the key, so re-runs, backfills, and other engines "
+        "agree on every document with no stored split table. "
+        "Embarrassingly parallel (no shuffle before the 3-group agg); "
+        "the same expression doubles as a sampling predicate that "
+        "pushes down to the scan."
+    ),
+)
+def corpus_split(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    bkt = (
+        _spark_hex(F.md5(F.col("doc_id").cast("string")), 1, 4) % 100
+    )
+    split = (
+        F.when(bkt < 80, "train").when(bkt < 90, "val").otherwise("test")
+    )
+    return d.select(split.alias("split"), "lang", "n_chars", "doc_id").groupBy(
+        "split"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        roundn(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+SPECS = [emb_kmeans, emb_covariance, sketch_countmin, text_bm25, corpus_split]
