@@ -20,6 +20,7 @@ def registry() -> dict[str, QuerySpec]:
         joins,
         ml,
         multimodal,
+        quality,
         scalars,
         scans,
         setops,
@@ -43,6 +44,7 @@ def registry() -> dict[str, QuerySpec]:
         graph,
         multimodal,
         ml,
+        quality,
     ]
     out: dict[str, QuerySpec] = {}
     for mod in modules:
@@ -61,6 +63,12 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
     unchanged spec in round 1."""
     first = [
         # newest keys — no correctness row yet
+        "text_unigram_ppl",
+        "dedup_span_coverage",
+        "events_path_topk",
+        "timeseries_ewma",
+        "agg_decimal_exact",
+        "sort_zorder",
         "emb_kmeans",
         "emb_covariance",
         "sketch_countmin",

@@ -480,6 +480,41 @@ def unpivot_long(spark, sf_dir):
     )
 
 
+@spec(
+    "agg_decimal_exact",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+             AS sum_price,
+           CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+             AS min_price,
+           CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+             AS max_price,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc=(
+        "Exact DECIMAL(18,2) money aggregation — the financial-ledger "
+        "semantics double arithmetic can't give: SUM over fixed-point "
+        "decimals is associative and commutative, so the result is "
+        "bit-identical under any partitioning/combine order (emitted as "
+        "VARCHAR so the cross-engine hash compares digits, not float "
+        "representations). Same partial+final hash-agg plan as "
+        "agg_groupby; Spark widens the accumulator to DECIMAL(28,2) so "
+        "100 TB of cents can't overflow. The cast itself is codegen'd."
+    ),
+)
+def agg_decimal_exact(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(dec).cast("string").alias("sum_price"),
+        F.min(dec).cast("string").alias("min_price"),
+        F.max(dec).cast("string").alias("max_price"),
+        F.count("*").alias("n"),
+    )
+
+
 SPECS = [
     agg_groupby,
     agg_stats,
@@ -497,4 +532,5 @@ SPECS = [
     agg_histogram,
     agg_mode,
     unpivot_long,
+    agg_decimal_exact,
 ]

@@ -491,6 +491,129 @@ def events_anomaly(spark, sf_dir):
     )
 
 
+@spec(
+    "events_path_topk",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             LAG(event_type, 2) OVER w AS e2,
+             LAG(event_type, 1) OVER w AS e1
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    )
+    SELECT e2 || '>' || e1 || '>' || event_type AS path, COUNT(*) AS n
+    FROM o WHERE e2 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 10
+    """,
+    doc=(
+        "Top event-type trigram paths (sequence mining / journey "
+        "analysis): each user's event stream in (ts, event_id) order "
+        "yields one 3-gram per position via two lag()s over a "
+        "user-partitioned window — no self-join, state is two rows per "
+        "partition. The path-count agg has event-type^3 groups "
+        "(map-side-combined to near-nothing) and the top-10 cut is "
+        "TakeOrderedAndProject. One user-keyed shuffle total; at "
+        "100 TB that partitioning is shared with every other per-user "
+        "stage in the pipeline."
+    ),
+)
+def events_path_topk(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "event_type",
+        F.lag("event_type", 2).over(w).alias("e2"),
+        F.lag("event_type", 1).over(w).alias("e1"),
+    )
+    return (
+        o.where(F.col("e2").isNotNull())
+        .select(
+            F.concat_ws(">", "e2", "e1", "event_type").alias("path"),
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(10)
+    )
+
+
+_EWMA_LAGS = 8  # finite-impulse horizon (weights 2^-1 … 2^-8)
+
+
+def _ewma_oracle() -> str:
+    lags = ", ".join(
+        f"LAG(v, {i}) OVER w AS v{i}" for i in range(1, _EWMA_LAGS)
+    )
+    num = " + ".join(
+        f"COALESCE(v{i} * {2.0 ** -(i + 1)!r}, 0)" for i in range(_EWMA_LAGS)
+    )
+    den = " + ".join(
+        f"(CASE WHEN v{i} IS NULL THEN 0 ELSE {2.0 ** -(i + 1)!r} END)"
+        for i in range(_EWMA_LAGS)
+    )
+    return f"""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+             SUM(value) AS v
+      FROM events GROUP BY 1, 2
+    ), l AS (
+      SELECT event_type, hr, v AS v0, {lags}
+      FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+    )
+    SELECT event_type, strftime(hr, '%Y-%m-%d %H:00') AS hour,
+           ROUND(v0 * 100) / 100 AS v,
+           ROUND(({num}) / ({den}) * 10000) / 10000 AS ewma
+    FROM l
+    """
+
+
+@spec(
+    "timeseries_ewma",
+    _ewma_oracle(),
+    doc=(
+        "Exponentially weighted moving average over the hourly series "
+        "per event type, as a finite-impulse filter: weights 2^-(i+1) "
+        "over the last 8 points, renormalized at the series head — "
+        "dyadic weights are exact in binary floats, so both engines "
+        "compute bit-identical sums. The recursion is unrolled into 7 "
+        "lag()s over one type-partitioned window on the HOURLY "
+        "aggregate (hour-cardinality rows, not raw events): smoothing "
+        "runs over data that is already 3-6 orders of magnitude smaller "
+        "than the input, and the window partitioning reuses the "
+        "aggregate's shuffle."
+    ),
+)
+def timeseries_ewma(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    h = (
+        e.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hr")
+        ).agg(F.sum("value").alias("v0"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    lags = [F.col("v0")] + [
+        F.lag("v0", i).over(w).alias(f"v{i}") for i in range(1, _EWMA_LAGS)
+    ]
+    l = h.select("event_type", "hr", *lags)
+    num = sum(
+        (F.coalesce(F.col(f"v{i}") * F.lit(2.0 ** -(i + 1)), F.lit(0.0))
+         for i in range(1, _EWMA_LAGS)),
+        F.col("v0") * F.lit(2.0 ** -1),
+    )
+    den = sum(
+        (F.when(F.col(f"v{i}").isNull(), 0.0).otherwise(2.0 ** -(i + 1))
+         for i in range(1, _EWMA_LAGS)),
+        F.lit(2.0 ** -1),
+    )
+    return l.select(
+        "event_type",
+        F.date_format("hr", "yyyy-MM-dd HH:00").alias("hour"),
+        roundn(F.col("v0"), 2).alias("v"),
+        roundn(num / den, 4).alias("ewma"),
+    )
+
+
 SPECS = [
     events_funnel,
     events_retention,
@@ -500,4 +623,6 @@ SPECS = [
     scd2_build,
     timeseries_resample,
     events_anomaly,
+    events_path_topk,
+    timeseries_ewma,
 ]

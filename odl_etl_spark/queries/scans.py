@@ -280,6 +280,69 @@ def sql_tpch_q3(spark, sf_dir):
     return spark.sql(_Q3_SQL)
 
 
+_ZBITS = 8  # bits interleaved per key → 16-bit z-value
+
+
+def _z_sql(p: str, s: str) -> str:
+    terms = []
+    for i in range(_ZBITS):
+        terms.append(f"(({p} // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"(({s} // {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+@spec(
+    "sort_zorder",
+    f"""
+    WITH b AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             l_partkey % {1 << _ZBITS} AS p8, l_suppkey % {1 << _ZBITS} AS s8
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           CAST({_z_sql('p8', 's8')} AS BIGINT) AS zval
+    FROM b
+    ORDER BY zval ASC, l_orderkey ASC, l_linenumber ASC LIMIT 100
+    """,
+    doc=(
+        "Z-order (Morton) clustering key over (l_partkey, l_suppkey): "
+        "interleave 8 bits of each key into one 16-bit zval, then a "
+        "distributed TakeOrderedAndProject. The zval expression is the "
+        "data-LAYOUT primitive: writing files sorted by zval co-locates "
+        "rows close in BOTH dimensions, so min/max parquet row-group "
+        "stats prune scans with predicates on either key — the "
+        "multi-dimensional generalization of the reference's "
+        "date-prefix layout (mitx_etl.py:138). Pure integer bit "
+        "arithmetic (shift/mod), codegen'd, shuffle-free before the "
+        "top-k cut; identical digit semantics in both engines."
+    ),
+)
+def sort_zorder(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    p8 = F.col("l_partkey") % (1 << _ZBITS)
+    s8 = F.col("l_suppkey") % (1 << _ZBITS)
+    z = None
+    for i in range(_ZBITS):
+        for src, off in ((p8, 1), (s8, 0)):
+            bit = F.shiftleft(
+                ((src / (1 << i)).cast("bigint") % 2), 2 * i + off
+            )
+            z = bit if z is None else z + bit
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_suppkey",
+            z.cast("bigint").alias("zval"),
+        )
+        .orderBy(
+            F.col("zval").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+        )
+        .limit(100)
+    )
+
+
 SPECS = [
     scan_parquet,
     scan_pruned,
@@ -289,4 +352,5 @@ SPECS = [
     sink_orc_roundtrip,
     sink_upsert,
     sql_tpch_q3,
+    sort_zorder,
 ]
