@@ -51,15 +51,35 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(time.perf_counter() - t_suite, 3)
 
+    result = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+    }
+    # The driver records a size-capped stdout *tail*; at 122+ queries the
+    # one JSON line outgrew the cap in round 2 and its head was truncated
+    # (VERDICT.md r2, What's-missing #2). Durable copy goes to disk first;
+    # stdout still carries the full line, printed last so the tail keeps
+    # as much of it as fits.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SUMMARY.json"),
+        "w",
+    ) as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
     print(
         json.dumps(
             {
                 "metric": "suite_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
                 "n_queries": len(timings),
+                "detail": "BENCH_SUMMARY.json",
+                "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10]),
             }
         )
     )

@@ -16,6 +16,7 @@ def registry() -> dict[str, QuerySpec]:
     from odl_etl_spark.queries import (
         aggs,
         events,
+        extras,
         graph,
         joins,
         ml,
@@ -45,6 +46,7 @@ def registry() -> dict[str, QuerySpec]:
         multimodal,
         ml,
         quality,
+        extras,
     ]
     out: dict[str, QuerySpec] = {}
     for mod in modules:
@@ -56,93 +58,65 @@ def registry() -> dict[str, QuerySpec]:
 
 
 def _check_order(out: dict[str, QuerySpec]) -> list[str]:
-    """Key order = driver check order. The round-1 gate verified exactly
-    the first 50 registry keys, so keys still awaiting a correctness row
-    (the whole text/dedup/similarity tier) and keys whose spec changed
-    this round come first; the tail is keys already verified green on an
-    unchanged spec in round 1."""
+    """Key order = driver check order. The driver's gate verifies exactly
+    the first 50 registry keys per round, so ordering is the verification
+    budget. Round-3 priority (VERDICT.md r2, Next-round #1): the 27 keys
+    that have never had a driver correctness row, then the one r2 FAIL
+    (`emb_covariance`, determinism-fixed this round), then any keys new
+    in round 3 — everything else is already driver-green on an unchanged
+    spec and sits behind the window."""
     first = [
-        # newest keys — no correctness row yet
-        "text_unigram_ppl",
-        "dedup_span_coverage",
-        "events_path_topk",
-        "timeseries_ewma",
-        "agg_decimal_exact",
-        "sort_zorder",
-        "emb_kmeans",
-        "emb_covariance",
-        "sketch_countmin",
-        "text_bm25",
-        "corpus_split",
-        "text_chunk",
-        "scd2_build",
-        "timeseries_resample",
-        "events_anomaly",
-        "multimodal_audio_features",
-        "sink_orc_roundtrip",
-        # never oracle-checked by the driver (round 1 stopped at key 50)
-        "stream_dedup",
-        "text_tokenize_tf",
-        "text_ngrams",
-        "text_lang_stats",
-        "text_token_count",
-        "text_quality",
-        "text_langid",
-        "text_fingerprint",
-        "dedup_exact",
-        "dedup_fingerprint",
-        "dedup_ngram_jaccard",
-        "dedup_near",
-        "dedup_simhash",
-        "sim_topk",
-        "sim_pairwise_label",
-        "sim_ann_ivf",
-        "emb_centroid_dist",
-        # spec changed this round — re-verification needed
-        "scalar_map",
-        "agg_pivot",
-        "agg_approx_quantile",
-        "agg_approx_distinct",
-        "win_ntile",
-        # new keys this round — no correctness row yet
-        "dedup_embedding",
-        "dedup_cluster",
-        "text_tfidf",
-        "sim_knn_join",
-        "text_pii_scrub",
-        "text_winnow_fp",
-        "text_pack_sequences",
-        "sample_stratified",
-        "text_bpe_count",
-        "corpus_filter",
-        "stream_interval_join",
-        "text_repetition",
-        "dedup_decontaminate",
-        "corpus_mix",
-        "events_funnel",
-        "events_retention",
-        "events_transitions",
-        "emb_quantize",
-        "join_skew_salted",
-        "agg_sketch_partial",
-        "agg_exact_median",
-        "join_bucketed",
+        # --- never driver-checked in r1/r2 (27 keys, all selfcheck-green) ---
         "sink_csv_roundtrip",
         "sink_jsonl_roundtrip",
         "sink_upsert",
+        "explode_posexplode",
         "udaf_regression",
+        "join_bucketed",
+        "join_skew_salted",
+        "agg_exact_median",
+        "agg_histogram",
+        "agg_mode",
+        "agg_sketch_partial",
+        "unpivot_long",
+        "timeseries_gapfill",
+        "events_attribution",
+        "events_funnel",
+        "events_retention",
+        "events_sessionize",
+        "events_transitions",
+        "corpus_mix",
+        "dedup_decontaminate",
+        "text_repetition",
+        "emb_quantize",
+        "sim_ann_hyperplane",
         "graph_pagerank",
         "multimodal_catalog",
         "multimodal_image_features",
         "multimodal_video_frames",
-        "events_sessionize",
-        "events_attribution",
-        "timeseries_gapfill",
-        "agg_histogram",
-        "agg_mode",
-        "unpivot_long",
-        "explode_posexplode",
-        "sim_ann_hyperplane",
+        # --- r2 FAIL, spec re-derived with order-independent integer sums ---
+        "emb_covariance",
+        # --- new in round 3 — no correctness row yet (slots 29-50) ---
+        "sql_tpch_q1",
+        "sql_tpch_q5",
+        "sql_tpch_q18",
+        "quality_gopher",
+        "corpus_filter_c4",
+        "text_ngram_containment",
+        "emb_norm_stats",
+        "join_interval_overlap",
+        "events_rfm",
+        "basket_pairs",
+        "events_active_users",
+        "agg_weighted",
+        "win_mad_outlier",
+        "text_ngram_profile",
+        "agg_grouping_id",
+        "text_entropy",
+        "events_funnel_time",
+        "emb_pq_codebook",
+        "text_idf_stop",
+        "orders_backlog",
     ]
     assert all(k in out for k in first), sorted(set(first) - set(out))
     return first + [k for k in out if k not in set(first)]

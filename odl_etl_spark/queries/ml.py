@@ -167,14 +167,19 @@ def emb_kmeans(spark, sf_dir, k: int = _K, iters: int = _ITERS):
              generate_subscripts(embedding, 1) AS i
       FROM embeddings
     ), mu AS (
-      SELECT i, AVG(x) AS m, COUNT(*) AS n FROM ex GROUP BY i
+      SELECT i, SUM(CAST(ROUND(x * 1000000000) AS BIGINT)) AS sx,
+             COUNT(*) AS n
+      FROM ex GROUP BY i
     ), pr AS (
-      SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS sxy
+      SELECT a.i AS i, b.i AS j,
+             SUM(CAST(ROUND(a.x * b.x * 1000000000) AS BIGINT)) AS sxy
       FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
       GROUP BY a.i, b.i
     )
     SELECT pr.i, pr.j,
-           ROUND((sxy / mi.n - mi.m * mj.m) * 1000000) / 1000000 AS cov
+           ROUND((sxy / 1000000000.0 / mi.n
+                  - (mi.sx / 1000000000.0 / mi.n)
+                    * (mj.sx / 1000000000.0 / mj.n)) * 1000000) / 1000000 AS cov
     FROM pr JOIN mu mi ON mi.i = pr.i JOIN mu mj ON mj.i = pr.j
     """,
     doc=(
@@ -187,7 +192,15 @@ def emb_kmeans(spark, sf_dir, k: int = _K, iters: int = _ITERS):
         "map-side-combined to one partial matrix per task. That is the "
         "standard distributed Gram-matrix computation: reduce "
         "per-partition outer-product partials, never pairs of rows. "
-        "Dimension means join in as a broadcast (d rows)."
+        "Dimension sums join in as a broadcast (d rows). Determinism: "
+        "double SUMs are accumulation-order-dependent and Spark's "
+        "partial aggs sum in a different order than the oracle, so both "
+        "engines accumulate scaled BIGINTs (round(p*1e9)) — exact "
+        "integer addition is commutative, making the hash reproducible "
+        "(the r2 driver FAIL was exactly this). Products of unit-scale "
+        "float32 embeddings scaled by 1e9 stay far below int64 range "
+        "until ~1e9 rows per (i,j) group; beyond that, widen the scale "
+        "to DECIMAL(38,0) on both engines."
     ),
 )
 def emb_covariance(spark, sf_dir):
@@ -200,7 +213,9 @@ def emb_covariance(spark, sf_dir):
             lambda x, i: F.transform(
                 F.slice(F.col("v"), i + 1, F.size("v") - i),
                 lambda y, j: F.struct(
-                    (i + 1).alias("i"), (i + j + 1).alias("j"), (x * y).alias("p")
+                    (i + 1).alias("i"),
+                    (i + j + 1).alias("j"),
+                    F.round(x * y * F.lit(1000000000.0)).cast("bigint").alias("p"),
                 ),
             ),
         )
@@ -214,21 +229,28 @@ def emb_covariance(spark, sf_dir):
     )
     mu = (
         e.select(F.posexplode("v").alias("i0", "x"))
-        .select((F.col("i0") + 1).alias("i"), "x")
+        .select(
+            (F.col("i0") + 1).alias("i"),
+            F.round(F.col("x") * F.lit(1000000000.0)).cast("bigint").alias("xq"),
+        )
         .groupBy("i")
-        .agg(F.avg("x").alias("m"), F.count("*").alias("n"))
+        .agg(F.sum("xq").alias("sx"), F.count("*").alias("n"))
     )
-    mi = mu.select(F.col("i").alias("_i"), F.col("m").alias("mi"), "n")
-    mj = mu.select(F.col("i").alias("_j"), F.col("m").alias("mj"))
+    scale = F.lit(1000000000.0)
+    mi = mu.select(F.col("i").alias("_i"), F.col("sx").alias("sxi"), "n")
+    mj = mu.select(F.col("i").alias("_j"), F.col("sx").alias("sxj"))
     return (
         sums.join(F.broadcast(mi), sums.i == mi._i)
         .join(F.broadcast(mj), sums.j == mj._j)
         .select(
             "i",
             "j",
-            roundn(F.col("sxy") / F.col("n") - F.col("mi") * F.col("mj"), 6).alias(
-                "cov"
-            ),
+            roundn(
+                F.col("sxy") / scale / F.col("n")
+                - (F.col("sxi") / scale / F.col("n"))
+                * (F.col("sxj") / scale / F.col("n")),
+                6,
+            ).alias("cov"),
         )
     )
 
