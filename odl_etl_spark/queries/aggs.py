@@ -309,6 +309,27 @@ def agg_approx_quantile(spark, sf_dir):
     )
 
 
+EXACT_PCTL_MAX_GROUPS = 10_000
+
+
+def guard_bounded_groups(df, key: str, bound: int = EXACT_PCTL_MAX_GROUPS) -> None:
+    """Refuse exact per-group percentiles over unbounded keys.
+
+    Exact percentile buffers every group's values in executor memory, so
+    it is only safe when the group count is bounded; unbounded keys must
+    route to the mergeable approx sketch (`agg_approx_quantile`). The
+    cardinality probe is a column-pruned approx_count_distinct — one
+    tiny extra job returning a single driver-side scalar (parameter
+    data, same posture as centroid collects)."""
+    n = df.select(F.approx_count_distinct(key).alias("n")).first()["n"]
+    if n > bound:
+        raise ValueError(
+            f"exact percentile over '{key}' (~{n} groups > {bound}): "
+            "per-group value buffering would be unbounded — use "
+            "agg_approx_quantile (mergeable sketch) for this key"
+        )
+
+
 @spec(
     "agg_exact_median",
     """
@@ -323,12 +344,14 @@ def agg_approx_quantile(spark, sf_dir):
         "(linear interpolation, same formula as DuckDB quantile_cont) — "
         "the exact counterpart of the agg_approx_quantile sketch. Exact "
         "percentile buffers each group's values, so at 100 TB it is for "
-        "bounded-cardinality groups only; unbounded groups use the "
+        "bounded-cardinality groups only; `guard_bounded_groups` "
+        "enforces that at runtime and steers unbounded keys to the "
         "approx sketch (mergeable, fixed memory)."
     ),
 )
 def agg_exact_median(spark, sf_dir):
     l = load_table(spark, sf_dir, "lineitem")
+    guard_bounded_groups(l, "l_returnflag")
     return l.groupBy("l_returnflag").agg(
         roundn(F.percentile("l_quantity", 0.5), 2).alias("med_qty"),
         roundn(F.percentile("l_extendedprice", 0.25), 2).alias("p25_price"),

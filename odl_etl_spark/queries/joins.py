@@ -301,22 +301,31 @@ def subq_scalar(spark, sf_dir):
     ),
 )
 def join_bucketed(spark, sf_dir):
+    import hashlib
     import os
     import tempfile
 
     from odl_etl_spark.io.bucketing import bucketed_join, write_bucketed
 
-    base = os.path.join(tempfile.gettempdir(), "odl_etl_spark_buckets")
+    # Path + table names are keyed by (application, sf_dir): a fixed
+    # location raced when two sessions (e.g. the driver's correctness
+    # gate and a concurrent bench) rebuilt the buckets simultaneously —
+    # one process read files the other was overwriting.
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}|{sf_dir}".encode()
+    ).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"odl_etl_spark_buckets_{tag}")
+    tl, to = f"b_lineitem_{tag}", f"b_orders_{tag}"
     l = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("orderkey"), "l_extendedprice"
     )
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("orderkey"), "o_orderstatus"
     )
-    write_bucketed(l, "b_lineitem", "orderkey", 8, path=os.path.join(base, "l"))
-    write_bucketed(o, "b_orders", "orderkey", 8, path=os.path.join(base, "o"))
+    write_bucketed(l, tl, "orderkey", 8, path=os.path.join(base, "l"))
+    write_bucketed(o, to, "orderkey", 8, path=os.path.join(base, "o"))
     return (
-        bucketed_join(spark, "b_lineitem", "b_orders", "orderkey")
+        bucketed_join(spark, tl, to, "orderkey")
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_items"),

@@ -232,17 +232,9 @@ def scalar_map(spark, sf_dir):
     ),
 )
 def udf_scalar_pandas(spark, sf_dir):
-    import hashlib
+    from odl_etl_spark.functions.pandas_udfs import salted_sha256_udf
 
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
-
-    # Note: no type hints — `from __future__ import annotations` turns them
-    # into unresolvable strings for Spark's hint-based eval-type inference.
-    @pandas_udf("string", PandasUDFType.SCALAR)
-    def hash_series(s):
-        salt = DEFAULT_SALT.encode()
-        return s.map(lambda v: hashlib.sha256(salt + v.encode()).hexdigest())
-
+    hash_series = salted_sha256_udf(DEFAULT_SALT)
     return load_table(spark, sf_dir, "customer").select(
         "c_custkey", hash_series("c_name").alias("hashed_id")
     )

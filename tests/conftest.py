@@ -36,3 +36,25 @@ def duck():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     yield con
     con.close()
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    """Emit PYTEST_SUMMARY.json at the repo root on every run, so the
+    per-round test health is a diffable artifact (VERDICT.md r2 #9)
+    without re-running minutes of Spark tests."""
+    import json
+    import time
+
+    stats = terminalreporter.stats
+    out = {
+        "exitstatus": int(exitstatus),
+        "passed": len(stats.get("passed", [])),
+        "failed": len(stats.get("failed", [])),
+        "error": len(stats.get("error", [])),
+        "skipped": len(stats.get("skipped", [])),
+        "duration_s": round(time.time() - terminalreporter._sessionstarttime, 1),
+        "failed_nodeids": [r.nodeid for r in stats.get("failed", [])][:25],
+    }
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PYTEST_SUMMARY.json"), "w") as f:
+        json.dump(out, f, indent=1)

@@ -248,3 +248,83 @@ def test_mode_window_runs_over_compressed_aggregate(spark, sf_dir):
     plan = explain_str(df)
     assert has_partial_aggregate(df)
     assert plan.index("partial_count") < plan.index("windowspecdefinition")
+
+
+def test_emb_covariance_never_joins_the_corpus(spark, sf_dir):
+    # The Gram matrix comes from per-row generator products reduced by
+    # the (i,j)-keyed agg — the corpus must never self-join on vec_id.
+    # The only joins are the two d-row dimension-sum broadcasts.
+    df = build("emb_covariance", spark, sf_dir)
+    plan = explain_str(df)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert has_broadcast_join(df)
+    assert has_partial_aggregate(df)
+    assert "vec_id" not in plan  # pairs are emitted row-local, keyed only by (i,j)
+
+
+def test_sketch_countmin_is_mergeable_partials(spark, sf_dir):
+    # Bucket counts must partial-combine map-side (the mergeability the
+    # sketch exists for); heavy-hitter cut is TakeOrdered, no global sort.
+    df = build("sketch_countmin", spark, sf_dir)
+    plan = explain_str(df)
+    assert has_partial_aggregate(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bm25_joins_are_broadcast_postings(spark, sf_dir):
+    # Corpus stats (N, avgdl, per-term df) are parameter-sized and must
+    # broadcast into the postings join; the ranked cut is TakeOrdered.
+    df = build("text_bm25", spark, sf_dir)
+    plan = explain_str(df)
+    assert has_broadcast_join(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rfm_ntiles_are_distributed(spark, sf_dir):
+    # All three NTILE(5) scores must use the two-level rank: range
+    # shuffle + _pid-partitioned row_number; the only unpartitioned
+    # windows run over the O(#partitions)-row offset tables.
+    plan = explain_str(build("events_rfm", spark, sf_dir))
+    assert "rangepartitioning" in plan
+    specs = re.findall(r"Arguments: \[(\w+\(\S*\)) windowspecdefinition\(([^,]+)", plan)
+    assert specs, "no window specs found"
+    for fn, first_arg in specs:
+        if fn.startswith("row_number"):
+            assert first_arg.startswith("_pid"), (fn, first_arg)
+        else:
+            assert fn.startswith("sum(_c"), f"unexpected unpartitioned window: {fn}"
+
+
+def test_backlog_cumsum_is_distributed(spark, sf_dir):
+    # Running totals go through global_cumsum's range shuffle, not an
+    # unpartitioned running-sum window over the day table.
+    plan = explain_str(build("orders_backlog", spark, sf_dir))
+    assert "rangepartitioning" in plan
+
+
+def test_tpch_q5_broadcasts_dims(spark, sf_dir):
+    # The star-join dims must broadcast; the agg partial-combines.
+    df = build("sql_tpch_q5", spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert has_partial_aggregate(df)
+
+
+def test_basket_pairs_broadcasts_part_dim(spark, sf_dir):
+    df = build("basket_pairs", spark, sf_dir)
+    plan = explain_str(df)
+    assert has_broadcast_join(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_exact_median_guard_rejects_unbounded_keys(spark, sf_dir):
+    import pytest as _pytest
+
+    from odl_etl_spark.io.sources import load_table
+    from odl_etl_spark.queries.aggs import guard_bounded_groups
+
+    l = load_table(spark, sf_dir, "lineitem")
+    guard_bounded_groups(l, "l_returnflag")  # 3 groups: fine
+    with _pytest.raises(ValueError, match="agg_approx_quantile"):
+        guard_bounded_groups(l, "l_orderkey", bound=100)
