@@ -42,8 +42,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     is engine-agnostic.
     """
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Session missed inferTimestampNTZ=false (externally-created
+            # session); with session tz UTC this cast reinterprets the naive
+            # value as a UTC instant — identical to DuckDB's naive-µs reading.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -36,6 +36,10 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Fixture timestamps are Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false);
+    # read them as TIMESTAMP (session tz = UTC above), not TIMESTAMP_NTZ, so
+    # unix_micros()/windowing semantics match DuckDB's naive-µs reading.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.shuffle.partitions": "32",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
