@@ -60,63 +60,68 @@ def registry() -> dict[str, QuerySpec]:
 def _check_order(out: dict[str, QuerySpec]) -> list[str]:
     """Key order = driver check order. The driver's gate verifies exactly
     the first 50 registry keys per round, so ordering is the verification
-    budget. Round-3 priority (VERDICT.md r2, Next-round #1): the 27 keys
-    that have never had a driver correctness row, then the one r2 FAIL
-    (`emb_covariance`, determinism-fixed this round), then any keys new
-    in round 3 — everything else is already driver-green on an unchanged
-    spec and sits behind the window."""
+    budget. Round-4 priority (VERDICT.md r3, Next-round #1 and #6): the
+    r2/r3 red `emb_covariance` (output now integer-exact), then the three
+    keys whose plans changed this round (`sink_upsert` restaged,
+    `graph_pagerank` checkpointed, `text_ngram_containment` moved to
+    array_intersect), then the 43 keys last driver-checked in round 1
+    (the stale-green tail), then the 3 oldest round-2-checked keys —
+    exactly 50. The 46 remaining r2-checked keys are the round-5 window."""
     first = [
-        # --- never driver-checked in r1/r2 (27 keys, all selfcheck-green) ---
-        "sink_csv_roundtrip",
-        "sink_jsonl_roundtrip",
-        "sink_upsert",
-        "explode_posexplode",
-        "udaf_regression",
-        "join_bucketed",
-        "join_skew_salted",
-        "agg_exact_median",
-        "agg_histogram",
-        "agg_mode",
-        "agg_sketch_partial",
-        "unpivot_long",
-        "timeseries_gapfill",
-        "events_attribution",
-        "events_funnel",
-        "events_retention",
-        "events_sessionize",
-        "events_transitions",
-        "corpus_mix",
-        "dedup_decontaminate",
-        "text_repetition",
-        "emb_quantize",
-        "sim_ann_hyperplane",
-        "graph_pagerank",
-        "multimodal_catalog",
-        "multimodal_image_features",
-        "multimodal_video_frames",
-        # --- r2 FAIL, spec re-derived with order-independent integer sums ---
+        # --- red in r2+r3: hashed output is now raw BIGINT stats ---
         "emb_covariance",
-        # --- new in round 3 — no correctness row yet (slots 29-50) ---
-        "sql_tpch_q1",
-        "sql_tpch_q5",
-        "sql_tpch_q18",
-        "quality_gopher",
-        "corpus_filter_c4",
+        # --- plans changed in round 4, need a fresh driver row ---
+        "sink_upsert",
+        "graph_pagerank",
         "text_ngram_containment",
-        "emb_norm_stats",
-        "join_interval_overlap",
-        "events_rfm",
-        "basket_pairs",
-        "events_active_users",
-        "agg_weighted",
-        "win_mad_outlier",
-        "text_ngram_profile",
-        "agg_grouping_id",
-        "text_entropy",
-        "events_funnel_time",
-        "emb_pq_codebook",
-        "text_idf_stop",
-        "orders_backlog",
+        # --- last driver-checked round 1 (43 keys, oldest first tier) ---
+        "sink_partitioned",
+        "sql_tpch_q3",
+        "project_hash_email",
+        "filter_pred",
+        "scalar_null",
+        "scalar_string",
+        "scalar_date",
+        "scalar_math",
+        "scalar_json",
+        "scalar_array",
+        "udf_scalar_pandas",
+        "join_inner_equi",
+        "join_full",
+        "subq_in",
+        "subq_scalar",
+        "join_broadcast",
+        "join_left",
+        "join_semi",
+        "join_anti",
+        "join_theta_range",
+        "join_multiway",
+        "join_asof",
+        "agg_groupby",
+        "agg_stats",
+        "agg_collect",
+        "agg_distinct",
+        "agg_rollup",
+        "agg_cube",
+        "agg_gsets",
+        "agg_having",
+        "win_rank",
+        "win_analytic",
+        "win_frame",
+        "win_cume",
+        "win_range_frame",
+        "sort_limit",
+        "topk_per_group",
+        "set_union",
+        "set_intersect",
+        "set_except",
+        "stream_tumbling",
+        "stream_sliding",
+        "stream_session",
+        # --- oldest round-2-checked keys (slots 48-50) ---
+        "sink_orc_roundtrip",
+        "sort_zorder",
+        "scalar_map",
     ]
     assert all(k in out for k in first), sorted(set(first) - set(out))
     return first + [k for k in out if k not in set(first)]

@@ -167,40 +167,43 @@ def emb_kmeans(spark, sf_dir, k: int = _K, iters: int = _ITERS):
              generate_subscripts(embedding, 1) AS i
       FROM embeddings
     ), mu AS (
-      SELECT i, SUM(CAST(ROUND(x * 1000000000) AS BIGINT)) AS sx,
+      SELECT i, CAST(SUM(CAST(ROUND(x * 1000000000) AS BIGINT)) AS BIGINT) AS sx,
              COUNT(*) AS n
       FROM ex GROUP BY i
     ), pr AS (
       SELECT a.i AS i, b.i AS j,
-             SUM(CAST(ROUND(a.x * b.x * 1000000000) AS BIGINT)) AS sxy
+             CAST(SUM(CAST(ROUND(a.x * b.x * 1000000000) AS BIGINT)) AS BIGINT)
+               AS sxy
       FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
       GROUP BY a.i, b.i
     )
-    SELECT pr.i, pr.j,
-           ROUND((sxy / 1000000000.0 / mi.n
-                  - (mi.sx / 1000000000.0 / mi.n)
-                    * (mj.sx / 1000000000.0 / mj.n)) * 1000000) / 1000000 AS cov
+    SELECT pr.i, pr.j, mi.n AS n, pr.sxy AS sxy, mi.sx AS sxi, mj.sx AS sxj
     FROM pr JOIN mu mi ON mi.i = pr.i JOIN mu mj ON mj.i = pr.j
     """,
     doc=(
-        "Upper-triangle empirical covariance of the embedding "
-        "distribution (the one dense matrix PCA/whitening needs). The "
-        "Spark side never self-joins the corpus: a nested transform() "
-        "emits each row's d(d+1)/2 upper-triangle products as one "
-        "generator expression, so the only shuffle is the final "
-        "(i,j)-keyed agg — 2,080 groups regardless of corpus size, "
-        "map-side-combined to one partial matrix per task. That is the "
-        "standard distributed Gram-matrix computation: reduce "
-        "per-partition outer-product partials, never pairs of rows. "
-        "Dimension sums join in as a broadcast (d rows). Determinism: "
-        "double SUMs are accumulation-order-dependent and Spark's "
-        "partial aggs sum in a different order than the oracle, so both "
-        "engines accumulate scaled BIGINTs (round(p*1e9)) — exact "
-        "integer addition is commutative, making the hash reproducible "
-        "(the r2 driver FAIL was exactly this). Products of unit-scale "
-        "float32 embeddings scaled by 1e9 stay far below int64 range "
-        "until ~1e9 rows per (i,j) group; beyond that, widen the scale "
-        "to DECIMAL(38,0) on both engines."
+        "Upper-triangle second-moment sufficient statistics of the "
+        "embedding distribution — the exact inputs to the covariance "
+        "matrix PCA/whitening needs: cov(i,j) = sxy/S/n − (sxi/S/n)· "
+        "(sxj/S/n) with S = 1e9, a trivial downstream float. The Spark "
+        "side never self-joins the corpus: a nested transform() emits "
+        "each row's d(d+1)/2 upper-triangle products as one generator "
+        "expression, so the only shuffle is the final (i,j)-keyed agg — "
+        "2,080 groups regardless of corpus size, map-side-combined to "
+        "one partial matrix per task. That is the standard distributed "
+        "Gram-matrix computation: reduce per-partition outer-product "
+        "partials, never pairs of rows. Dimension sums join in as a "
+        "broadcast (d rows). Determinism: double SUMs are accumulation-"
+        "order-dependent, so both engines accumulate scaled BIGINTs "
+        "(round(p*1e9)) — exact integer addition is commutative. The "
+        "HASHED OUTPUT is those integers verbatim: the r2/r3 driver "
+        "FAILs came from dividing the exact sums back into doubles and "
+        "rounding to 6 decimals, where a single near-tie cell flips the "
+        "hash depending on the engine's rounding route (VERDICT.md r3 "
+        "What's-wrong #1). No double may appear before the hash. "
+        "Products of unit-scale float32 embeddings scaled by 1e9 stay "
+        "far below int64 range until ~1e9 rows per (i,j) group; beyond "
+        "that, widen the scale to DECIMAL(38,0) on both engines "
+        "(guarded by assert_scaled_sum_headroom)."
     ),
 )
 def emb_covariance(spark, sf_dir):
@@ -236,22 +239,12 @@ def emb_covariance(spark, sf_dir):
         .groupBy("i")
         .agg(F.sum("xq").alias("sx"), F.count("*").alias("n"))
     )
-    scale = F.lit(1000000000.0)
     mi = mu.select(F.col("i").alias("_i"), F.col("sx").alias("sxi"), "n")
     mj = mu.select(F.col("i").alias("_j"), F.col("sx").alias("sxj"))
     return (
         sums.join(F.broadcast(mi), sums.i == mi._i)
         .join(F.broadcast(mj), sums.j == mj._j)
-        .select(
-            "i",
-            "j",
-            roundn(
-                F.col("sxy") / scale / F.col("n")
-                - (F.col("sxi") / scale / F.col("n"))
-                * (F.col("sxj") / scale / F.col("n")),
-                6,
-            ).alias("cov"),
-        )
+        .select("i", "j", "n", "sxy", "sxi", "sxj")
     )
 
 
