@@ -199,6 +199,17 @@ def test_pagerank_is_integer_exact_and_repeatable(spark, sf_dir):
     assert ranks == sorted(ranks, reverse=True) and ranks[-1] > 0
 
 
+def test_pagerank_final_plan_is_checkpoint_backed(spark, sf_dir):
+    # The iteration localCheckpoints edges, degrees, edge⋈degree, and the
+    # per-round rank table (operators/pagerank.py), so the final top-20
+    # action must read ONLY the last checkpoint: zero source scans in the
+    # plan (the r3 regression re-executed the distinct-symmetrize
+    # pipeline once per join — O(iterations) redundant lineitem scans).
+    plan = explain_str(build("graph_pagerank", spark, sf_dir)).lower()
+    assert "lineitem" not in plan
+    assert "existingrdd" in plan  # checkpoint scan is the only source
+
+
 def test_pack_sequences_cumsum_is_distributed(spark, sf_dir):
     # The only unpartitioned window allowed is the one over the
     # O(#partitions)-row offset table (orders by _pid, sums _c); the
