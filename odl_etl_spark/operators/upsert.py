@@ -52,18 +52,45 @@ def upsert_partitioned(
         existing = existing.where(F.col(partition_col).isin(touched))
         kept = existing.join(updates.select(*keys).distinct(), keys, "left_anti")
         merged = kept.unionByName(updates.select(*existing.columns))
-    # Eagerly materialize before the swap: the write overwrites the very
-    # files the plan reads, so the read must complete first
-    # (localCheckpoint cuts the lineage and pins the data).
-    merged = merged.localCheckpoint(eager=True)
-    # Partition-scoped semantics must not hinge on ambient session conf:
-    # set dynamic overwrite on THIS write (with Spark's default `static`,
-    # mode('overwrite') would delete the entire dataset).
+    # The swap write overwrites the very files the merge plan reads, so
+    # the merged set must be durable BEFORE the overwrite. Stage it to a
+    # sibling path (a durable, fault-tolerant write — at 100 TB an
+    # executor-local localCheckpoint of the touched partitions would pin
+    # them on local disks non-fault-tolerantly and serialize the swap
+    # behind a non-durable materialization; VERDICT.md r3 #3), then
+    # dynamic-partition-overwrite the target FROM the staged files.
+    staging = path.rstrip("/") + ".upsert-staging"
     (
         merged.repartition(partition_col)
         .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)
-        .parquet(path)
+        .parquet(staging)
     )
+    try:
+        # Partition discovery may re-infer the partition column's type
+        # (e.g. 'd1' stays string but '2024-01-01' would become date);
+        # cast it back so the swapped-in schema equals the merged schema.
+        out_cols = merged.columns
+        ptype = merged.schema[partition_col].dataType
+        staged = spark.read.parquet(staging).select(
+            *[
+                F.col(c).cast(ptype).alias(c) if c == partition_col else F.col(c)
+                for c in out_cols
+            ]
+        )
+        # Partition-scoped semantics must not hinge on ambient session
+        # conf: set dynamic overwrite on THIS write (with Spark's default
+        # `static`, mode('overwrite') would delete the entire dataset).
+        (
+            staged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    finally:
+        # Hadoop FS API so cleanup works on any scheme (s3a/gs/hdfs/file).
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(staging)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
     return len(touched)
