@@ -279,7 +279,7 @@ def corpus_filter_c4(spark, sf_dir):
       WHERE len(a.sh) > 0
     )
     SELECT doc_a, doc_b,
-           ROUND((len(list_filter(sa, x -> list_contains(sb, x))) * 1.0
+           ROUND((len(list_intersect(sa, sb)) * 1.0
                   / len(sa)) * 10000) / 10000 AS containment
     FROM pairs
     """,
@@ -297,7 +297,17 @@ def corpus_filter_c4(spark, sf_dir):
 )
 def text_ngram_containment(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    w = spread(d).select("doc_id", T.word_shingles("text", 3).alias("sh"))
+    # Materialize the shingle table once: it feeds BOTH join sides, and
+    # without a lineage cut Catalyst re-executes the (expensive)
+    # split/transform/distinct pipeline per reference — and pushes the
+    # size()>0 filter below the project, evaluating it a third time in
+    # the predicate. Same posture as dedup_cluster; at cluster scale use
+    # persist(DISK_ONLY) / reliable checkpoint for the corpus-sized table.
+    w = (
+        spread(d)
+        .select("doc_id", T.word_shingles("text", 3).alias("sh"))
+        .localCheckpoint(eager=True)
+    )
     a = (
         w.where(F.size("sh") > 0)
         .select(
@@ -309,7 +319,10 @@ def text_ngram_containment(spark, sf_dir):
         )
     )
     b = w.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
-    inter = F.size(F.filter(F.col("sa"), lambda x: F.array_contains(F.col("sb"), x)))
+    # Hash-based set intersection (shingle lists are already distinct);
+    # the previous filter+array_contains was an O(|sa|·|sb|) nested loop
+    # per candidate pair (VERDICT.md r3 What's-wrong #4).
+    inter = F.size(F.array_intersect("sa", "sb"))
     return a.join(b, a.nbr == b.doc_b).select(
         "doc_a",
         "doc_b",
