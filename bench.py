@@ -7,12 +7,23 @@ materialization through the `noop` sink (computes everything, writes
 nothing — measures engine work, not result serialization). One warm
 SparkSession for the whole suite (JVM/codegen warm-up amortized, per
 BASELINE.md posture).
+
+Methodology (VERDICT.md r3 What's-wrong #5): each query gets one
+untimed warm-up run, then `value` per query is the MEDIAN of
+$SPARK_GRAFT_BENCH_REPS (default 3) timed runs. Single-shot timings
+attributed one-off costs to whichever query hit them first — the r3
+"regressions" were dominated by suite-order effects (e.g. the first
+mapInPandas query absorbing the entire Python-worker spawn + pandas
+import, 10s cold vs 1.1s warm for multimodal_image_features) and OS
+page-cache state, not plan changes. `value` is the sum of medians
+(warm steady-state suite cost); `wall_seconds` is the raw loop time.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -25,6 +36,7 @@ from odl_etl_spark.session import get_spark
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -46,10 +58,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     t_suite = time.perf_counter()
     for name, q in specs.items():
-        t0 = time.perf_counter()
-        q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-    total = round(time.perf_counter() - t_suite, 3)
+        q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
+        runs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+    wall = round(time.perf_counter() - t_suite, 3)
+    total = round(sum(timings.values()), 3)
 
     result = {
         "metric": "suite_seconds",
@@ -58,6 +75,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "n_queries": len(timings),
+        "reps": reps,
+        "wall_seconds": wall,
     }
     # The driver records a size-capped stdout *tail*; at 122+ queries the
     # one JSON line outgrew the cap in round 2 and its head was truncated
@@ -78,6 +97,8 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
+                "reps": reps,
+                "wall_seconds": wall,
                 "detail": "BENCH_SUMMARY.json",
                 "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10]),
             }

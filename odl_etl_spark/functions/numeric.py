@@ -27,3 +27,36 @@ def round2(col: Column) -> Column:
 def sql_roundn(expr: str, n: int = 2) -> str:
     p = 10**n
     return f"ROUND(({expr}) * {p}) / {p}"
+
+
+INT64_MAX = 2**63 - 1
+
+
+def assert_scaled_sum_headroom(
+    n_rows: int,
+    max_abs_term: float,
+    scale: int,
+    margin: int = 8,
+    what: str = "scaled sum",
+) -> None:
+    """Refuse a scaled-BIGINT aggregation that could silently wrap.
+
+    The determinism pattern used by ``emb_covariance``, ``agg_weighted``,
+    ``text_entropy`` and ``emb_norm_stats`` sums ``round(term * scale)``
+    as BIGINT so both engines add exact integers in any order. int64
+    overflow in that sum is SILENT wraparound on the Spark side, so the
+    bound must be checked, not documented: the worst case
+    ``n_rows * max_abs_term * scale`` must clear INT64_MAX by ``margin``.
+    ``n_rows`` is a driver-side scalar the caller already has (a count or
+    a per-group bound) — parameter data, same posture as
+    ``guard_bounded_groups``. On failure, widen to DECIMAL(38,0) on both
+    engines or reduce the scale.
+    """
+    worst = int(n_rows * max_abs_term * scale)
+    if worst * margin > INT64_MAX:
+        raise OverflowError(
+            f"{what}: worst-case |sum| ~{worst:.3e} leaves < {margin}x headroom "
+            f"to int64 ({n_rows} rows x {max_abs_term} x scale {scale:.0e}); "
+            "widen the accumulator to DECIMAL(38,0) on both engines or "
+            "lower the scale"
+        )

@@ -34,12 +34,15 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table; normalizes ns-precision event timestamps.
+    """Load one fixture table; normalizes event-timestamp encodings.
 
-    ``events.ts`` is INT64 TIMESTAMP(NANOS) in Parquet, which Spark reads
-    as long under ``nanosAsLong``; convert to a µs timestamp (truncation,
-    matching DuckDB's ``CAST(ts AS TIMESTAMP)``) so downstream windowing
-    is engine-agnostic.
+    ``events.ts`` is TIMESTAMP(MICROS, isAdjustedToUTC=false) in the
+    current fixtures (verified via parquet schema; see session.py) —
+    naive µs wall clocks. Legacy fixtures carried INT64 TIMESTAMP(NANOS),
+    which Spark reads as long under ``nanosAsLong``. Both encodings are
+    normalized here to a µs TIMESTAMP whose instant equals the naive
+    value read as UTC — identical to DuckDB's ``CAST(ts AS TIMESTAMP)``
+    — so downstream windowing is engine-agnostic.
     """
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
@@ -48,9 +51,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
             # Session missed inferTimestampNTZ=false (externally-created
-            # session); with session tz UTC this cast reinterprets the naive
-            # value as a UTC instant — identical to DuckDB's naive-µs reading.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # session). A bare cast('timestamp') interprets the naive value
+            # in the SESSION timezone — correct only when that is UTC, and
+            # this branch fires precisely on sessions that missed
+            # tune_session. from_utc_timestamp(cast, current_timezone())
+            # re-shifts by the session offset, yielding naive-read-as-UTC
+            # under any session timezone (verified vs America/New_York
+            # across DST offsets).
+            df = df.withColumn(
+                "ts",
+                F.from_utc_timestamp(
+                    F.col("ts").cast("timestamp"), F.current_timezone()
+                ),
+            )
     return df
 
 

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from odl_etl_spark.io.sinks import partitioned_write
 from odl_etl_spark.io.sources import binary_source
+from odl_etl_spark.pipelines.notifications import SyncReport
 
 
 def ingest_artifacts(
@@ -48,22 +49,29 @@ def run_artifact_sync(
     out_path: str,
     ds: str,
     glob: str = "*.tar.gz",
-    on_success: Callable[[str], None] | None = None,
-    on_failure: Callable[[str], None] | None = None,
+    on_success: Callable[[SyncReport], None] | None = None,
+    on_failure: Callable[[SyncReport], None] | None = None,
 ) -> int:
     """Ingest a day's artifacts into the date-partitioned lake dataset;
-    returns artifact count. Notification hooks mirror mitx_etl.py:158-192
-    without coupling the data plane to Slack/healthcheck endpoints."""
+    returns artifact count. Notification hooks receive the structured
+    ``SyncReport`` (pipelines/notifications.py carries the executable
+    Slack-webhook / healthcheck notifiers mirroring mitx_etl.py:158-192);
+    the data plane stays decoupled from any endpoint."""
+    source = os.path.basename(landing_dir.rstrip("/"))
     try:
         df = ingest_artifacts(spark, landing_dir, glob)
         partitioned_write(df.withColumn("ds", F.lit(ds)), out_path, ("ds",))
         n = spark.read.parquet(out_path).where(F.col("ds") == ds).count()
     except Exception as e:  # noqa: BLE001
         if on_failure is not None:
-            on_failure(f"artifact sync failed for ds={ds}: {e}")
+            on_failure(
+                SyncReport(
+                    ds=ds, out_path=out_path, source=source, ok=False, error=str(e)
+                )
+            )
         raise
     if on_success is not None:
         on_success(
-            f"Successfully exported {n} artifacts from {os.path.basename(landing_dir)} for ds={ds}"
+            SyncReport(ds=ds, out_path=out_path, source=source, artifact_count=n)
         )
     return n

@@ -22,7 +22,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from odl_etl_spark.functions import text as T
-from odl_etl_spark.functions.numeric import roundn
+from odl_etl_spark.functions.numeric import assert_scaled_sum_headroom, roundn
 from odl_etl_spark.io.sources import load_table, register_views, spread
 from odl_etl_spark.queries.base import spec
 
@@ -366,6 +366,11 @@ def emb_norm_stats(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").select(
         "label", F.col("embedding").cast("array<double>").alias("v")
     )
+    # Per-row array fold of x²·1e9 terms over the embedding dimension;
+    # 65536 dims at |x| ≤ 4 is a static bound with ample headroom.
+    assert_scaled_sum_headroom(
+        65536, 16.0, 10**9, what="emb_norm_stats per-row squared-term sum"
+    )
     ssq = F.aggregate(
         F.transform(
             F.col("v"),
@@ -635,6 +640,12 @@ def events_active_users(spark, sf_dir):
 def agg_weighted(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
+    # TPC-H bounds: l_extendedprice < 2e5, l_quantity <= 50 → one scaled
+    # term ≤ 1e7·100 = 1e9; a single brand group can in the worst case
+    # see every lineitem row, so guard on the table count (metadata-only).
+    assert_scaled_sum_headroom(
+        li.count(), 2e5 * 50, 100, what="agg_weighted price*qty sum"
+    )
     j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
     qty = F.round(F.col("l_quantity")).cast("bigint")
     pq = F.round(F.col("l_extendedprice") * F.col("l_quantity") * 100).cast("bigint")
@@ -841,6 +852,12 @@ def agg_grouping_id(spark, sf_dir):
 )
 def text_entropy(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
+    # Per-doc sum of -p·ln(p)·1e6 terms (each ≤ 1e6/e); 1e8 tokens per
+    # document is an absurd upper bound and still leaves 4 orders of
+    # magnitude of int64 headroom — a static shape check, no job.
+    assert_scaled_sum_headroom(
+        10**8, 0.37, 10**6, what="text_entropy per-doc -p·ln(p) sum"
+    )
     tc = (
         spread(d)
         .select("doc_id", F.explode(T.tokens("text")).alias("term"))

@@ -12,12 +12,17 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from odl_etl_spark.functions.numeric import roundn
+from odl_etl_spark.functions.numeric import assert_scaled_sum_headroom, roundn
 from odl_etl_spark.io.sources import load_table, spread
 from odl_etl_spark.queries.base import spec
 
 _K = 8
 _ITERS = 2
+
+# Embedding components are unit-scale float32; 4.0 is a generous |x|
+# bound used by the overflow guards (a violation means the corpus is
+# not what this spec assumes and the guard math must be revisited).
+_EMB_ABS_BOUND = 4.0
 
 _TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
 
@@ -209,6 +214,15 @@ def emb_kmeans(spark, sf_dir, k: int = _K, iters: int = _ITERS):
 def emb_covariance(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").select(
         F.col("embedding").cast("array<double>").alias("v")
+    )
+    # Every (i,j) group sums one scaled product per corpus row; refuse
+    # to run where that sum could silently wrap int64 (metadata-only
+    # parquet count — parameter data, not a data-plane collect).
+    assert_scaled_sum_headroom(
+        e.count(),
+        _EMB_ABS_BOUND * _EMB_ABS_BOUND,
+        10**9,
+        what="emb_covariance (i,j) product sum",
     )
     pairs = F.flatten(
         F.transform(

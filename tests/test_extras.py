@@ -126,3 +126,22 @@ def test_weighted_avg_between_min_and_max_price(spark, sf_dir):
     # finiteness is the cheap invariant).
     for r in build("agg_weighted", spark, sf_dir).collect():
         assert r["w_avg_price"] > 0 and r["total_qty"] > 0
+
+
+def test_scaled_sum_headroom_guard_raises_before_wraparound():
+    """The scaled-BIGINT determinism pattern must refuse configurations
+    where the exact integer sum could silently wrap int64."""
+    import pytest
+
+    from odl_etl_spark.functions.numeric import assert_scaled_sum_headroom
+
+    # sf0.1-scale corpus: ample headroom, no raise.
+    assert_scaled_sum_headroom(5_000, 16.0, 10**9)
+    # A 100-billion-row group of unit terms at scale 1e9 would overflow
+    # int64 ~10x over — must raise, not wrap.
+    with pytest.raises(OverflowError, match="headroom"):
+        assert_scaled_sum_headroom(100_000_000_000, 1.0, 10**9)
+    # Boundary: exactly at the margin limit passes, one order up raises.
+    assert_scaled_sum_headroom(10**9, 1.0, 10**9, margin=8)
+    with pytest.raises(OverflowError):
+        assert_scaled_sum_headroom(10**10, 1.0, 10**9, margin=8)

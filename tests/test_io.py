@@ -176,3 +176,27 @@ def test_partitioned_write_salted_fanout(spark, sf_dir, tmp_path):
         n = len(glob.glob(os.path.join(d, "*.parquet")))
         assert 1 <= n <= 3, d
     assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_ntz_fallback_is_timezone_independent(spark, tmp_path):
+    """The timestamp_ntz branch of load_table fires on sessions that
+    missed tune_session — exactly the sessions that may also carry a
+    non-UTC timezone. The normalized instant must equal the naive value
+    read as UTC regardless of spark.sql.session.timeZone."""
+    sf = tmp_path / "sf_ntz"
+    sf.mkdir()
+    spark.sql(
+        "select 1 as user_id, timestamp_ntz'2024-06-15 12:34:56.789' as ts"
+    ).write.parquet(str(sf / "events.parquet"))
+
+    want_us = 1718454896789000  # 2024-06-15T12:34:56.789 as a UTC instant
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            df = load_table(spark, str(sf), "events")
+            assert dict(df.dtypes)["ts"] == "timestamp", tz
+            got = df.select(F.unix_micros("ts").alias("us")).collect()[0]["us"]
+            assert got == want_us, (tz, got)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

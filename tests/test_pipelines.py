@@ -50,27 +50,134 @@ def test_artifact_sync_pipeline(spark, tmp_path):
         with tarfile.open(landing / f"{cid}.tar.gz", "w:gz") as tar:
             tar.add(src, arcname="olx.txt")
     out = str(tmp_path / "lake")
-    messages: list[str] = []
+    reports = []
     n = run_artifact_sync(
-        spark, str(landing), out, ds="20240101", on_success=messages.append
+        spark, str(landing), out, ds="20240101", on_success=reports.append
     )
     assert n == 2
     rows = {r["artifact_id"]: r for r in spark.read.parquet(out).collect()}
     assert set(rows) == {"course-v1_A", "course-v1_B"}
     assert all(r["length"] > 0 and bytes(r["content"])[:2] == b"\x1f\x8b" for r in rows.values())
-    assert messages and "2 artifacts" in messages[0]
+    assert reports and reports[0].ok and reports[0].artifact_count == 2
+    assert "2 artifacts" in reports[0].summary()
 
 
 def test_artifact_sync_failure_hook(spark, tmp_path):
-    failures: list[str] = []
+    reports = []
     try:
         run_artifact_sync(
             spark,
             str(tmp_path / "missing_dir"),
             str(tmp_path / "lake"),
             ds="20240101",
-            on_failure=failures.append,
+            on_failure=reports.append,
         )
     except Exception:
         pass
-    assert failures and "failed" in failures[0]
+    assert reports and not reports[0].ok and reports[0].error
+    assert "failed" in reports[0].summary()
+
+
+def test_notifiers_post_reference_shaped_payloads(tmp_path):
+    """SlackNotifier must POST the reference's json body shape
+    (mitx_etl.py:164-172) and swallow delivery errors; the healthcheck
+    GET must raise on failure (mitx_etl.py:186-192)."""
+    import pytest
+
+    from odl_etl_spark.pipelines.notifications import (
+        HealthcheckNotifier,
+        SlackNotifier,
+        SyncReport,
+        fanout,
+    )
+
+    calls = []
+
+    def recorder(url, payload):
+        calls.append((url, payload))
+
+    report = SyncReport(ds="20240101", out_path="/lake", source="landing",
+                        artifact_count=3)
+    slack = SlackNotifier("https://hooks.invalid/T000", bot_username="bot",
+                          bot_emoji=":x:", transport=recorder)
+    hc = HealthcheckNotifier("https://hc.invalid/ping", transport=recorder)
+    fanout(slack, hc)(report)
+
+    assert calls[0][0] == "https://hooks.invalid/T000"
+    assert calls[0][1] == {
+        "text": "Successfully exported 3 artifacts from landing for ds=20240101",
+        "username": "bot",
+        "icon_emoji": ":x:",
+    }
+    assert calls[1] == ("https://hc.invalid/ping", None)  # GET, no body
+
+    def broken(url, payload):
+        raise OSError("connection refused")
+
+    # Slack failures are best-effort (warn + continue)…
+    SlackNotifier("https://hooks.invalid/x", transport=broken)(report)
+    # …healthcheck failures raise.
+    with pytest.raises(OSError):
+        HealthcheckNotifier("https://hc.invalid/x", transport=broken)(report)
+
+
+def test_artifact_sync_from_settings_document(spark, tmp_path):
+    """The mitx-shaped settings document drives the full pipeline with
+    configured notification hooks (config-document parity)."""
+    import json
+
+    from odl_etl_spark.pipelines.config import (
+        ArtifactSyncConfig,
+        run_artifact_sync_from_config,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    src = tmp_path / "c.txt"
+    src.write_text("x")
+    with tarfile.open(landing / "course-v1_C.tar.gz", "w:gz") as tar:
+        tar.add(src, arcname="olx.txt")
+
+    settings = {
+        "landing_dir": str(landing),
+        "out_path": str(tmp_path / "lake"),
+        "ds": "20240102",
+        "Slack": {"webhook_url": "https://hooks.invalid/T1", "bot_username": "b"},
+        "Healthchecks": {"url": "https://hc.invalid/p"},
+    }
+    cfg_path = tmp_path / "settings.json"
+    cfg_path.write_text(json.dumps(settings))
+    cfg = ArtifactSyncConfig.from_file(str(cfg_path))
+    assert cfg.glob == "*.tar.gz" and cfg.healthcheck_url == "https://hc.invalid/p"
+
+    calls = []
+    n = run_artifact_sync_from_config(
+        spark, cfg, transport=lambda url, payload: calls.append((url, payload))
+    )
+    assert n == 1
+    # Slack POST then healthcheck GET, success-path order.
+    assert [u for u, _ in calls] == ["https://hooks.invalid/T1", "https://hc.invalid/p"]
+    assert "1 artifacts" in calls[0][1]["text"]
+
+
+def test_user_map_config_yaml_roundtrip(tmp_path):
+    """email_mapping-shaped YAML settings load into the typed config;
+    missing required keys raise (the reference hard-exits)."""
+    import pytest
+
+    from odl_etl_spark.pipelines.config import UserMapConfig
+
+    p = tmp_path / "email_settings.yml"
+    p.write_text(
+        "db_url: jdbc:postgresql://db.invalid/app\n"
+        "query: select username, email from users\n"
+        "out_path: /lake/user_map\n"
+        "hash_salt: pepper\n"
+    )
+    cfg = UserMapConfig.from_file(str(p))
+    assert cfg.hash_salt == "pepper" and cfg.key_col == "username"
+
+    bad = tmp_path / "bad.yml"
+    bad.write_text("db_url: jdbc:postgresql://db.invalid/app\n")
+    with pytest.raises(KeyError):
+        UserMapConfig.from_file(str(bad))
