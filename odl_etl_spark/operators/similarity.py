@@ -185,6 +185,11 @@ def cosine_lsh_pairs(
         )
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        # Deliberately NOT localCheckpoint'ed (unlike minhash_lsh_pairs,
+        # where the same shape measured ~30% faster with one): here the
+        # projection is a shuffle-free UDF scan whose exchanges AQE
+        # already reuses across the downstream references — measured
+        # net-slower with the checkpoint at sf0.1.
     )
     cand_ids = (
         candidates.select(F.col("id_a").alias("_cid"))
