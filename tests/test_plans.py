@@ -329,6 +329,27 @@ def test_basket_pairs_broadcasts_part_dim(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_basket_pairs_has_no_self_join(spark, sf_dir):
+    # Pairs come from a per-order collect_set + expression generator:
+    # exactly one non-broadcast join (the part dim) and two hash
+    # exchanges (per-order agg, per-pair agg) — the a-priori self-join
+    # shape would show a second fact join and a third exchange.
+    df = build("basket_pairs", spark, sf_dir)
+    plan = explain_str(df)
+    assert plan.count("SortMergeJoin") == 0
+    assert shuffle_count(df) == 2
+
+
+def test_ngram_containment_joins_from_materialized_shingles(spark, sf_dir):
+    # Both join sides must read the localCheckpoint'ed shingle table —
+    # a plan that re-derives shingles from the parquet scan is the
+    # triple-computation regression (split/transform/distinct per side
+    # plus once more in the pushed-down size()>0 predicate).
+    plan = explain_str(build("text_ngram_containment", spark, sf_dir)).lower()
+    assert "documents" not in plan
+    assert "existingrdd" in plan
+
+
 def test_exact_median_guard_rejects_unbounded_keys(spark, sf_dir):
     import pytest as _pytest
 
