@@ -15,14 +15,32 @@ rank:
      the running offset is over a few hundred rows regardless of input
      size, and joining it back is a broadcast by construction.
 
-Everything happens in one plan — no collect, no second job whose range
-boundaries could drift from the first.
+CORRECTNESS REQUIRES MATERIALIZING STEP 1 ONCE. The ranked table feeds
+two plan branches (the per-partition window and the counts aggregate);
+without a lineage cut each branch re-executes ``repartitionByRange``,
+whose boundaries come from a SAMPLE of the input — and two executions
+may sample different boundaries, leaving the offsets describing a
+different partitioning than the one the window ranked (observed at
+sf0.1: ranks were not even a permutation; round-4 fix). The eager
+``localCheckpoint`` pins one physical partitioning that both branches
+read — the same two-pass posture as TeraSort's sampled range sort; at
+cluster scale swap for ``persist(DISK_ONLY)``/reliable checkpoint.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _range_partitioned(df: DataFrame, order_by: list[str], parts: int) -> DataFrame:
+    """Step 1 of the two-level rank, pre-materialization: distributed
+    range shuffle + captured physical partition id. Factored out so plan
+    tests can pin the range shuffle, which the ``localCheckpoint`` in the
+    callers hides from the final explain output."""
+    return df.repartitionByRange(parts, *order_by).withColumn(
+        "_pid", F.spark_partition_id()
+    )
 
 
 def global_row_number(
@@ -40,9 +58,9 @@ def global_row_number(
     parts = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    ranged = df.repartitionByRange(parts, *order_by).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    # Materialized ONCE — see the module docstring: the window branch and
+    # the counts branch must observe the same sampled range boundaries.
+    ranged = _range_partitioned(df, order_by, parts).localCheckpoint(eager=True)
     local = ranged.withColumn(
         "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*order_by))
     )
@@ -109,9 +127,9 @@ def global_cumsum(
     parts = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    ranged = df.repartitionByRange(parts, *order_by).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    # Materialized ONCE — same boundary-consistency requirement as
+    # global_row_number (module docstring).
+    ranged = _range_partitioned(df, order_by, parts).localCheckpoint(eager=True)
     wlocal = (
         Window.partitionBy("_pid").orderBy(*order_by).rowsBetween(
             Window.unboundedPreceding, -1

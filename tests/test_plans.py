@@ -72,20 +72,43 @@ def test_agg_groupby_single_shuffle(spark, sf_dir):
 
 
 def test_ntile_has_no_unpartitioned_window_over_input(spark, sf_dir):
-    # The global order must come from a distributed range shuffle, and the
-    # row_number window must be partitioned (by _pid). The only permitted
-    # unpartitioned window is the offset cumsum over the O(#partitions)-row
-    # count table (its spec orders by _pid and aggregates _c).
+    # The global order must come from a distributed range shuffle
+    # (pinned on the pre-checkpoint stage — the boundary-consistency
+    # localCheckpoint hides it from the final plan), and the row_number
+    # window must be partitioned (by _pid). The only permitted
+    # unpartitioned window is the offset cumsum over the
+    # O(#partitions)-row count table (its spec orders by _pid and
+    # aggregates _c). The final plan must read the checkpoint
+    # (ExistingRDD): both rank branches observing ONE materialized
+    # partitioning is the correctness fix for sampled range boundaries.
     import re
 
     plan = explain_str(build("win_ntile", spark, sf_dir))
-    assert "rangepartitioning" in plan
+    assert "existingrdd" in plan.lower()
     specs = re.findall(r"Arguments: \[(\w+\(\S*\)) windowspecdefinition\(([^,]+)", plan)
+    assert specs, "no window specs found"
     for fn, first_arg in specs:
         if fn.startswith("row_number"):
             assert first_arg.startswith("_pid"), f"row_number not partitioned: {first_arg}"
         else:
             assert fn.startswith("sum(_c"), f"unexpected unpartitioned window: {fn}"
+
+
+def test_ranking_stage_is_a_range_shuffle(spark, sf_dir):
+    # The materialized step-1 stage of the two-level rank must be a
+    # distributed rangepartitioning exchange, never a single-partition
+    # sort — asserted pre-checkpoint via the factored builder.
+    from pyspark.sql import functions as _F
+
+    from odl_etl_spark.io.sources import load_table
+    from odl_etl_spark.operators.ranking import _range_partitioned
+
+    df = load_table(spark, sf_dir, "orders").select(
+        _F.col("o_custkey").alias("k"), "o_totalprice"
+    )
+    plan = explain_str(_range_partitioned(df, ["o_totalprice", "k"], 8))
+    assert "rangepartitioning" in plan
+    assert "SinglePartition" not in plan
 
 
 def test_pairwise_label_has_zero_joins(spark, sf_dir):
@@ -213,10 +236,11 @@ def test_pagerank_final_plan_is_checkpoint_backed(spark, sf_dir):
 def test_pack_sequences_cumsum_is_distributed(spark, sf_dir):
     # The only unpartitioned window allowed is the one over the
     # O(#partitions)-row offset table (orders by _pid, sums _c); the
-    # input-sized running sum must be partitioned by _pid after a range
-    # shuffle — same contract as win_ntile.
+    # input-sized running sum must be partitioned by _pid over the
+    # materialized range stage (ExistingRDD) — same contract as
+    # win_ntile.
     plan = explain_str(build("text_pack_sequences", spark, sf_dir))
-    assert "rangepartitioning" in plan
+    assert "existingrdd" in plan.lower()
     specs = re.findall(r"\[(\w+\(\S*\)) windowspecdefinition\(([^,]+)", plan)
     assert specs, "no window specs found"
     for fn, first_arg in specs:
@@ -294,11 +318,12 @@ def test_bm25_joins_are_broadcast_postings(spark, sf_dir):
 
 
 def test_rfm_ntiles_are_distributed(spark, sf_dir):
-    # All three NTILE(5) scores must use the two-level rank: range
-    # shuffle + _pid-partitioned row_number; the only unpartitioned
-    # windows run over the O(#partitions)-row offset tables.
+    # All three NTILE(5) scores must use the two-level rank: the final
+    # plan reads the materialized range stage (ExistingRDD) with a
+    # _pid-partitioned row_number; the only unpartitioned windows run
+    # over the O(#partitions)-row offset tables.
     plan = explain_str(build("events_rfm", spark, sf_dir))
-    assert "rangepartitioning" in plan
+    assert "existingrdd" in plan.lower()
     specs = re.findall(r"Arguments: \[(\w+\(\S*\)) windowspecdefinition\(([^,]+)", plan)
     assert specs, "no window specs found"
     for fn, first_arg in specs:
@@ -309,10 +334,15 @@ def test_rfm_ntiles_are_distributed(spark, sf_dir):
 
 
 def test_backlog_cumsum_is_distributed(spark, sf_dir):
-    # Running totals go through global_cumsum's range shuffle, not an
+    # Running totals go through global_cumsum's materialized range stage
+    # (ExistingRDD scan + _pid-partitioned running sums), not an
     # unpartitioned running-sum window over the day table.
     plan = explain_str(build("orders_backlog", spark, sf_dir))
-    assert "rangepartitioning" in plan
+    assert "existingrdd" in plan.lower()
+    specs = re.findall(r"Arguments: \[(\w+\(\S*\)) windowspecdefinition\(([^,]+)", plan)
+    assert specs, "no window specs found"
+    for fn, first_arg in specs:
+        assert first_arg.startswith("_pid") or fn.startswith("sum(_c"), (fn, first_arg)
 
 
 def test_tpch_q5_broadcasts_dims(spark, sf_dir):
