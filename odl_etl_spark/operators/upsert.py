@@ -46,6 +46,24 @@ def upsert_partitioned(
         existing = spark.read.parquet(path)
     except AnalysisException:  # path not found: first write
         existing = None
+    if existing is not None:
+        # Partition discovery INFERS the partition column's type from the
+        # directory names; a value whose inferred-type string form differs
+        # from the original (ds='01' → int 1) would be irrecoverably
+        # renamed before the merge even starts. Re-read with the inferred
+        # data-column schema (so a malformed updates frame still raises
+        # below) but the partition column pinned to the updates' declared
+        # type — Spark then parses directory values as that type directly.
+        from pyspark.sql.types import StructField, StructType
+
+        ptype = updates.schema[partition_col].dataType
+        fields = [
+            StructField(f.name, ptype, f.nullable)
+            if f.name == partition_col
+            else f
+            for f in existing.schema.fields
+        ]
+        existing = spark.read.schema(StructType(fields)).parquet(path)
     if existing is None:
         merged = updates
     else:
@@ -59,38 +77,47 @@ def upsert_partitioned(
     # them on local disks non-fault-tolerantly and serialize the swap
     # behind a non-durable materialization; VERDICT.md r3 #3), then
     # dynamic-partition-overwrite the target FROM the staged files.
-    staging = path.rstrip("/") + ".upsert-staging"
+    # A per-run uuid suffix keeps concurrent upserts to the same dataset
+    # from clobbering each other's staging.
+    import uuid
+
+    staging = path.rstrip("/") + ".upsert-staging-" + uuid.uuid4().hex[:12]
     (
         merged.repartition(partition_col)
         .write.mode("overwrite")
         .partitionBy(partition_col)
         .parquet(staging)
     )
+    # Read staging back with the merged schema declared explicitly:
+    # partition discovery would otherwise re-INFER the partition column's
+    # type from the directory names, and values whose inferred-type string
+    # form differs from the original (ds='01' → int 1 → '1') would come
+    # back renamed, silently writing a NEW partition while the stale one
+    # survives. With a user-provided schema Spark parses the directory
+    # values directly as the declared type and '01' stays '01'.
+    staged = spark.read.schema(merged.schema).parquet(staging).select(*merged.columns)
+    # Partition-scoped semantics must not hinge on ambient session
+    # conf: set dynamic overwrite on THIS write (with Spark's default
+    # `static`, mode('overwrite') would delete the entire dataset).
     try:
-        # Partition discovery may re-infer the partition column's type
-        # (e.g. 'd1' stays string but '2024-01-01' would become date);
-        # cast it back so the swapped-in schema equals the merged schema.
-        out_cols = merged.columns
-        ptype = merged.schema[partition_col].dataType
-        staged = spark.read.parquet(staging).select(
-            *[
-                F.col(c).cast(ptype).alias(c) if c == partition_col else F.col(c)
-                for c in out_cols
-            ]
-        )
-        # Partition-scoped semantics must not hinge on ambient session
-        # conf: set dynamic overwrite on THIS write (with Spark's default
-        # `static`, mode('overwrite') would delete the entire dataset).
         (
             staged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(partition_col)
             .parquet(path)
         )
-    finally:
-        # Hadoop FS API so cleanup works on any scheme (s3a/gs/hdfs/file).
-        jvm = spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(staging)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        fs.delete(jpath, True)
+    except Exception as exc:
+        raise RuntimeError(
+            f"upsert swap into {path} failed mid-commit; the merged data "
+            f"survives at {staging} for manual recovery"
+        ) from exc
+    # Delete staging only AFTER a successful swap: a mid-commit failure
+    # can leave target partitions partially deleted, making the staged
+    # files the only durable copy of the merged data. On failure the
+    # exception propagates with the staging path preserved for recovery.
+    # Hadoop FS API so cleanup works on any scheme (s3a/gs/hdfs/file).
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(staging)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jpath, True)
     return len(touched)

@@ -55,6 +55,50 @@ def test_upsert_first_write_creates_dataset(spark, tmp_path):
     assert spark.read.parquet(path).count() == 2
 
 
+def test_upsert_noncanonical_partition_values_round_trip(spark, tmp_path):
+    """Partition values whose inferred-type string form differs from the
+    original (ds='01' would infer as int 1 → '1') must round-trip: the
+    merge and the swap must keep writing to ds=01, never forking a new
+    ds=1 partition alongside a stale ds=01 (ADVICE r4, medium)."""
+    import os
+
+    path = str(tmp_path / "ds_zero_pad")
+    base = _df(spark, [(1, "a", "01"), (2, "b", "01"), (3, "c", "010")])
+    base.repartition("ds").write.partitionBy("ds").parquet(path)
+
+    updates = _df(spark, [(2, "B!", "01"), (9, "new", "01")])
+    n = upsert_partitioned(spark, path, updates, keys=["k"])
+    assert n == 1
+
+    # Exactly the original directories — no ds=1 fork, stale ds=01 gone.
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("ds="))
+    assert dirs == ["ds=01", "ds=010"]
+    got = {
+        (r["k"], r["ds"]): r["v"]
+        for r in spark.read.schema("k long, v string, ds string")
+        .parquet(path)
+        .collect()
+    }
+    assert got == {
+        (1, "01"): "a",
+        (2, "01"): "B!",
+        (9, "01"): "new",
+        (3, "010"): "c",
+    }
+
+
+def test_upsert_cleans_staging_on_success(spark, tmp_path):
+    """The per-run staging sibling must be deleted after a successful
+    swap (and only then — on failure it is the durable copy)."""
+    import os
+
+    path = str(tmp_path / "ds_staging")
+    _df(spark, [(1, "a", "d1")]).write.partitionBy("ds").parquet(path)
+    upsert_partitioned(spark, path, _df(spark, [(1, "a2", "d1")]), keys=["k"])
+    leftovers = [d for d in os.listdir(tmp_path) if "upsert-staging" in d]
+    assert leftovers == []
+
+
 def test_upsert_schema_mismatch_raises_not_data_loss(spark, tmp_path):
     """A malformed updates frame must raise, not silently become a
     'first write' that drops the kept rows of touched partitions."""
