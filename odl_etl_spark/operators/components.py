@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from odl_etl_spark.operators.materialize import materialize
+
 
 def connected_components(
     edges: DataFrame,
@@ -29,24 +31,20 @@ def connected_components(
     """(node, component) for every node in ``edges``; component = the
     minimum node id reachable in the undirected graph.
 
-    Each iteration localCheckpoints the label table: it is read twice
+    Each iteration ``materialize``s the label table: it is read twice
     (convergence test + next round's join) and the plan would otherwise
     double every round — the standard lineage-truncation posture for
-    iterative DataFrame algorithms. The loop is driver-side control flow
+    iterative DataFrame algorithms (cut mode is a runtime switch, see
+    ``operators/materialize.py``). The loop is driver-side control flow
     only; all data stays distributed.
     """
     # Checkpoint the edge list BEFORE symmetrizing: the union's two
     # branches would otherwise each materialize the (possibly expensive)
     # upstream pair-mining pipeline in the same job.
-    e = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v")).localCheckpoint(
-        eager=True
-    )
+    e = materialize(edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v")))
     sym = e.unionByName(e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
-    labels = (
-        sym.select("_u")
-        .distinct()
-        .select("_u", F.col("_u").alias("_label"))
-        .localCheckpoint(eager=True)
+    labels = materialize(
+        sym.select("_u").distinct().select("_u", F.col("_u").alias("_label"))
     )
     for _ in range(max_iter):
         neigh = (
@@ -59,7 +57,7 @@ def connected_components(
             "_label",
             F.least("_label", F.coalesce("_nl", "_label")).alias("_new"),
         )
-        stepped = stepped.localCheckpoint(eager=True)
+        stepped = materialize(stepped)
         if stepped.where(F.col("_new") < F.col("_label")).limit(1).count() == 0:
             break
         labels = stepped.select("_u", F.col("_new").alias("_label"))

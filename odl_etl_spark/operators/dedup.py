@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from odl_etl_spark.functions.hashing import content_fingerprint
 from odl_etl_spark.functions.text import word_shingles
 from odl_etl_spark.io.sources import spread
+from odl_etl_spark.operators.materialize import materialize
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -248,13 +249,14 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        # Materialize the (small-by-construction) candidate set: it is
-        # referenced three times below (both branches of cand_ids and the
-        # final verify join), and each reference would otherwise re-run
-        # the banded self-join from scratch. ~30% off the end-to-end at
-        # sf0.1; at cluster scale this is a tiny table.
-        .localCheckpoint(eager=True)
     )
+    # Materialize the (small-by-construction) candidate set: it is
+    # referenced three times below (both branches of cand_ids and the
+    # final verify join), and each reference would otherwise re-run
+    # the banded self-join from scratch. ~30% off the end-to-end at
+    # sf0.1; at cluster scale this is a tiny table (cut mode switchable,
+    # operators/materialize.py).
+    candidates = materialize(candidates)
     # Verification shingles are computed only for docs that appear in a
     # candidate pair (semi-join first) — never re-shingle the full corpus.
     cand_ids = (

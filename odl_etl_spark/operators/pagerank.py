@@ -14,14 +14,15 @@ an error source.
 Scale posture: edges and ranks shuffle on the node key every iteration;
 the rank table is node-sized (≪ edge-sized). Lineage is truncated the
 same way as ``operators/components.py``: the symmetrized edge list, the
-degree table, and the edge⋈degree join are each ``localCheckpoint``ed
-once before the loop, and the rank table is checkpointed every
-iteration — otherwise the final action re-executes the
-distinct-symmetrize pipeline once per join in an iterations-deep nested
-plan (the r3 regression: O(iterations) redundant scans and unbounded
-plan depth, VERDICT.md r3 What's-wrong #2). At cluster scale, swap
-``localCheckpoint`` for reliable ``checkpoint`` on a DFS dir if the
-job must survive executor loss mid-iteration.
+degree table, and the edge⋈degree join are each ``materialize``d once
+before the loop, and the rank table is materialized every iteration —
+otherwise the final action re-executes the distinct-symmetrize pipeline
+once per join in an iterations-deep nested plan (the r3 regression:
+O(iterations) redundant scans and unbounded plan depth, VERDICT.md r3
+What's-wrong #2). The cut mode is a runtime switch
+(``operators/materialize.py``): default executor-local; set
+``spark.odl_etl.materialize.mode=checkpoint`` with a DFS checkpoint dir
+if the job must survive executor loss mid-iteration.
 
 Generalizes the reference's entity-graph flavor (user→artifact maps,
 email_mapping.py) to link analysis over any edge list.
@@ -31,6 +32,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from odl_etl_spark.operators.materialize import materialize
 
 SCALE = 10**12
 DAMP_NUM, DAMP_DEN = 17, 20  # 0.85 as an exact ratio
@@ -53,23 +56,20 @@ def pagerank_fixed(
     # Checkpoint the symmetrized edge list first so the (possibly
     # expensive) upstream distinct pipeline runs exactly once; deg and
     # ed then derive from the materialized blocks, not the lineage.
-    e = (
+    e = materialize(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    deg = (
-        e.groupBy("src")
-        .agg(F.count("*").alias("outdeg"))
-        .localCheckpoint(eager=True)  # node-sized; read 3×: nodes, n, ed
-    )
+    deg = materialize(
+        e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    )  # node-sized; read 3×: nodes, n, ed
     # Symmetric graph: the src set IS the node set.
     nodes = deg.select(F.col("src").alias("node"))
     n = nodes.count()  # O(1) driver scalar, folded into the base-rank literal
     base = (SCALE - SCALE * DAMP_NUM // DAMP_DEN) // n
     # edge ⋈ out-degree, materialized once, read every round.
-    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    ed = materialize(e.join(deg, "src"))
     r = nodes.withColumn("rank", F.lit(SCALE // n))
     for _ in range(iterations):
         s = (
@@ -92,5 +92,5 @@ def pagerank_fixed(
         )
         # Rank is node-sized: checkpointing it every round keeps the
         # final plan depth O(1) instead of O(iterations).
-        r = r.localCheckpoint(eager=True)
+        r = materialize(r)
     return r

@@ -22,9 +22,10 @@ whose boundaries come from a SAMPLE of the input — and two executions
 may sample different boundaries, leaving the offsets describing a
 different partitioning than the one the window ranked (observed at
 sf0.1: ranks were not even a permutation; round-4 fix). The eager
-``localCheckpoint`` pins one physical partitioning that both branches
-read — the same two-pass posture as TeraSort's sampled range sort; at
-cluster scale swap for ``persist(DISK_ONLY)``/reliable checkpoint.
+``materialize`` pins one physical partitioning that both branches
+read — the same two-pass posture as TeraSort's sampled range sort; the
+cut mode (executor-local vs reliable checkpoint vs persist) is a
+runtime switch, see ``operators/materialize.py``.
 """
 
 from __future__ import annotations
@@ -32,11 +33,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from odl_etl_spark.operators.materialize import materialize
+
 
 def _range_partitioned(df: DataFrame, order_by: list[str], parts: int) -> DataFrame:
     """Step 1 of the two-level rank, pre-materialization: distributed
     range shuffle + captured physical partition id. Factored out so plan
-    tests can pin the range shuffle, which the ``localCheckpoint`` in the
+    tests can pin the range shuffle, which the ``materialize`` in the
     callers hides from the final explain output."""
     return df.repartitionByRange(parts, *order_by).withColumn(
         "_pid", F.spark_partition_id()
@@ -60,7 +63,7 @@ def global_row_number(
     )
     # Materialized ONCE — see the module docstring: the window branch and
     # the counts branch must observe the same sampled range boundaries.
-    ranged = _range_partitioned(df, order_by, parts).localCheckpoint(eager=True)
+    ranged = materialize(_range_partitioned(df, order_by, parts))
     local = ranged.withColumn(
         "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*order_by))
     )
@@ -129,7 +132,7 @@ def global_cumsum(
     )
     # Materialized ONCE — same boundary-consistency requirement as
     # global_row_number (module docstring).
-    ranged = _range_partitioned(df, order_by, parts).localCheckpoint(eager=True)
+    ranged = materialize(_range_partitioned(df, order_by, parts))
     wlocal = (
         Window.partitionBy("_pid").orderBy(*order_by).rowsBetween(
             Window.unboundedPreceding, -1

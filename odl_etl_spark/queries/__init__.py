@@ -60,71 +60,72 @@ def registry() -> dict[str, QuerySpec]:
 def _check_order(out: dict[str, QuerySpec]) -> list[str]:
     """Key order = driver check order. The driver's gate verifies exactly
     the first 50 registry keys per round, so ordering is the verification
-    budget. Round-4 priority (VERDICT.md r3, Next-round #1 and #6): the
-    r2/r3 red `emb_covariance` (output now integer-exact), then the seven
-    keys whose plans changed this round (`sink_upsert` restaged,
-    `graph_pagerank` checkpointed, `text_ngram_containment` moved to
-    array_intersect, and the four consumers of the ranking
-    boundary-consistency fix: `events_rfm`, `orders_backlog`,
-    `text_pack_sequences`, `win_ntile`), then 42 of the keys last
-    driver-checked in round 1 (the stale-green tail) — exactly 50.
-    Everything outside the window is selfcheck-green at sf0.001, sf0.01
-    AND sf0.1 (SELFCHECK_r04*.json); the remaining r1/r2-checked keys
-    are the round-5 window."""
+    budget. Round-5 priority (VERDICT.md r4, Next-round #1): the 48 keys
+    whose latest driver CORRECTNESS row is from r1/r2 (oldest-first:
+    `scalar_null` is the single r1-latest key; the other 47 were last
+    checked r2 — the entire dedup/sim/text LLM tier among them), then
+    `basket_pairs` (plan rewritten in r4 but outside the r4 window —
+    ADVICE r4 low), then `sink_upsert` (staging reads schema-pinned this
+    round — ADVICE r4 medium) — exactly 50. After this window lands green,
+    no key's driver verification will be older than r3. Everything outside
+    the window was driver-checked green in r3/r4 and is selfcheck-green at
+    sf0.001, sf0.01 AND sf0.1 (SELFCHECK_r04*.json)."""
     first = [
-        # --- red in r2+r3: hashed output is now raw BIGINT stats ---
-        "emb_covariance",
-        # --- plans changed in round 4, need a fresh driver row ---
+        # --- last driver-checked round 1 ---
+        "scalar_null",
+        # --- last driver-checked round 2 (47 keys, registry order) ---
+        "sink_orc_roundtrip",
+        "sort_zorder",
+        "scalar_map",
+        "agg_pivot",
+        "agg_approx_quantile",
+        "agg_approx_distinct",
+        "agg_decimal_exact",
+        "stream_dedup",
+        "stream_interval_join",
+        "scd2_build",
+        "timeseries_resample",
+        "events_anomaly",
+        "events_path_topk",
+        "timeseries_ewma",
+        "text_tokenize_tf",
+        "text_ngrams",
+        "text_lang_stats",
+        "text_token_count",
+        "text_quality",
+        "text_langid",
+        "text_fingerprint",
+        "dedup_exact",
+        "dedup_fingerprint",
+        "dedup_ngram_jaccard",
+        "dedup_near",
+        "dedup_simhash",
+        "dedup_cluster",
+        "text_tfidf",
+        "text_pii_scrub",
+        "text_winnow_fp",
+        "sample_stratified",
+        "text_bpe_count",
+        "corpus_filter",
+        "text_chunk",
+        "sim_topk",
+        "sim_pairwise_label",
+        "sim_ann_ivf",
+        "emb_centroid_dist",
+        "dedup_embedding",
+        "sim_knn_join",
+        "multimodal_audio_features",
+        "emb_kmeans",
+        "sketch_countmin",
+        "text_bm25",
+        "corpus_split",
+        "text_unigram_ppl",
+        "dedup_span_coverage",
+        # --- plan rewritten in r4 outside the r4 window (ADVICE r4) ---
+        "basket_pairs",
+        # --- plan changed this round: staging reads schema-pinned ---
         "sink_upsert",
-        "graph_pagerank",
-        "text_ngram_containment",
-        "events_rfm",
-        "orders_backlog",
-        "text_pack_sequences",
-        "win_ntile",
-        # --- last driver-checked round 1 (42 keys, oldest first tier) ---
-        "sink_partitioned",
-        "sql_tpch_q3",
-        "project_hash_email",
-        "filter_pred",
-        "scalar_string",
-        "scalar_date",
-        "scalar_math",
-        "scalar_json",
-        "scalar_array",
-        "udf_scalar_pandas",
-        "join_inner_equi",
-        "join_full",
-        "subq_in",
-        "subq_scalar",
-        "join_broadcast",
-        "join_left",
-        "join_semi",
-        "join_anti",
-        "join_theta_range",
-        "join_multiway",
-        "join_asof",
-        "agg_groupby",
-        "agg_stats",
-        "agg_collect",
-        "agg_distinct",
-        "agg_rollup",
-        "agg_cube",
-        "agg_gsets",
-        "agg_having",
-        "win_rank",
-        "win_analytic",
-        "win_frame",
-        "win_cume",
-        "win_range_frame",
-        "sort_limit",
-        "topk_per_group",
-        "set_union",
-        "set_intersect",
-        "set_except",
-        "stream_tumbling",
-        "stream_sliding",
-        "stream_session",
     ]
+    assert len(first) == 50, len(first)
     assert all(k in out for k in first), sorted(set(first) - set(out))
     return first + [k for k in out if k not in set(first)]

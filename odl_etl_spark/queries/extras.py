@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from odl_etl_spark.functions import text as T
 from odl_etl_spark.functions.numeric import assert_scaled_sum_headroom, roundn
 from odl_etl_spark.io.sources import load_table, register_views, spread
+from odl_etl_spark.operators.materialize import materialize
 from odl_etl_spark.queries.base import spec
 
 _TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
@@ -301,12 +302,10 @@ def text_ngram_containment(spark, sf_dir):
     # without a lineage cut Catalyst re-executes the (expensive)
     # split/transform/distinct pipeline per reference — and pushes the
     # size()>0 filter below the project, evaluating it a third time in
-    # the predicate. Same posture as dedup_cluster; at cluster scale use
-    # persist(DISK_ONLY) / reliable checkpoint for the corpus-sized table.
-    w = (
-        spread(d)
-        .select("doc_id", T.word_shingles("text", 3).alias("sh"))
-        .localCheckpoint(eager=True)
+    # the predicate. Same posture as dedup_cluster; cut mode switchable
+    # at runtime for the corpus-sized table (operators/materialize.py).
+    w = materialize(
+        spread(d).select("doc_id", T.word_shingles("text", 3).alias("sh"))
     )
     a = (
         w.where(F.size("sh") > 0)

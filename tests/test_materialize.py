@@ -1,0 +1,104 @@
+"""materialize(): the one configurable lineage-cut primitive.
+
+Every iterative operator routes its lineage cut through
+``operators/materialize.py``; these tests exercise all three modes and
+prove an iterative consumer is mode-agnostic (same result under
+local / checkpoint / persist).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark import StorageLevel
+from pyspark.sql import functions as F
+
+from odl_etl_spark.operators.materialize import MODE_CONF, materialize
+
+
+def _src(spark):
+    return spark.range(100).withColumn("v", F.col("id") % 7)
+
+
+def _clear_checkpoint_dir(spark):
+    # Tests asserting the no-dir error must not see a leaked dir; the
+    # Scala var's setter is `checkpointDir_$eq` ($ needs getattr).
+    getattr(spark.sparkContext._jsc.sc(), "checkpointDir_$eq")(
+        spark._jvm.scala.Option.empty()
+    )
+
+
+def test_local_mode_cuts_lineage(spark):
+    out = materialize(_src(spark))  # default mode
+    # Lineage is truncated: the plan reads the checkpointed blocks, not
+    # the range+project pipeline.
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan
+    assert out.count() == 100
+    assert out.agg(F.sum("v")).first()[0] == _src(spark).agg(F.sum("v")).first()[0]
+
+
+def test_checkpoint_mode_requires_dir(spark):
+    with pytest.raises(ValueError, match="checkpoint dir"):
+        materialize(_src(spark), mode="checkpoint")
+
+
+def test_checkpoint_mode_with_dir(spark, tmp_path):
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        out = materialize(_src(spark), mode="checkpoint")
+        assert out.count() == 100
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "LogicalRDD" in plan or "ExistingRDD" in plan
+    finally:
+        _clear_checkpoint_dir(spark)
+
+
+def test_persist_mode_pins_disk_only(spark):
+    df = _src(spark)
+    out = materialize(df, mode="persist")
+    try:
+        assert out.storageLevel == StorageLevel.DISK_ONLY
+        assert out.count() == 100
+    finally:
+        out.unpersist()
+
+
+def test_mode_from_session_conf(spark):
+    spark.conf.set(MODE_CONF, "persist")
+    try:
+        out = materialize(_src(spark))
+        assert out.storageLevel == StorageLevel.DISK_ONLY
+        out.unpersist()
+    finally:
+        spark.conf.unset(MODE_CONF)
+
+
+def test_unknown_mode_raises(spark):
+    with pytest.raises(ValueError, match="unknown mode"):
+        materialize(_src(spark), mode="nope")
+
+
+def test_iterative_consumer_is_mode_agnostic(spark, tmp_path):
+    """connected_components routes every cut through materialize();
+    its output must be identical under all three modes."""
+    from odl_etl_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], "src long, dst long"
+    )
+    want = {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20)}
+
+    def run():
+        got = connected_components(edges)
+        return {(r["node"], r["component"]) for r in got.collect()}
+
+    assert run() == want  # local (default)
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "cc_ckpt"))
+    spark.conf.set(MODE_CONF, "checkpoint")
+    try:
+        assert run() == want
+        spark.conf.set(MODE_CONF, "persist")
+        assert run() == want
+    finally:
+        spark.conf.unset(MODE_CONF)
+        _clear_checkpoint_dir(spark)
