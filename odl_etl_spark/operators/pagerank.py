@@ -53,6 +53,16 @@ def pagerank_fixed(
     micro-units of SCALE; ranks are exact integers, so ordering and
     equality are well-defined.
     """
+    # Overflow posture: total rank mass is conserved at ~SCALE micro-
+    # units (floor division only loses mass), so any node's contribution
+    # sum is ≤ SCALE ≈ 1e12 — a static invariant independent of graph
+    # size. The guard documents and enforces the headroom (≈7e6× here);
+    # raising SCALE toward 1e18 would trip it.
+    from odl_etl_spark.functions.numeric import assert_scaled_sum_headroom
+
+    assert_scaled_sum_headroom(
+        1, 1.0, SCALE, what="pagerank per-node contribution sum (mass bound)"
+    )
     # Checkpoint the symmetrized edge list first so the (possibly
     # expensive) upstream distinct pipeline runs exactly once; deg and
     # ed then derive from the materialized blocks, not the lineage.

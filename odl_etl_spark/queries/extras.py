@@ -71,6 +71,18 @@ _Q1_SQL = """
 )
 def sql_tpch_q1(spark, sf_dir):
     register_views(spark, sf_dir)
+    # Worst scaled term: l_extendedprice·(1-disc)·(1+tax)·1e6 at TPC-H
+    # bounds (price < 2e5, tax ≤ 0.08) ≈ 2.2e11 per row, and one
+    # (returnflag, linestatus) group can see nearly every lineitem row —
+    # guard on the table count (metadata-only parquet count). At a true
+    # 100 TB scale factor this FIRES and tells the user to widen the
+    # accumulators to DECIMAL(38,0), instead of wrapping silently.
+    assert_scaled_sum_headroom(
+        load_table(spark, sf_dir, "lineitem").count(),
+        2e5 * 1.08,
+        10**6,
+        what="sql_tpch_q1 sum_charge",
+    )
     return spark.sql(_Q1_SQL)
 
 

@@ -1,0 +1,83 @@
+"""Every scaled-BIGINT aggregation must route through
+``assert_scaled_sum_headroom`` — int64 wraparound in a scaled sum is
+SILENT on the Spark side, so the bound has to be checked at build time,
+not documented (VERDICT.md r4, Next-round #5).
+
+Two layers: (1) a coverage test proving each scaled-BIGINT key calls
+the guard while building its plan; (2) synthetic-overflow cases per
+guard family showing the worst-case arithmetic actually trips it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from odl_etl_spark.functions.numeric import assert_scaled_sum_headroom
+
+# key -> (module holding the imported guard name, substring of `what`)
+_GUARDED = {
+    "emb_covariance": ("odl_etl_spark.queries.ml", "emb_covariance"),
+    "agg_weighted": ("odl_etl_spark.queries.extras", "agg_weighted"),
+    "text_entropy": ("odl_etl_spark.queries.extras", "text_entropy"),
+    "emb_norm_stats": ("odl_etl_spark.queries.extras", "emb_norm_stats"),
+    "sql_tpch_q1": ("odl_etl_spark.queries.extras", "sql_tpch_q1"),
+    "graph_pagerank": ("odl_etl_spark.functions.numeric", "pagerank"),
+}
+
+
+@pytest.mark.parametrize("key", sorted(_GUARDED))
+def test_scaled_bigint_key_calls_headroom_guard(key, spark, sf_dir, monkeypatch):
+    import importlib
+
+    from odl_etl_spark.queries import registry
+
+    mod_name, what_substr = _GUARDED[key]
+    mod = importlib.import_module(mod_name)
+    calls: list[str] = []
+
+    def recording(n_rows, max_abs_term, scale, margin=8, what="scaled sum"):
+        calls.append(what)
+        return assert_scaled_sum_headroom(n_rows, max_abs_term, scale, margin, what)
+
+    monkeypatch.setattr(mod, "assert_scaled_sum_headroom", recording)
+    df = registry()[key].build(spark, sf_dir)
+    assert any(what_substr in w for w in calls), (key, calls)
+    assert df.columns  # the build returned a real plan
+
+
+# --- synthetic overflow per family -----------------------------------
+
+def test_corpus_count_family_trips_at_scale():
+    """emb_covariance / agg_weighted / sql_tpch_q1 guard on a table
+    count: the 100 TB-scale row counts must trip the guard."""
+    # sf0.1-style counts clear easily.
+    assert_scaled_sum_headroom(600_000, 2e5 * 1.08, 10**6) is None
+    # TPC-H sf100k (~100 TB): lineitem ~6e11 rows — silent wrap territory.
+    with pytest.raises(OverflowError, match="sum_charge"):
+        assert_scaled_sum_headroom(
+            600_000_000_000, 2e5 * 1.08, 10**6, what="sql_tpch_q1 sum_charge"
+        )
+    with pytest.raises(OverflowError, match="emb_covariance"):
+        assert_scaled_sum_headroom(
+            10**12, 16.0, 10**9, what="emb_covariance (i,j) product sum"
+        )
+
+
+def test_static_shape_family_bounds_are_static():
+    """emb_norm_stats / text_entropy guard on per-row shape bounds that
+    do NOT grow with the corpus — same numbers as the call sites."""
+    assert_scaled_sum_headroom(65536, 16.0, 10**9)  # norm_stats site values
+    assert_scaled_sum_headroom(10**8, 0.37, 10**6)  # entropy site values
+    # A hypothetical 2**40-dim embedding would wrap — the guard says so.
+    with pytest.raises(OverflowError):
+        assert_scaled_sum_headroom(2**40, 16.0, 10**9)
+
+
+def test_mass_invariant_family_scale_bound():
+    """pagerank's contribution sum is bounded by total mass = SCALE;
+    the invariant holds at 1e12 and would break near 1e18."""
+    from odl_etl_spark.operators.pagerank import SCALE
+
+    assert_scaled_sum_headroom(1, 1.0, SCALE)
+    with pytest.raises(OverflowError):
+        assert_scaled_sum_headroom(1, 1.0, 2 * 10**18)
