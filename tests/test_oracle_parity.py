@@ -72,6 +72,11 @@ def test_oracle_parity(q, spark, duck, sf_dir):
         raise AssertionError(f"{q.name}: value mismatch, first diffs: {diffs}")
 
 
+# Every registry key currently carries a DuckDB oracle, so this rows-only
+# smoke tier is EMPTY by design (the stronger parity test above covers all
+# keys); pytest reports an empty parametrize as one documented skip. The
+# tier stays so a future genuinely-non-SQL-expressible key (custom stateful
+# streaming, iterative fixpoints) still gets a smoke run automatically.
 @pytest.mark.parametrize("q", ROWS_ONLY, ids=lambda s: s.name)
 def test_rows_only_runs(q, spark, sf_dir):
     df = q.build(spark, sf_dir)
