@@ -70,6 +70,48 @@ def fake_image_decode(content: bytes) -> dict[str, Any]:
     }
 
 
+def pil_image_decode(content: bytes) -> dict[str, Any]:
+    """Real image decoder behind the same bytes→dict contract as
+    ``fake_image_decode``: width/height from the decoded image, and an
+    8-dim embedding = mean luma of 8 vertical bands (deterministic, no
+    model weights). Imports PIL lazily; raises ImportError when Pillow
+    is absent — use ``image_decoder()`` to fall back automatically."""
+    import io
+
+    from PIL import Image  # lazy: not a hard dependency
+
+    if content is None or len(content) == 0:
+        raise ValueError("empty image payload")
+    img = Image.open(io.BytesIO(bytes(content)))
+    gray = img.convert("L")
+    w, h = img.size
+    # 8 vertical bands, mean luma each, normalized to [0, 1].
+    band_w = max(w // 8, 1)
+    px = list(gray.getdata())
+    emb = []
+    for b in range(8):
+        lo, hi = b * band_w, min((b + 1) * band_w, w)
+        if lo >= w:
+            emb.append(0.0)
+            continue
+        vals = [px[y * w + x] for y in range(h) for x in range(lo, hi)]
+        emb.append(sum(vals) / (len(vals) * 255.0))
+    return {"width": w, "height": h, "embedding": emb}
+
+
+def image_decoder() -> Callable[[bytes], dict[str, Any]]:
+    """The best available image decoder: PIL-backed when Pillow is
+    importable, the deterministic fake otherwise. The CORRECTNESS keys
+    always pass ``fake_image_decode`` explicitly (cross-engine
+    hash-checkable); this selector is for real pipeline use."""
+    try:
+        import PIL  # noqa: F401
+
+        return pil_image_decode
+    except ImportError:
+        return fake_image_decode
+
+
 def extract_image_features(
     media: DataFrame,
     decoder: Callable[[bytes], dict[str, Any]] = fake_image_decode,
@@ -135,6 +177,43 @@ def fake_audio_decode(content: bytes) -> dict[str, Any]:
         "duration_ms": n_samples * 1000 // rate,
         "rms": int(d[8:12], 16) / 65535.0,
     }
+
+
+def soundfile_audio_decode(content: bytes) -> dict[str, Any]:
+    """Real audio decoder behind the same bytes→dict contract as
+    ``fake_audio_decode``: sample rate / sample count from the container
+    header, RMS over the decoded waveform. Imports soundfile lazily;
+    raises ImportError when absent — use ``audio_decoder()`` to fall
+    back automatically."""
+    import io
+    import math
+
+    import soundfile as sf  # lazy: not a hard dependency
+
+    if content is None or len(content) == 0:
+        raise ValueError("empty audio payload")
+    data, rate = sf.read(io.BytesIO(bytes(content)), dtype="float64")
+    flat = data.reshape(-1) if getattr(data, "ndim", 1) > 1 else data
+    n_frames = len(data)
+    rms = math.sqrt(float((flat * flat).mean())) if len(flat) else 0.0
+    return {
+        "sample_rate": int(rate),
+        "n_samples": int(n_frames),
+        "duration_ms": int(n_frames) * 1000 // int(rate),
+        "rms": rms,
+    }
+
+
+def audio_decoder() -> Callable[[bytes], dict[str, Any]]:
+    """The best available audio decoder: soundfile-backed when
+    importable, the deterministic fake otherwise (same selection
+    contract as ``image_decoder``)."""
+    try:
+        import soundfile  # noqa: F401
+
+        return soundfile_audio_decode
+    except ImportError:
+        return fake_audio_decode
 
 
 def extract_audio_features(
