@@ -51,20 +51,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
             # Session missed inferTimestampNTZ=false (externally-created
-            # session). A bare cast('timestamp') interprets the naive value
-            # in the SESSION timezone — correct only when that is UTC, and
-            # this branch fires precisely on sessions that missed
-            # tune_session. from_utc_timestamp(cast, current_timezone())
-            # re-shifts by the session offset, yielding naive-read-as-UTC
-            # under any session timezone (verified vs America/New_York
-            # across DST offsets).
-            df = df.withColumn(
-                "ts",
-                F.from_utc_timestamp(
-                    F.col("ts").cast("timestamp"), F.current_timezone()
-                ),
-            )
+            # session). Reinterpret the naive value as a UTC instant
+            # field-by-field — see ntz_as_utc_instant for why a session-
+            # timezone cast round-trip is NOT equivalent (DST gaps).
+            df = df.withColumn("ts", ntz_as_utc_instant("ts"))
     return df
+
+
+def ntz_as_utc_instant(colname: str):
+    """Reinterpret a TIMESTAMP_NTZ column's naive wall-clock as a UTC
+    instant (DuckDB's ``CAST(ts AS TIMESTAMP)`` semantics), timezone-
+    independently.
+
+    The obvious ``cast('timestamp')`` + ``from_utc_timestamp(...,
+    current_timezone())`` round-trip is wrong twice near DST
+    transitions: the cast normalizes a nonexistent local time (e.g.
+    2024-03-10 02:30 America/New_York) forward an hour before the
+    re-shift, and the two offset lookups (at local wall-clock vs at
+    instant) can disagree within an hour of a transition (ADVICE r4).
+    Rebuilding the instant from the extracted naive fields via
+    ``make_timestamp(..., 'UTC')`` never consults the session timezone,
+    and UTC has no gaps or overlaps.
+    """
+    c = colname
+    return F.expr(
+        f"make_timestamp(year({c}), month({c}), day({c}), hour({c}), "
+        f"minute({c}), cast(extract(SECOND FROM {c}) as decimal(16,6)), 'UTC')"
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

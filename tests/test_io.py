@@ -185,18 +185,34 @@ def test_ntz_fallback_is_timezone_independent(spark, tmp_path):
     read as UTC regardless of spark.sql.session.timeZone."""
     sf = tmp_path / "sf_ntz"
     sf.mkdir()
+    # Three naive values: a plain one, one inside America/New_York's
+    # spring-forward GAP (02:30 does not exist locally on 2024-03-10 —
+    # a session-timezone cast would normalize it forward an hour), and
+    # one inside the fall-back OVERLAP (01:30 exists twice on
+    # 2024-11-03). Naive-read-as-UTC is well-defined for all three.
     spark.sql(
         "select 1 as user_id, timestamp_ntz'2024-06-15 12:34:56.789' as ts"
+        " union all select 2, timestamp_ntz'2024-03-10 02:30:00'"
+        " union all select 3, timestamp_ntz'2024-11-03 01:30:00'"
     ).write.parquet(str(sf / "events.parquet"))
 
-    want_us = 1718454896789000  # 2024-06-15T12:34:56.789 as a UTC instant
+    want_us = {
+        1: 1718454896789000,  # 2024-06-15T12:34:56.789Z
+        2: 1710037800000000,  # 2024-03-10T02:30:00Z (DST-gap wall clock)
+        3: 1730597400000000,  # 2024-11-03T01:30:00Z (DST-overlap wall clock)
+    }
     prev = spark.conf.get("spark.sql.session.timeZone")
     try:
         for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
             spark.conf.set("spark.sql.session.timeZone", tz)
             df = load_table(spark, str(sf), "events")
             assert dict(df.dtypes)["ts"] == "timestamp", tz
-            got = df.select(F.unix_micros("ts").alias("us")).collect()[0]["us"]
+            got = {
+                r["user_id"]: r["us"]
+                for r in df.select(
+                    "user_id", F.unix_micros("ts").alias("us")
+                ).collect()
+            }
             assert got == want_us, (tz, got)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
