@@ -69,6 +69,16 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def enable_durable_materialize(spark: SparkSession, checkpoint_dir: str) -> None:
+    """Switch every iterative operator's lineage cut to reliable DFS
+    checkpointing in one call (the cluster fault-tolerance posture;
+    see ``operators/materialize.py``). ``checkpoint_dir`` should be a
+    DFS path (hdfs://, s3a://) on a real cluster — executor-local
+    ``localCheckpoint`` blocks die with their executor mid-iteration."""
+    spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    spark.conf.set("spark.odl_etl.materialize.mode", "checkpoint")
+
+
 def cluster_conf(
     total_cores: int = 4000,
     input_tb: float = 100.0,

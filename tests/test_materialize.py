@@ -78,6 +78,21 @@ def test_unknown_mode_raises(spark):
         materialize(_src(spark), mode="nope")
 
 
+def test_enable_durable_materialize_one_call(spark, tmp_path):
+    """session.enable_durable_materialize flips every iterative operator
+    to reliable checkpointing in one call."""
+    from odl_etl_spark.session import enable_durable_materialize
+
+    try:
+        enable_durable_materialize(spark, str(tmp_path / "dfs_ckpt"))
+        assert spark.conf.get(MODE_CONF) == "checkpoint"
+        out = materialize(_src(spark))  # no per-call mode: conf decides
+        assert out.count() == 100
+    finally:
+        spark.conf.unset(MODE_CONF)
+        _clear_checkpoint_dir(spark)
+
+
 def test_iterative_consumer_is_mode_agnostic(spark, tmp_path):
     """connected_components routes every cut through materialize();
     its output must be identical under all three modes."""
