@@ -87,6 +87,31 @@ def test_upsert_noncanonical_partition_values_round_trip(spark, tmp_path):
     }
 
 
+def test_upsert_adversarial_partition_values_round_trip(spark, tmp_path):
+    """One partition per classically type-inference-ambiguous string:
+    every directory must survive an upsert byte-identically (none may
+    collapse to its inferred-type canonical form)."""
+    import os
+
+    tricky = ["01", "1", "1.0", "001", "2024-01-01", "true", "1e3", "0x10"]
+    path = str(tmp_path / "ds_tricky")
+    base = _df(spark, [(i, "v", ds) for i, ds in enumerate(tricky)])
+    base.repartition("ds").write.partitionBy("ds").parquet(path)
+
+    # Touch half the partitions; the other half must remain untouched.
+    updates = _df(spark, [(i, "V!", ds) for i, ds in enumerate(tricky) if i % 2 == 0])
+    n = upsert_partitioned(spark, path, updates, keys=["k"])
+    assert n == len(tricky) // 2
+
+    dirs = sorted(d[3:] for d in os.listdir(path) if d.startswith("ds="))
+    assert dirs == sorted(tricky)
+    got = {
+        r["ds"]: r["v"]
+        for r in spark.read.schema("k long, v string, ds string").parquet(path).collect()
+    }
+    assert got == {ds: ("V!" if i % 2 == 0 else "v") for i, ds in enumerate(tricky)}
+
+
 def test_upsert_cleans_staging_on_success(spark, tmp_path):
     """The per-run staging sibling must be deleted after a successful
     swap (and only then — on failure it is the durable copy)."""
