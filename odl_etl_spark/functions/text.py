@@ -138,3 +138,29 @@ def predicted_lang(col: Column | str) -> Column:
     return F.when(best.getField("neg_hits") < 0, best.getField("lang")).otherwise(
         F.lit("und")
     )
+
+
+def canonical_url(col: Column | str) -> Column:
+    """Canonicalize a URL for corpus dedup (the C4/CommonCrawl cleanup):
+    drop the #fragment, remove ``utm_*`` tracking params (repairing
+    ``?``/``&`` separators), lowercase scheme and host, strip a ``www.``
+    prefix and default ports (:80/:443), and strip the trailing path
+    slash. Path/query case and non-tracking params are preserved. Pure
+    chained regexp expressions — codegen'd, and each step is mirrored
+     1:1 in the ``dedup_url`` DuckDB oracle.
+    """
+    u = F.col(col) if isinstance(col, str) else col
+    u = F.regexp_replace(u, r"#.*$", "")  # fragment
+    u = F.regexp_replace(u, r"([?&])utm_[^&]*", r"$1")  # tracking params
+    u = F.regexp_replace(u, r"\?&+", r"?")  # ?&ref=1 -> ?ref=1
+    u = F.regexp_replace(u, r"&&+", r"&")  # a=1&&b=2 -> a=1&b=2
+    u = F.regexp_replace(u, r"[?&]+$", "")  # bare trailing separators
+    head_raw = F.regexp_extract(u, r"^([^/?#]*://[^/?#]*)", 1)
+    tail = F.substring(u, F.length(head_raw) + 1, F.length(u))
+    head = F.lower(head_raw)
+    head = F.regexp_replace(head, r"://www\.", "://")
+    head = F.regexp_replace(head, r":(443|80)$", "")
+    u = F.concat(head, tail)
+    u = F.regexp_replace(u, r"/\?", r"?")  # trailing slash before query
+    u = F.regexp_replace(u, r"/$", "")  # trailing slash at end
+    return u

@@ -457,6 +457,68 @@ def sim_ann_hyperplane(spark, sf_dir):
     return topk_cosine(cand, probe, k=10, round_to=6)
 
 
+def _maxsim_oracle(n_tok: int = 8, dim: int = 8, k: int = 20) -> str:
+    """Generated late-interaction MaxSim SQL: per (query token i, doc
+    token j) an explicit dim-term dot product (left-associated, CAST AS
+    DOUBLE per element — the same accumulation order as the Spark
+    expression), GREATEST over doc tokens, '+'-chain over query tokens."""
+
+    def dot(i: int, j: int) -> str:
+        return "(" + " + ".join(
+            f"CAST(e.embedding[{j * dim + t + 1}] AS DOUBLE)"
+            f" * CAST(p.p[{i * dim + t + 1}] AS DOUBLE)"
+            for t in range(dim)
+        ) + ")"
+
+    per_tok = [
+        "GREATEST(" + ", ".join(dot(i, j) for j in range(n_tok)) + ")"
+        for i in range(n_tok)
+    ]
+    score = " + ".join(per_tok)
+    return f"""
+    WITH p AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, ROUND(({score}) * 1000000) / 1000000 AS maxsim
+    FROM embeddings e, p
+    WHERE e.vec_id <> 0
+    ORDER BY maxsim DESC, vec_id ASC LIMIT {k}
+    """
+
+
+@spec(
+    "sim_maxsim",
+    _maxsim_oracle(),
+    doc=(
+        "ColBERT-style late-interaction retrieval: treat each 64-dim "
+        "embedding as 8 token sub-vectors of 8 dims; score(query, doc) = "
+        "sum over query tokens of the max dot product against any doc "
+        "token. The probe's sub-vectors are driver-fetched parameter "
+        "data folded into literals, so the whole scorer is one codegen'd "
+        "projection (64 explicit dot products + greatest/sum folds) + "
+        "TakeOrderedAndProject - zero shuffles of the corpus, same scan "
+        "shape as sim_topk. At 100 TB this composes with the IVF/LSH "
+        "pruning tiers: coarse-quantize on the pooled vector, MaxSim "
+        "re-rank only the probed cells."
+    ),
+)
+def sim_maxsim(spark, sf_dir, n_tok: int = 8, dim: int = 8, k: int = 20):
+    probe = _probe_vec(spark, sf_dir, 0)
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    emb = F.col("embedding")
+
+    def dot(i: int, j: int):
+        s = emb[j * dim].cast("double") * F.lit(float(probe[i * dim]))
+        for t in range(1, dim):
+            s = s + emb[j * dim + t].cast("double") * F.lit(float(probe[i * dim + t]))
+        return s
+
+    per_tok = [F.greatest(*[dot(i, j) for j in range(n_tok)]) for i in range(n_tok)]
+    score = per_tok[0]
+    for x in per_tok[1:]:
+        score = score + x
+    scored = e.select("vec_id", roundn(score, 6).alias("maxsim"))
+    return scored.orderBy(F.col("maxsim").desc(), F.col("vec_id").asc()).limit(k)
+
+
 SPECS = [
     sim_topk,
     sim_pairwise_label,
@@ -466,4 +528,5 @@ SPECS = [
     sim_knn_join,
     emb_quantize,
     sim_ann_hyperplane,
+    sim_maxsim,
 ]

@@ -979,6 +979,92 @@ def text_chunk(spark, sf_dir):
     )
 
 
+_URL_EXPR_SQL = """
+      CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END || '://' ||
+      CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+      UPPER(source) || '.Example.COM' ||
+      CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END ||
+      '/Docs/' || CAST(doc_id % 40 AS VARCHAR) ||
+      CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+      '?utm_source=feed&ref=' || CAST(doc_id % 5 AS VARCHAR) ||
+      CASE WHEN doc_id % 6 = 0 THEN '&utm_campaign=x' ELSE '' END ||
+      CASE WHEN doc_id % 7 = 0 THEN '#sec' || CAST(doc_id AS VARCHAR) ELSE '' END
+"""
+
+
+@spec(
+    "dedup_url",
+    f"""
+    WITH urls AS (
+      SELECT doc_id, {_URL_EXPR_SQL} AS u FROM documents
+    ), c1 AS (
+      SELECT doc_id, regexp_replace(u, '#.*$', '', 'g') AS u FROM urls
+    ), c2 AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(u, '([?&])utm_[^&]*', '\\1', 'g'),
+                   '\\?&+', '?', 'g'),
+                 '&&+', '&', 'g'),
+               '[?&]+$', '', 'g') AS u
+      FROM c1
+    ), c3 AS (
+      SELECT doc_id, regexp_extract(u, '^([^/?#]*://[^/?#]*)', 1) AS head, u
+      FROM c2
+    ), c4 AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(lower(head), '://www\\.', '://', 'g'),
+               ':(443|80)$', '', 'g') || substr(u, length(head) + 1) AS u
+      FROM c3
+    ), c5 AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(u, '/\\?', '?', 'g'), '/$', '', 'g')
+               AS u
+      FROM c4
+    )
+    SELECT u AS canonical_url, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+    FROM c5 GROUP BY 1
+    """,
+    doc=(
+        "URL-canonicalization dedup (the C4/CommonCrawl web-corpus "
+        "cleanup): synthesize case/port/www/utm/fragment-varied URLs "
+        "deterministically from document columns, canonicalize with "
+        "chained regexp expressions (functions/text.canonical_url: drop "
+        "fragment, strip utm_* params repairing separators, lowercase "
+        "scheme+host, strip www. and default ports, strip trailing "
+        "slash), then hash-group by canonical form. Pure codegen "
+        "expressions + one keyed agg - embarrassingly scalable."
+    ),
+)
+def dedup_url(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.upper("source"),
+        F.lit(".Example.COM"),
+        F.when(did % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Docs/"),
+        (did % 40).cast("string"),
+        F.when(did % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&ref="),
+        (did % 5).cast("string"),
+        F.when(did % 6 == 0, F.lit("&utm_campaign=x")).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.concat(F.lit("#sec"), did.cast("string"))).otherwise(
+            F.lit("")
+        ),
+    )
+    return (
+        d.select("doc_id", T.canonical_url(url).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+    )
+
+
 SPECS = [
     text_tokenize_tf,
     text_ngrams,
@@ -1004,4 +1090,5 @@ SPECS = [
     dedup_decontaminate,
     corpus_mix,
     text_chunk,
+    dedup_url,
 ]

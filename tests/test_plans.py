@@ -247,6 +247,25 @@ def test_pack_sequences_cumsum_is_distributed(spark, sf_dir):
         assert first_arg.startswith("_pid") or fn.startswith("sum(_c"), (fn, first_arg)
 
 
+def test_maxsim_is_codegen_scan_no_shuffle(spark, sf_dir):
+    # Late-interaction MaxSim is 64 literal-probe dot products folded in
+    # one codegen'd projection + TakeOrdered: zero exchanges, no join —
+    # the corpus never shuffles (same contract as sim_topk).
+    df = build("sim_maxsim", spark, sf_dir)
+    assert shuffle_count(df) == 0
+    assert "TakeOrderedAndProject" in explain_str(df)
+    assert "Join" not in explain_str(df)
+
+
+def test_dedup_url_is_single_keyed_agg(spark, sf_dir):
+    # URL canonicalization is chained regexp expressions; the only
+    # exchange is the canonical-key hash agg (map-side combined).
+    df = build("dedup_url", spark, sf_dir)
+    assert shuffle_count(df) == 1
+    plan = explain_str(df)
+    assert "partial_count" in plan or "partial_" in plan
+
+
 def test_ann_hyperplane_is_pruned_scan_no_shuffle(spark, sf_dir):
     # The 5 signature dots are codegen'd expressions and the bucket
     # filter prunes before ranking: filter + TakeOrdered, zero exchanges
