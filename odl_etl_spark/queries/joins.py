@@ -376,6 +376,54 @@ def join_skew_salted(spark, sf_dir):
     )
 
 
+@spec(
+    "join_fuzzy_match",
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    blocked AS (
+      SELECT a.p_name AS name_a, b.p_name AS name_b,
+             split_part(a.p_name, ' ', 2) AS block,
+             levenshtein(a.p_name, b.p_name) AS lev
+      FROM names a JOIN names b
+        ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+       AND a.p_name < b.p_name
+    )
+    SELECT block, name_a, name_b, lev
+    FROM blocked WHERE lev <= 3
+    """,
+    doc=(
+        "Blocked fuzzy entity matching (the scalable entity-resolution "
+        "shape, generalizing the reference's user/email identity "
+        "mapping): dedupe to the distinct name VOCABULARY first "
+        "(vocabulary is orders of magnitude smaller than rows at lake "
+        "scale), equi-join on a blocking key (the name's noun) so "
+        "candidate pairs are per-block instead of all-pairs, then verify "
+        "candidates with levenshtein <= 3. Matches broadcast back to "
+        "fact rows by exact name when needed. Never an all-pairs "
+        "theta join - the levenshtein predicate rides an equi-join."
+    ),
+)
+def join_fuzzy_match(spark, sf_dir):
+    names = (
+        load_table(spark, sf_dir, "part").select("p_name").distinct()
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.split("p_name", " ")[1].alias("block"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.split("p_name", " ")[1].alias("block"),
+    )
+    return (
+        a.join(b, "block")
+        .where(F.col("name_a") < F.col("name_b"))
+        .withColumn("lev", F.levenshtein("name_a", "name_b"))
+        .where(F.col("lev") <= 3)
+        .select("block", "name_a", "name_b", "lev")
+    )
+
+
 SPECS = [
     join_inner_equi,
     join_full,
@@ -390,4 +438,5 @@ SPECS = [
     join_asof,
     join_skew_salted,
     join_bucketed,
+    join_fuzzy_match,
 ]

@@ -266,6 +266,16 @@ def test_dedup_url_is_single_keyed_agg(spark, sf_dir):
     assert "partial_count" in plan or "partial_" in plan
 
 
+def test_fuzzy_match_rides_equi_join_not_all_pairs(spark, sf_dir):
+    # The levenshtein predicate must be a post-join filter on a blocked
+    # EQUI-join over the distinct vocabulary — never a cartesian/NLJ
+    # over names (and never over fact rows at all).
+    df = build("join_fuzzy_match", spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_ann_hyperplane_is_pruned_scan_no_shuffle(spark, sf_dir):
     # The 5 signature dots are codegen'd expressions and the bucket
     # filter prunes before ranking: filter + TakeOrdered, zero exchanges
