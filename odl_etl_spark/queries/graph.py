@@ -77,6 +77,100 @@ def graph_pagerank(spark, sf_dir):
     return r.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(20)
 
 
+@spec(
+    "graph_triangles",
+    """
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS n
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY a.p_brand, b.p_brand
+    ), stats AS (SELECT SUM(n) AS tot, COUNT(*) AS cnt FROM pairs),
+    edges AS (
+      SELECT brand_a, brand_b FROM pairs CROSS JOIN stats
+      WHERE n * cnt > tot
+    ), tris AS (
+      SELECT e1.brand_a AS a, e1.brand_b AS b, e2.brand_b AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.brand_a = e1.brand_b
+      JOIN edges e3 ON e3.brand_a = e1.brand_a AND e3.brand_b = e2.brand_b
+    ), roles AS (
+      SELECT a AS brand FROM tris
+      UNION ALL SELECT b FROM tris
+      UNION ALL SELECT c FROM tris
+    )
+    SELECT brand, COUNT(*) AS n_triangles
+    FROM roles GROUP BY brand
+    """,
+    doc=(
+        "Triangle counting over the above-mean-support brand "
+        "co-occurrence graph: per-order brand sets -> weighted pair "
+        "edges (one fact shuffle) -> keep edges whose support exceeds "
+        "the mean (integer cross-check against a 1-row broadcast "
+        "aggregate, no float threshold) -> the classic ordered "
+        "edges three-way self-join (a<b<c, each triangle counted "
+        "once) -> per-node participation counts. The edge table is "
+        "vocabulary-sized, so the three-way join is over a tiny "
+        "relation regardless of fact scale - the standard "
+        "node-iterator shape. Completes the graph family "
+        "(pagerank, components, triangles)."
+    ),
+)
+def graph_triangles(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    stats = pairs.agg(
+        F.sum("n").alias("tot"), F.count("*").alias("cnt")
+    )
+    edges = (
+        pairs.crossJoin(F.broadcast(stats))
+        .where(F.col("n") * F.col("cnt") > F.col("tot"))
+        .select("brand_a", "brand_b")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e2.brand_a") == F.col("e1.brand_b"))
+        .join(
+            e3,
+            (F.col("e3.brand_a") == F.col("e1.brand_a"))
+            & (F.col("e3.brand_b") == F.col("e2.brand_b")),
+        )
+        .select(
+            F.col("e1.brand_a").alias("a"),
+            F.col("e1.brand_b").alias("b"),
+            F.col("e2.brand_b").alias("c"),
+        )
+    )
+    roles = (
+        tris.select(F.col("a").alias("brand"))
+        .unionAll(tris.select(F.col("b").alias("brand")))
+        .unionAll(tris.select(F.col("c").alias("brand")))
+    )
+    return roles.groupBy("brand").agg(F.count("*").alias("n_triangles"))
+
+
 SPECS = [
     graph_pagerank,
+    graph_triangles,
 ]
