@@ -1174,6 +1174,41 @@ def orders_backlog(spark, sf_dir):
     ).orderBy("day")
 
 
+_Q10_SQL = """
+    SELECT c_custkey, c_name,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+             / 1e4 AS revenue,
+           ROUND(c_acctbal * 100) / 100 AS acctbal,
+           n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1995-04-01'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+@spec(
+    "sql_tpch_q10",
+    _Q10_SQL,
+    doc=(
+        "TPC-H Q10 returned-item reporting (adapted to the fixture "
+        "columns): quarter-scoped fact filters pushed to both scans, "
+        "nation broadcast, customer join keyed on the agg output - the "
+        "classic report-over-star shape. Passthrough text identical on "
+        "both engines; money in scaled BIGINT."
+    ),
+)
+def sql_tpch_q10(spark, sf_dir):
+    register_views(spark, sf_dir)
+    return spark.sql(_Q10_SQL)
+
+
 SPECS = [
     sql_tpch_q1,
     sql_tpch_q5,
@@ -1195,4 +1230,5 @@ SPECS = [
     emb_pq_codebook,
     text_idf_stop,
     orders_backlog,
+    sql_tpch_q10,
 ]
