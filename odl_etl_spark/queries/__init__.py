@@ -28,6 +28,7 @@ def registry() -> dict[str, QuerySpec]:
         similarity,
         streaming,
         text,
+        tpch,
         windows,
     )
 
@@ -47,6 +48,9 @@ def registry() -> dict[str, QuerySpec]:
         ml,
         quality,
         extras,
+        # Appended last: round-5 additive keys live in the registry tail,
+        # outside (and after) the 50-key driver check window.
+        tpch,
     ]
     out: dict[str, QuerySpec] = {}
     for mod in modules:

@@ -419,3 +419,80 @@ def test_exact_median_guard_rejects_unbounded_keys(spark, sf_dir):
     guard_bounded_groups(l, "l_returnflag")  # 3 groups: fine
     with _pytest.raises(ValueError, match="agg_approx_quantile"):
         guard_bounded_groups(l, "l_orderkey", bound=100)
+
+
+# --- TPC-H completion family (queries/tpch.py) -------------------------
+
+
+def test_tpch_q6_all_predicates_pushed_no_join(spark, sf_dir):
+    # The purest pushdown test: every range predicate must reach the
+    # parquet reader and the plan must contain no join at all — a global
+    # partial/final sum is the only aggregation.
+    df = build("sql_tpch_q6", spark, sf_dir)
+    assert has_pushed_filters(
+        df,
+        "GreaterThanOrEqual(l_shipdate,1996-01-01",
+        "LessThan(l_shipdate,1997-01-01",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    )
+    plan = explain_str(df)
+    assert "Join" not in plan
+    assert has_partial_aggregate(df)
+    assert shuffle_count(df) == 0  # single-group agg: singlepartition only
+
+
+def test_tpch_q19_or_predicate_stays_hash_join(spark, sf_dir):
+    # The disjunction-of-conjunctions must NOT degrade the join: Catalyst
+    # factors the common p_partkey equi-key out of the OR (hash join, part
+    # broadcast) and derives single-side OR filters pushed to BOTH scans.
+    df = build("sql_tpch_q19", spark, sf_dir)
+    plan = explain_str(df)
+    assert has_broadcast_join(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    pushed = re.findall(r"PushedFilters: \[(.*?)\]", plan)
+    or_sides = [p for p in pushed if "Or(Or(And(" in p]
+    assert len(or_sides) == 2, pushed  # one derived OR filter per scan
+    assert shuffle_count(df) == 0
+
+
+def test_tpch_q21_exists_chains_decorrelate_to_hash_joins(spark, sf_dir):
+    # The correlated EXISTS / NOT EXISTS with <>-predicates must
+    # decorrelate into equi-keyed semi/anti joins — never a nested-loop
+    # or cartesian evaluation of the subqueries per outer row.
+    df = build("sql_tpch_q21", spark, sf_dir)
+    plan = explain_str(df)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q16_not_in_is_anti_join(spark, sf_dir):
+    # NOT IN over the supplier exclusion compiles to a (null-aware) anti
+    # join; the COUNT(DISTINCT) plans the two-phase distinct aggregate.
+    df = build("sql_tpch_q16", spark, sf_dir)
+    plan = explain_str(df)
+    assert "LeftAnti" in plan
+    assert has_partial_aggregate(df)
+
+
+def test_tpch_q17_correlated_avg_decorrelates(spark, sf_dir):
+    # The per-part scalar AVG subquery must run as ONE partkey-keyed
+    # aggregate joined back to the fact — not a re-scan per outer row.
+    # One hash exchange (the decorrelated agg) is the whole shuffle cost.
+    df = build("sql_tpch_q17", spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("avg(") >= 1
+    assert shuffle_count(df) == 1
+
+
+def test_tpch_q8_star_dims_broadcast(spark, sf_dir):
+    # The 8-way star: every dim broadcasts; the year agg partial-combines.
+    df = build("sql_tpch_q8", spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert has_partial_aggregate(df)
