@@ -502,4 +502,125 @@ def corpus_split(spark, sf_dir):
     )
 
 
-SPECS = [emb_kmeans, emb_covariance, sketch_countmin, text_bm25, corpus_split]
+# --------------------------------------------------------------------------
+# Bloom-filter membership (fixed-size decontamination screen)
+# --------------------------------------------------------------------------
+
+_BLOOM_M = 1024  # bits; words of 32 bits in a BIGINT keep shifts sign-safe
+_BLOOM_K = 3
+
+
+def _bloom_pos_sql(j: int) -> str:
+    return f"({_hexval('m', 1 + 4 * j, 4)}) % {_BLOOM_M}"
+
+
+_BLOOM_SQL = f"""
+    WITH bench AS (
+      SELECT DISTINCT t AS term
+      FROM (SELECT UNNEST({_TOKS_SQL}) AS t FROM documents
+            WHERE source = 'src0')
+    ), bh AS (
+      SELECT md5(term) AS m FROM bench
+    ), bp AS (
+      {' UNION ALL '.join(f'SELECT {_bloom_pos_sql(j)} AS pos FROM bh'
+                          for j in range(_BLOOM_K))}
+    ), bitmap AS (
+      SELECT pos // 32 AS word,
+             BIT_OR(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+      FROM bp GROUP BY 1
+    ), corpus AS (
+      SELECT DISTINCT doc_id, t AS term
+      FROM (SELECT doc_id, UNNEST({_TOKS_SQL}) AS t FROM documents
+            WHERE source <> 'src0')
+    ), ch AS (
+      SELECT doc_id, term, md5(term) AS m FROM corpus
+    ), cp AS (
+      {' UNION ALL '.join(
+          f'SELECT doc_id, term, {_bloom_pos_sql(j)} AS pos FROM ch'
+          for j in range(_BLOOM_K))}
+    ), hits AS (
+      SELECT c.doc_id, c.term,
+             MIN(CASE WHEN b.bits IS NOT NULL
+                       AND ((b.bits >> CAST(c.pos % 32 AS INT)) & 1) = 1
+                  THEN 1 ELSE 0 END) AS hit
+      FROM cp c LEFT JOIN bitmap b ON b.word = c.pos // 32
+      GROUP BY c.doc_id, c.term
+    )
+    SELECT doc_id, COUNT(*) AS n_terms,
+           CAST(SUM(hit) AS BIGINT) AS n_flagged,
+           SUM(hit) > 0 AS flagged
+    FROM hits GROUP BY doc_id
+"""
+
+
+@spec(
+    "sketch_bloom",
+    _BLOOM_SQL,
+    doc=(
+        "Bloom-filter membership screen: the held-out set ('src0' "
+        "docs) hashes its vocabulary into a fixed m-bit bitmap "
+        f"(m={_BLOOM_M}, k={_BLOOM_K} md5-nibble hash functions, "
+        "32-bit words in BIGINTs so shifts never touch the sign bit); "
+        "every other document's distinct terms probe it, reporting "
+        "per-doc flagged-term counts — false positives included, "
+        "identically on both engines, since the hash positions are "
+        "deterministic nibble arithmetic. The 100 TB contrast with "
+        "dedup_decontaminate's broadcast exact set: the bitmap is "
+        "m/8 bytes REGARDLESS of benchmark size, built distributively "
+        "by a bit_or aggregate (mergeable partials, like the count-min "
+        "rows), and the probe join broadcasts at most m/32 word rows. "
+        "Derivation: sketch tier of SURVEY §2B; Bloom (1970)."
+    ),
+)
+def sketch_bloom(spark, sf_dir):
+    from odl_etl_spark.functions import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = (
+        d.where(F.col("source") == "src0")
+        .select(F.explode(T.tokens("text")).alias("term"))
+        .distinct()
+        .select(F.md5("term").alias("m"))
+    )
+    positions = F.array(
+        *[_spark_hex(F.col("m"), 1 + 4 * j, 4) % _BLOOM_M for j in range(_BLOOM_K)]
+    )
+    bitmap = (
+        bench.select(F.explode(positions).alias("pos"))
+        .groupBy(F.expr("pos div 32").alias("word"))
+        .agg(F.expr("bit_or(shiftleft(1L, cast(pos % 32 as int)))").alias("bits"))
+    )
+    probe = (
+        spread(d)
+        .where(F.col("source") != "src0")
+        .select("doc_id", F.explode(T.tokens("text")).alias("term"))
+        .distinct()
+        .select("doc_id", "term", F.md5("term").alias("m"))
+        .select("doc_id", "term", F.explode(positions).alias("pos"))
+        .withColumn("word", F.expr("pos div 32"))
+    )
+    hit = F.when(
+        F.col("bits").isNotNull()
+        & F.expr("(shiftright(bits, cast(pos % 32 as int)) & 1) = 1"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    hits = (
+        probe.join(F.broadcast(bitmap), "word", "left")
+        .groupBy("doc_id", "term")
+        .agg(F.min(hit).alias("hit"))
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count("*").alias("n_terms"),
+        F.sum("hit").cast("bigint").alias("n_flagged"),
+        (F.sum("hit") > 0).alias("flagged"),
+    )
+
+
+SPECS = [
+    emb_kmeans,
+    emb_covariance,
+    sketch_countmin,
+    text_bm25,
+    corpus_split,
+    sketch_bloom,
+]

@@ -182,10 +182,54 @@ def stream_interval_join(spark, sf_dir):
     )
 
 
+@spec(
+    "stream_cdc_apply",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           ROUND(value * 100) / 100 AS last_value,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS updated_us
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND event_type <> 'error'
+    """,
+    doc=(
+        "Changelog apply / CDC compaction: materialize the current "
+        "per-key state from an event stream — latest write wins "
+        "(deterministic order: max ts, then max event_id), and a "
+        "tombstone ('error') as the latest record deletes the key. "
+        "This is the batch form of the foreachBatch MERGE pattern "
+        "(stream upserts into a keyed table); one keyed window "
+        "shuffle, and Spark's WindowGroupLimit pushes the rn=1 "
+        "predicate into partial per-partition top-1 passes, so only "
+        "one candidate row per key per task reaches the exchange."
+    ),
+)
+def stream_cdc_apply(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            roundn(F.col("value"), 2).alias("last_value"),
+            F.unix_micros("ts").alias("updated_us"),
+        )
+    )
+
+
 SPECS = [
     stream_tumbling,
     stream_sliding,
     stream_session,
     stream_dedup,
     stream_interval_join,
+    stream_cdc_apply,
 ]

@@ -1065,6 +1065,62 @@ def dedup_url(spark, sf_dir):
     )
 
 
+@spec(
+    "text_keywords",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, t AS term, COUNT(*) AS tf
+      FROM (SELECT doc_id, UNNEST({_TOKS_SQL}) AS t FROM documents)
+      GROUP BY doc_id, t
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * LN(n.n_docs * 1e0 / dfreq.df) * 10000) / 10000
+               AS score,
+             CAST(ROW_NUMBER() OVER (
+                    PARTITION BY tf.doc_id
+                    ORDER BY tf.tf * LN(n.n_docs * 1e0 / dfreq.df) DESC,
+                             tf.term ASC) AS INT) AS rk
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, score, rk FROM scored WHERE rk <= 3
+    """,
+    doc=(
+        "Keyword extraction: top-3 TF-IDF terms per document (the "
+        "per-doc counterpart of text_tfidf's global top-25). The "
+        "vocabulary-sized document-frequency table broadcasts into the "
+        "(doc, term) side, the ln(N/df) weight is a folded scalar "
+        "expression, and the per-doc rank filter plans as "
+        "WindowGroupLimit — partial per-partition top-3 before the "
+        "doc-keyed exchange, so the shuffle carries at most 3 rows per "
+        "doc per task regardless of vocabulary size. Deterministic "
+        "tie-break on the raw double score, then term."
+    ),
+)
+def text_keywords(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # O(1) driver scalar, folded into the expression
+    tf = (
+        spread(d)
+        .select("doc_id", F.explode(T.tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    raw = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(raw.desc(), F.col("term").asc())
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "term", roundn(raw, 4).alias("score"), "rk")
+    )
+
+
 SPECS = [
     text_tokenize_tf,
     text_ngrams,
@@ -1091,4 +1147,5 @@ SPECS = [
     corpus_mix,
     text_chunk,
     dedup_url,
+    text_keywords,
 ]

@@ -496,3 +496,32 @@ def test_tpch_q8_star_dims_broadcast(spark, sf_dir):
     df = build("sql_tpch_q8", spark, sf_dir)
     assert has_broadcast_join(df)
     assert has_partial_aggregate(df)
+
+
+def test_cdc_apply_single_shuffle_with_group_limit(spark, sf_dir):
+    # Latest-write-wins must ride ONE keyed exchange, with the rn=1
+    # predicate pushed into partial per-partition top-1 (WindowGroupLimit
+    # Partial) so each task forwards one candidate row per key.
+    df = build("stream_cdc_apply", spark, sf_dir)
+    plan = explain_str(df)
+    assert shuffle_count(df) == 1
+    assert "WindowGroupLimit" in plan
+    assert re.search(r"WindowGroupLimit.*Partial", plan, re.DOTALL)
+
+
+def test_text_keywords_broadcasts_df_and_limits_window(spark, sf_dir):
+    # The vocabulary-sized df table must broadcast into the (doc, term)
+    # side, and the per-doc top-3 must plan as WindowGroupLimit.
+    df = build("text_keywords", spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert "WindowGroupLimit" in explain_str(df)
+
+
+def test_sketch_bloom_broadcasts_bitmap(spark, sf_dir):
+    # The m/32-row bitmap must broadcast into the probe side — the probe
+    # never shuffles on the bitmap key — and the bitmap build must
+    # partial-combine its bit_or.
+    df = build("sketch_bloom", spark, sf_dir)
+    plan = explain_str(df)
+    assert has_broadcast_join(df)
+    assert "partial_bit_or" in plan
