@@ -204,7 +204,11 @@ def stream_interval_join(spark, sf_dir):
         "(stream upserts into a keyed table); one keyed window "
         "shuffle, and Spark's WindowGroupLimit pushes the rn=1 "
         "predicate into partial per-partition top-1 passes, so only "
-        "one candidate row per key per task reaches the exchange."
+        "one candidate row per key per task reaches the exchange. "
+        "The true readStream loop lives in streaming/cdc.py "
+        "(bucket-partitioned state via upsert_partitioned, replay-"
+        "idempotent, tombstone-retaining); the replay test pins "
+        "stream == batch."
     ),
 )
 def stream_cdc_apply(spark, sf_dir):
