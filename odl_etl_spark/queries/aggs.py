@@ -538,6 +538,69 @@ def agg_decimal_exact(spark, sf_dir):
     )
 
 
+@spec(
+    "agg_corr",
+    """
+    SELECT event_type, n,
+           ROUND((n * 1e0 * sxy - sx * 1e0 * sy)
+                 / SQRT((n * 1e0 * sxx - sx * 1e0 * sx)
+                        * (n * 1e0 * syy - sy * 1e0 * sy))
+                 * 1000000) / 1000000 AS corr_value_hour
+    FROM (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(xc) AS sx, SUM(y) AS sy,
+             SUM(xc * xc) AS sxx, SUM(y * y) AS syy, SUM(xc * y) AS sxy
+      FROM (SELECT event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS xc,
+                   CAST(EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP)) AS BIGINT)
+                     AS y
+            FROM events) raw
+      GROUP BY event_type
+    ) stats
+    """,
+    doc=(
+        "Per-group Pearson correlation (value vs hour-of-day) from "
+        "integer-exact sufficient statistics — the emb_covariance "
+        "determinism pattern applied to the classic corr() aggregate: "
+        "the five sums accumulate scaled BIGINTs (associative in any "
+        "partial-agg order), and only the closed-form finalization runs "
+        "in doubles, identically on both engines. One map-side-combined "
+        "exchange of 5 counters per group regardless of input size — "
+        "the same cost profile as built-in corr(), but cross-engine "
+        "hash-stable, which F.corr's double accumulation is not."
+    ),
+)
+def agg_corr(spark, sf_dir):
+    from odl_etl_spark.functions.numeric import assert_scaled_sum_headroom
+
+    e = load_table(spark, sf_dir, "events")
+    # xc² terms dominate: |value| ≤ 1e3 (fixture contract) → (1e2·1e3)² =
+    # 1e10 per row; the guard sizes the per-group sum to the table count.
+    assert_scaled_sum_headroom(
+        e.count(), (100.0 * 1000.0) ** 2, 1, what="agg_corr sum(xc*xc)"
+    )
+    raw = e.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("xc"),
+        F.hour("ts").cast("bigint").alias("y"),
+    )
+    stats = raw.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("xc").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("xc") * F.col("xc")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("xc") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    one = F.lit(1.0)
+    corr = (n * one * sxy - sx * one * sy) / F.sqrt(
+        (n * one * sxx - sx * one * sx) * (n * one * syy - sy * one * sy)
+    )
+    return stats.select("event_type", "n", roundn(corr, 6).alias("corr_value_hour"))
+
+
 SPECS = [
     agg_groupby,
     agg_stats,
@@ -556,4 +619,5 @@ SPECS = [
     agg_mode,
     unpivot_long,
     agg_decimal_exact,
+    agg_corr,
 ]

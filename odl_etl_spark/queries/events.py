@@ -297,9 +297,9 @@ def events_attribution(spark, sf_dir):
     )
 
 
-@spec(
-    "scd2_build",
-    """
+# Shared with scd2_point_in_time's oracle (embedded as a CTE there);
+# the text is the scd2_build contract and must stay byte-stable.
+_SCD2_SQL = """
     WITH o AS (
       SELECT user_id, event_type, event_id,
              epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
@@ -320,7 +320,12 @@ def events_attribution(spark, sf_dir):
                      IS NULL
                 THEN 1 ELSE 0 END AS is_current
     FROM chg
-    """,
+    """
+
+
+@spec(
+    "scd2_build",
+    _SCD2_SQL,
     doc=(
         "Slowly-changing-dimension type-2 build (the CDC/warehouse shape "
         "the reference's daily snapshot sync approximates): per-user "
@@ -614,6 +619,61 @@ def timeseries_ewma(spark, sf_dir):
     )
 
 
+@spec(
+    "scd2_point_in_time",
+    f"""
+    WITH scd AS ({_SCD2_SQL}),
+    p AS (
+      SELECT event_id, user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) - 3600000000 AS at_us
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, s.state, s.eff_from_us
+    FROM p JOIN scd s
+      ON p.user_id = s.user_id
+     AND p.at_us >= s.eff_from_us
+     AND p.at_us < s.eff_to_us
+    """,
+    doc=(
+        "Point-in-time (temporal) lookup against the SCD2 dimension: "
+        "each purchase is enriched with the state its user was in ONE "
+        "HOUR BEFORE the purchase — the warehouse time-travel join "
+        "(same shape enriches any fact against any SCD2 table). "
+        "Because SCD2 intervals partition the timeline per key, "
+        "containment equals backward as-of on eff_from, so the plan "
+        "rides operators/asof.py's union+carry (ONE keyed shuffle, "
+        "O(|L|+|R|) rows) instead of the oracle's interval theta join, "
+        "which explodes to O(matches) pairs before filtering at scale. "
+        "Probes before a user's first state change drop (inner PIT)."
+    ),
+)
+def scd2_point_in_time(spark, sf_dir):
+    from odl_etl_spark.operators.asof import asof_join
+
+    dim = scd2_build.build(spark, sf_dir).select("user_id", "state", "eff_from_us")
+    p = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            (F.unix_micros("ts") - F.lit(3600000000).cast("bigint")).alias("at_us"),
+        )
+    )
+    j = asof_join(
+        p,
+        dim,
+        on=["user_id"],
+        left_ts="at_us",
+        right_ts="eff_from_us",
+        payload=["state", "eff_from_us"],
+        tiebreak="eff_from_us",
+    )
+    return j.where(F.col("state").isNotNull()).select(
+        "event_id", "user_id", "state", "eff_from_us"
+    )
+
+
 SPECS = [
     events_funnel,
     events_retention,
@@ -625,4 +685,5 @@ SPECS = [
     events_anomaly,
     events_path_topk,
     timeseries_ewma,
+    scd2_point_in_time,
 ]

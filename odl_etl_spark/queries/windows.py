@@ -231,6 +231,51 @@ def timeseries_gapfill(spark, sf_dir):
     )
 
 
+@spec(
+    "win_first_last",
+    """
+    SELECT user_id, event_id,
+           FIRST_VALUE(event_type) OVER (
+             PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS first_type,
+           LAST_VALUE(event_type) OVER (
+             PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_type,
+           NTH_VALUE(event_type, 2) OVER (
+             PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_type
+    FROM events
+    """,
+    doc=(
+        "first_value / last_value / nth_value over the full-partition "
+        "frame (the navigation-function trio missing from win_analytic's "
+        "lag/lead): each event row carries its user's first, last and "
+        "second event type. All three share ONE window spec, so Catalyst "
+        "plans a single user-keyed exchange + one sort; the explicit "
+        "unbounded ROWS frame matters — the default RANGE..CURRENT frame "
+        "would make last_value degenerate to the current row (and "
+        "nth_value null until row 2) on both engines."
+    ),
+)
+def win_first_last(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+    )
+
+
 SPECS = [
     win_rank,
     win_analytic,
@@ -239,4 +284,5 @@ SPECS = [
     win_cume,
     win_range_frame,
     timeseries_gapfill,
+    win_first_last,
 ]

@@ -525,3 +525,27 @@ def test_sketch_bloom_broadcasts_bitmap(spark, sf_dir):
     plan = explain_str(df)
     assert has_broadcast_join(df)
     assert "partial_bit_or" in plan
+
+
+def test_scd2_pit_rides_asof_not_theta_join(spark, sf_dir):
+    # The temporal containment join must ride the union+carry as-of plan:
+    # no nested-loop/cartesian interval join, and every exchange keyed
+    # (the SCD2 window + the asof carry window — both on user_id).
+    df = build("scd2_point_in_time", spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert shuffle_count(df) <= 2
+
+
+def test_win_first_last_single_shuffle(spark, sf_dir):
+    # first/last/nth share one window spec: one user-keyed exchange.
+    assert shuffle_count(build("win_first_last", spark, sf_dir)) == 1
+
+
+def test_agg_corr_single_partial_combined_exchange(spark, sf_dir):
+    # Sufficient statistics accumulate map-side: one exchange carrying
+    # 5 counters per group.
+    df = build("agg_corr", spark, sf_dir)
+    assert shuffle_count(df) == 1
+    assert has_partial_aggregate(df)
