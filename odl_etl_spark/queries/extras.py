@@ -1209,6 +1209,47 @@ def sql_tpch_q10(spark, sf_dir):
     return spark.sql(_Q10_SQL)
 
 
+_RECURSIVE_SQL = """
+    WITH RECURSIVE anc AS (
+      SELECT p_partkey AS part, CAST(p_partkey AS BIGINT) AS node,
+             0 AS depth
+      FROM part
+      UNION ALL
+      SELECT a.part, CAST(FLOOR(a.node / 2) AS BIGINT) AS node,
+             a.depth + 1 AS depth
+      FROM anc a WHERE a.node > 0
+    )
+    SELECT a.part, MAX(a.depth) AS depth, COUNT(*) AS chain_len,
+           SUM(CAST(ROUND(p.p_retailprice * 100) AS BIGINT)) / 1e2
+             AS chain_price
+    FROM anc a JOIN part p ON p.p_partkey = a.node
+    GROUP BY a.part
+"""
+
+
+@spec(
+    "sql_recursive_cte",
+    _RECURSIVE_SQL,
+    doc=(
+        "Recursive CTE (WITH RECURSIVE, Spark 4 / DuckDB — identical "
+        "text): ancestor-chain walk over a synthetic part hierarchy "
+        "(parent(k) = floor(k/2), a binary tree rooted at 0), rolling "
+        "each part's ancestor chain up into depth / length / "
+        "chain-price — the BOM-explosion / org-chart shape. This is "
+        "the SQL-surface complement to the DataFrame-loop iterative "
+        "operators (pagerank, connected components): Spark executes it "
+        "as iterated union steps, one equi-join per level, so total "
+        "work is O(N · depth) with depth = log N here — no recursion "
+        "on the driver. FLOOR before the BIGINT cast matters: Spark "
+        "CAST(double AS BIGINT) truncates while DuckDB rounds, so the "
+        "parent expression floors explicitly on both engines."
+    ),
+)
+def sql_recursive_cte(spark, sf_dir):
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)
+
+
 SPECS = [
     sql_tpch_q1,
     sql_tpch_q5,
@@ -1231,4 +1272,5 @@ SPECS = [
     text_idf_stop,
     orders_backlog,
     sql_tpch_q10,
+    sql_recursive_cte,
 ]
