@@ -190,3 +190,18 @@ def binary_source(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def read_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: union of every part-file's schema.
+
+    The reference's catalog schema is *crawler-inferred per partition*
+    (``mailgun_crawler/manage_crawler_targets.py:8-9`` — the Glue
+    crawler re-infers as new prefixes land, so newer partitions may
+    carry added columns). The Spark-native equivalent is a mergeSchema
+    scan: columns added in later partitions surface as nullable, and
+    older rows read NULL for them. Footer merging costs one pass over
+    file metadata (not data), so this is a read-time option, not a
+    rewrite.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)

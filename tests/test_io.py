@@ -216,3 +216,52 @@ def test_ntz_fallback_is_timezone_independent(spark, tmp_path):
             assert got == want_us, (tz, got)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_schema_evolution_merges_partition_schemas(spark, tmp_path):
+    """Columns added by newer partitions surface as nullable; old rows
+    read NULL — the crawler-reinference shape, at read time."""
+    from odl_etl_spark.io.sources import read_evolving
+
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").withColumn(
+        "ds", F.lit("20240101")
+    ).write.partitionBy("ds").parquet(out)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).withColumn("ds", F.lit("20240102")).write.mode("append").partitionBy(
+        "ds"
+    ).parquet(out)
+
+    df = read_evolving(spark, out)
+    assert set(df.columns) == {"id", "name", "score", "ds"}
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows == {1: None, 2: 9.5}
+
+
+def test_python_datasource_parallel_paged_reads(spark):
+    """The paged-API DataSource enumerates pages as input partitions and
+    fetches each in executors; the union is deterministic."""
+    from odl_etl_spark.io.api_source import PagedApiDataSource, fake_fetch_page
+
+    spark.dataSource.register(PagedApiDataSource)
+    df = (
+        spark.read.format("paged_api")
+        .option("pages", "3")
+        .option("rows_per_page", "10")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3  # one task per page
+    got = sorted(tuple(r) for r in df.collect())
+    want = sorted(
+        row for p in range(3) for row in fake_fetch_page(p, 10)
+    )
+    assert [g[:3] for g in got] == [w[:3] for w in want]
+    assert all(abs(g[3] - w[3]) < 1e-12 for g, w in zip(got, want))
+    with __import__("pytest").raises(Exception, match="unknown transport"):
+        (
+            spark.read.format("paged_api")
+            .option("transport", "https")
+            .load()
+            .collect()
+        )
