@@ -1211,7 +1211,7 @@ def sql_tpch_q10(spark, sf_dir):
 
 _RECURSIVE_SQL = """
     WITH RECURSIVE anc AS (
-      SELECT p_partkey AS part, CAST(p_partkey AS BIGINT) AS node,
+      SELECT p_partkey AS part, CAST(p_partkey % 4096 AS BIGINT) AS node,
              0 AS depth
       FROM part
       UNION ALL
@@ -1233,20 +1233,33 @@ _RECURSIVE_SQL = """
     doc=(
         "Recursive CTE (WITH RECURSIVE, Spark 4 / DuckDB — identical "
         "text): ancestor-chain walk over a synthetic part hierarchy "
-        "(parent(k) = floor(k/2), a binary tree rooted at 0), rolling "
-        "each part's ancestor chain up into depth / length / "
-        "chain-price — the BOM-explosion / org-chart shape. This is "
-        "the SQL-surface complement to the DataFrame-loop iterative "
-        "operators (pagerank, connected components): Spark executes it "
-        "as iterated union steps, one equi-join per level, so total "
-        "work is O(N · depth) with depth = log N here — no recursion "
-        "on the driver. FLOOR before the BIGINT cast matters: Spark "
-        "CAST(double AS BIGINT) truncates while DuckDB rounds, so the "
-        "parent expression floors explicitly on both engines."
+        "(anchor node = partkey mod 4096, parent(k) = floor(k/2) — a "
+        "binary tree rooted at 0), rolling each part's ancestor chain "
+        "up into depth / length / chain-price — the BOM-explosion / "
+        "org-chart shape. The SQL-surface complement to the DataFrame-"
+        "loop iterative operators (pagerank, connected components): "
+        "Spark executes it as iterated union steps, one level per job. "
+        "The mod-4096 anchor is the scale contract: iteration count = "
+        "tree DEPTH, and the sf1 probe showed an id-derived unbounded "
+        "tree (depth ~ log maxkey) amplifying Spark's per-level "
+        "iteration cost superlinearly at 10x data — a real hierarchy "
+        "has scale-invariant depth, so the synthetic one must too "
+        "(SCALING.md). FLOOR before the BIGINT cast matters: Spark "
+        "CAST(double AS BIGINT) truncates while DuckDB rounds."
     ),
 )
 def sql_recursive_cte(spark, sf_dir):
     register_views(spark, sf_dir)
+    # Spark guards recursive CTEs with a CUMULATIVE row cap
+    # (spark.sql.cteRecursionRowLimit, default 1e6) and errors — not
+    # degrades — past it. Chain volume is anchor_rows x depth(<=13 by
+    # the mod-4096 contract); size the cap from the metadata-only part
+    # count so the query scales instead of tripping the default at
+    # ~80k anchors (the sf1 probe found exactly this).
+    n_parts = load_table(spark, sf_dir, "part").count()
+    spark.conf.set(
+        "spark.sql.cteRecursionRowLimit", str(max(1_000_000, n_parts * 16))
+    )
     return spark.sql(_RECURSIVE_SQL)
 
 

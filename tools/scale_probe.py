@@ -124,14 +124,14 @@ def gen(spark: SparkSession) -> None:
         print(f"wrote {out_dir}", flush=True)
 
 
-def run(spark: SparkSession) -> dict:
+def run(spark: SparkSession, keys: list[str] | None = None) -> dict:
     from odl_etl_spark.queries import registry
 
     specs = registry()
     result: dict[str, dict[str, float]] = {}
     for tag in ("sf0.1p", "sf1p"):
         sf_dir = os.path.join(ROOT, tag)
-        for name in PROBE_KEYS:
+        for name in keys or PROBE_KEYS:
             q = specs[name]
             q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
             t0 = time.perf_counter()
@@ -157,7 +157,8 @@ def main() -> None:
     if cmd == "gen":
         gen(spark)
     elif cmd == "run":
-        print(json.dumps(run(spark)))
+        keys = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+        print(json.dumps(run(spark, keys)))
     else:
         raise SystemExit(f"unknown command {cmd!r}")
 
