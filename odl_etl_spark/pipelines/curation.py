@@ -1,0 +1,137 @@
+"""End-to-end corpus curation: the LLM-data tier composed as ONE DAG.
+
+The registry proves each operator against a DuckDB oracle in isolation;
+this pipeline is the composition proof — the standard pre-training
+curation funnel (quality filter → language filter → exact dedup →
+MinHash near-dedup → decontamination → partitioned lake write) built
+from the same operators, with single-pass funnel accounting.
+
+Generalizes the reference's linear extract→transform→load scripts
+(mitodl/odl-etl email_mapping.py, mitx_etl.py main(): fixed stage
+chains with side-effect logging) into a declarative multi-stage corpus
+flow whose per-stage attrition is itself a DataFrame.
+
+Scale posture:
+  * Stages are ORDERED BY COST: codegen'd per-row filters first, the
+    (shuffling) dedup stages only over their survivors.
+  * Attrition accounting is ONE aggregation over a `reject_reason`
+    column (first failing stage wins), not one count() job per stage —
+    at 100 TB, six counts would be six full passes.
+  * Near-dedup drops are decided by connected components over the
+    MinHash-LSH pair graph (keep = component minimum), so duplicate
+    CLUSTERS collapse to one representative even when pairs chain
+    A~B~C without A~C.
+  * The final write is the engine's dynamic-partition-overwrite sink —
+    idempotent re-runs, partition pruning for readers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from odl_etl_spark.functions import text as T
+from odl_etl_spark.io.sinks import partitioned_write
+from odl_etl_spark.io.sources import load_table, spread
+from odl_etl_spark.operators.components import connected_components
+from odl_etl_spark.operators.dedup import minhash_lsh_pairs
+from odl_etl_spark.operators.materialize import materialize
+
+_STOPS = ("the", "a", "of", "and", "is", "in", "to")
+
+
+def curate_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    held_out_source: str = "src0",
+    min_words: int = 20,
+    near_threshold: float = 0.8,
+) -> tuple[DataFrame, DataFrame]:
+    """Run the curation funnel over ``documents``.
+
+    Returns ``(kept, funnel)``: the curated corpus DataFrame (already
+    written to ``out_path`` partitioned by source) and the attrition
+    table ``(stage, n_docs)`` where stage is the FIRST gate each
+    document failed ('kept' for survivors).
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    corpus = d.where(F.col("source") != held_out_source)
+
+    # --- per-row gates (pure expressions, no shuffle) ------------------
+    toks = T.tokens("text")
+    n_words = F.size(toks)
+    quality_ok = (
+        (n_words >= min_words)
+        & (T.mean_token_len("text") <= 12)
+        & (T.stopword_ratio("text", _STOPS) >= 0.003)
+    )
+    lang_ok = T.predicted_lang("text") == F.lit("en")
+    base = corpus.select(
+        "doc_id", "text", "lang", "source", quality_ok.alias("_q"), lang_ok.alias("_l")
+    )
+    survivors = base.where(F.col("_q") & F.col("_l")).select(
+        "doc_id", "text", "lang", "source"
+    )
+
+    # --- exact dedup: keep the minimum doc_id per normalized text ------
+    from pyspark.sql import Window
+
+    wex = Window.partitionBy(F.xxhash64(F.trim(F.lower("text")))).orderBy("doc_id")
+    exact = survivors.withColumn("_rn", F.row_number().over(wex))
+    exact_kept = exact.where(F.col("_rn") == 1).drop("_rn")
+    # Dedup stages are each re-used twice (drop-set + survivors);
+    # materialize once so the window/join pipelines don't re-run.
+    exact_kept = materialize(exact_kept)
+
+    # --- near dedup: LSH pairs → components → keep component min -------
+    pairs = minhash_lsh_pairs(
+        exact_kept, "doc_id", "text", threshold=near_threshold
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    near_drops = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    near_kept = exact_kept.join(F.broadcast(near_drops), "doc_id", "anti")
+
+    # --- decontamination: no 3-shingle overlap with the held-out set ---
+    # Same posture as dedup_decontaminate: the benchmark shingle set is
+    # DISTINCT-ed and broadcast; the corpus streams through a broadcast
+    # semi-join — no corpus shuffle, no driver materialization.
+    bench = (
+        d.where(F.col("source") == held_out_source)
+        .select(F.explode(T.word_shingles("text", 3)).alias("_s"))
+        .distinct()
+    )
+    contaminated_ids = (
+        near_kept.select(
+            "doc_id", F.explode(T.word_shingles("text", 3)).alias("_s")
+        )
+        .join(F.broadcast(bench), "_s", "semi")
+        .select("doc_id")
+        .distinct()
+    )
+    kept = near_kept.join(F.broadcast(contaminated_ids), "doc_id", "anti")
+
+    # --- single-pass funnel accounting --------------------------------
+    exact_ids = exact_kept.select("doc_id", F.lit(1).alias("_ek"))
+    near_ids = near_kept.select("doc_id", F.lit(1).alias("_nk"))
+    kept_ids = kept.select("doc_id", F.lit(1).alias("_kk"))
+    reason = (
+        F.when(~F.col("_q"), "quality")
+        .when(~F.col("_l"), "language")
+        .when(F.col("_ek").isNull(), "exact_dup")
+        .when(F.col("_nk").isNull(), "near_dup")
+        .when(F.col("_kk").isNull(), "contaminated")
+        .otherwise("kept")
+    )
+    funnel = (
+        base.join(exact_ids, "doc_id", "left")
+        .join(near_ids, "doc_id", "left")
+        .join(kept_ids, "doc_id", "left")
+        .groupBy(reason.alias("stage"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+    partitioned_write(kept, out_path, partition_cols=("source",))
+    return kept, funnel

@@ -181,3 +181,36 @@ def test_user_map_config_yaml_roundtrip(tmp_path):
     bad.write_text("db_url: jdbc:postgresql://db.invalid/app\n")
     with pytest.raises(KeyError):
         UserMapConfig.from_file(str(bad))
+
+
+def test_curation_funnel_end_to_end(spark, sf_dir, tmp_path):
+    """The composed curation DAG: funnel stages partition the corpus,
+    survivors satisfy every gate, the write is partitioned + idempotent."""
+    import pyspark.sql.functions as F
+
+    from odl_etl_spark.io.sources import load_table
+    from odl_etl_spark.pipelines.curation import curate_corpus
+
+    out = str(tmp_path / "curated")
+    kept, funnel = curate_corpus(spark, sf_dir, out)
+    stages = {r.stage: r.n_docs for r in funnel.collect()}
+    corpus_n = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("source") != "src0")
+        .count()
+    )
+    # every doc lands in exactly one funnel bucket
+    assert sum(stages.values()) == corpus_n
+    assert stages.get("kept", 0) == kept.count() > 0
+    # at least one reduction stage actually fired on the fixture
+    assert sum(v for k, v in stages.items() if k != "kept") > 0
+
+    back = spark.read.parquet(out)
+    assert back.count() == stages["kept"]
+    assert "source" in back.columns  # partition column survives read
+    # survivors are unique by normalized text (exact dedup held)
+    n_unique = back.select(F.trim(F.lower("text"))).distinct().count()
+    assert n_unique == back.count()
+    # idempotent re-run: dynamic overwrite, same result
+    curate_corpus(spark, sf_dir, out)
+    assert spark.read.parquet(out).count() == stages["kept"]
