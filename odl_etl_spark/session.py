@@ -32,6 +32,13 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # Runtime bloom-filter join pruning: when a join is a SHUFFLE join
+    # (dim too big to broadcast — the 100 TB case) with a selective
+    # creation side, Spark injects a bloom_filter_agg of the join keys
+    # and semi-filters the fact scan before the exchange. No-op at
+    # fixture scale (every dim broadcasts, which already prunes);
+    # pinned under forced-shuffle conditions in tests/test_plans.py.
+    "spark.sql.optimizer.runtimeFilter.bloomFilter.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
@@ -106,6 +113,10 @@ def cluster_conf(
         "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
         "spark.shuffle.compress": "true",
         "spark.sql.sources.partitionOverwriteMode": "dynamic",
+        # At cluster scale dims routinely exceed even the generous
+        # broadcast threshold; runtime bloom filters then prune the
+        # fact side of the resulting shuffle joins.
+        "spark.sql.optimizer.runtimeFilter.bloomFilter.enabled": "true",
     }
 
 

@@ -549,3 +549,37 @@ def test_agg_corr_single_partial_combined_exchange(spark, sf_dir):
     df = build("agg_corr", spark, sf_dir)
     assert shuffle_count(df) == 1
     assert has_partial_aggregate(df)
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_fact_side(spark, sf_dir):
+    # The session posture enables runtime bloom-filter join pruning. At
+    # fixture scale every dim broadcasts (already pruning), so force the
+    # 100 TB condition — a shuffle join with a selective creation side —
+    # and pin that Spark injects the bloom_filter_agg semi-filter on the
+    # fact side. Plan-build only; confs restored afterward.
+    from odl_etl_spark.io.sources import load_table
+
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_thr = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        import pyspark.sql.functions as F
+
+        l = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = l.join(o, l.l_orderkey == o.o_orderkey).groupBy("l_returnflag").count()
+        assert "bloom_filter_agg" in explain_str(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_thr,
+        )
