@@ -154,3 +154,46 @@ def run_artifact_sync_from_config(
         # healthcheck only after a successful run (mitx_etl.py:195-203).
         on_failure=slack_hook,
     )
+
+
+@dataclass(frozen=True)
+class CurationConfig:
+    """Settings surface for the corpus-curation pipeline
+    (pipelines/curation.py) — same settings-document workflow as the
+    reference's per-pipeline YAML/JSON."""
+
+    sf_dir: str
+    out_path: str
+    held_out_source: str = "src0"
+    min_words: int = 20
+    near_threshold: float = 0.8
+
+    @classmethod
+    def from_file(cls, path: str) -> "CurationConfig":
+        doc = load_settings(path)
+        return cls(
+            sf_dir=_require(doc, "sf_dir", path),
+            out_path=_require(doc, "out_path", path),
+            held_out_source=doc.get("held_out_source", "src0"),
+            min_words=int(doc.get("min_words", 20)),
+            near_threshold=float(doc.get("near_threshold", 0.8)),
+        )
+
+
+def run_curation_from_config(
+    spark: SparkSession, cfg: CurationConfig
+) -> dict[str, int]:
+    """Run the curation funnel from a settings document; returns the
+    attrition counts (stage → n_docs) for logging/alerting — the
+    side-effect surface the reference reports to Slack (A10)."""
+    from odl_etl_spark.pipelines.curation import curate_corpus
+
+    _, funnel = curate_corpus(
+        spark,
+        cfg.sf_dir,
+        cfg.out_path,
+        held_out_source=cfg.held_out_source,
+        min_words=cfg.min_words,
+        near_threshold=cfg.near_threshold,
+    )
+    return {r["stage"]: r["n_docs"] for r in funnel.collect()}

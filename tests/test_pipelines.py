@@ -214,3 +214,25 @@ def test_curation_funnel_end_to_end(spark, sf_dir, tmp_path):
     # idempotent re-run: dynamic overwrite, same result
     curate_corpus(spark, sf_dir, out)
     assert spark.read.parquet(out).count() == stages["kept"]
+
+
+def test_curation_runs_from_settings_document(spark, sf_dir, tmp_path):
+    import json
+
+    from odl_etl_spark.pipelines.config import (
+        CurationConfig,
+        run_curation_from_config,
+    )
+
+    doc = tmp_path / "curation.json"
+    out = str(tmp_path / "curated_cfg")
+    doc.write_text(json.dumps({"sf_dir": sf_dir, "out_path": out, "min_words": 10}))
+    cfg = CurationConfig.from_file(str(doc))
+    assert cfg.min_words == 10 and cfg.held_out_source == "src0"
+    stages = run_curation_from_config(spark, cfg)
+    assert stages.get("kept", 0) > 0
+    assert spark.read.parquet(out).count() == stages["kept"]
+    with __import__("pytest").raises(KeyError, match="out_path"):
+        bad = tmp_path / "bad.json"
+        bad.write_text(json.dumps({"sf_dir": sf_dir}))
+        CurationConfig.from_file(str(bad))
