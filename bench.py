@@ -57,6 +57,29 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     t_suite = time.perf_counter()
+
+    # If the harness times the suite out (SIGTERM), emit the partial
+    # result instead of dying with no JSON line at all: the completed
+    # keys' medians are still valid measurements.
+    import signal
+
+    def _dump_partial(signum, frame):  # noqa: ARG001
+        partial = {
+            "metric": "suite_seconds",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "n_queries": len(timings),
+            "reps": reps,
+            "wall_seconds": round(time.perf_counter() - t_suite, 3),
+            "partial": True,
+        }
+        print(json.dumps(partial), flush=True)
+        os._exit(1)
+
+    signal.signal(signal.SIGTERM, _dump_partial)
+
     for name, q in specs.items():
         q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
         runs = []
