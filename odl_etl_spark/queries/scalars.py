@@ -365,6 +365,41 @@ def explode_posexplode(spark, sf_dir):
     )
 
 
+@spec(
+    "scalar_variant",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+           json_extract_string(props, '$.missing') AS missing_val,
+           json_extract_string(props, '$.k') IS NOT NULL AS has_k
+    FROM events
+    """,
+    doc=(
+        "Semi-structured processing via the VARIANT type (Spark 4): "
+        "parse_json once into a binary variant, then typed "
+        "variant_get / try_variant_get extractions and presence "
+        "checks against it. The scale contrast with scalar_json's "
+        "get_json_object: string-path functions re-parse the JSON "
+        "text PER CALL, while a variant column parses once and every "
+        "extraction is a binary offset walk (and columnar shredding "
+        "can push typed paths to storage). Values are engine-"
+        "identical, so the oracle is DuckDB's JSON surface."
+    ),
+)
+def scalar_variant(spark, sf_dir):
+    from odl_etl_spark.io.sources import spread
+
+    e = spread(load_table(spark, sf_dir, "events"))
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    return e.select(
+        "event_id",
+        k.alias("k_val"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing_val"),
+        k.isNotNull().alias("has_k"),
+    )
+
+
 SPECS = [
     project_hash_email,
     filter_pred,
@@ -378,4 +413,5 @@ SPECS = [
     udf_scalar_pandas,
     udaf_regression,
     explode_posexplode,
+    scalar_variant,
 ]
