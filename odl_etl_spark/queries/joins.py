@@ -424,6 +424,41 @@ def join_fuzzy_match(spark, sf_dir):
     )
 
 
+_LATERAL_SQL = """
+    SELECT s.s_suppkey, s.s_name, t.l_orderkey, t.l_linenumber,
+           ROUND(t.l_extendedprice * 100) / 100 AS price
+    FROM supplier s,
+    LATERAL (
+      SELECT l_orderkey, l_linenumber, l_extendedprice
+      FROM lineitem
+      WHERE l_suppkey = s.s_suppkey
+      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      LIMIT 2
+    ) t
+"""
+
+
+@spec(
+    "join_lateral_topk",
+    _LATERAL_SQL,
+    doc=(
+        "Correlated LATERAL subquery with ORDER BY + LIMIT: for each "
+        "supplier, its two highest-priced lineitems — per-key top-k "
+        "expressed as a join (identical text on both engines). Spark "
+        "decorrelates the lateral into a suppkey-keyed WindowGroupLimit "
+        "(partial per-partition top-2 before the exchange) joined back "
+        "to the outer row — NOT a per-outer-row re-execution and not a "
+        "nested-loop join, so the shape scales like topk_per_group "
+        "while keeping the SQL-surface ergonomics."
+    ),
+)
+def join_lateral_topk(spark, sf_dir):
+    from odl_etl_spark.io.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
+
+
 SPECS = [
     join_inner_equi,
     join_full,
@@ -439,4 +474,5 @@ SPECS = [
     join_skew_salted,
     join_bucketed,
     join_fuzzy_match,
+    join_lateral_topk,
 ]

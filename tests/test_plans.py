@@ -583,3 +583,13 @@ def test_runtime_bloom_filter_prunes_shuffle_join_fact_side(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             prev_thr,
         )
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark, sf_dir):
+    # The correlated LATERAL + LIMIT must become a keyed WindowGroupLimit
+    # plan, never per-outer-row re-execution or a nested-loop join.
+    df = build("join_lateral_topk", spark, sf_dir)
+    plan = explain_str(df)
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
