@@ -106,3 +106,95 @@ def test_global_ranking_exact_on_random_draws(spark, rows, parts):
         wantc[t[0]] = run
         run += t[2]
     assert gotc == wantc
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 4),      # user (key)
+            st.integers(0, 10**6),  # event ts offset (seconds)
+            st.integers(0, 4),      # event kind index
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(2, 5),  # number of micro-batch splits
+)
+def test_cdc_apply_split_invariance(spark, tmp_path_factory, events, n_splits):
+    """Applying a changelog in ANY micro-batch split yields the same
+    final state as applying it in one batch — the merge is associative
+    over batch boundaries (the property that makes foreachBatch replay
+    and re-sharding safe)."""
+    from odl_etl_spark.streaming.cdc import current_state, merge_cdc_batch
+
+    kinds = ["view", "click", "purchase", "signup", "error"]
+    # event_id = arrival index; ts derived from the generated offset so
+    # duplicates and out-of-order arrivals both occur.
+    rows = [
+        (i, u, kinds[k], float(ts % 100), ts)
+        for i, (u, ts, k) in enumerate(events)
+    ]
+    schema = "event_id long, user_id long, event_type string, value double, off long"
+    df = (
+        spark.createDataFrame(rows, schema)
+        .withColumn("ts", F.expr("timestamp_micros(off * 1000000)"))
+        .drop("off")
+    )
+
+    out = tmp_path_factory.mktemp("cdc_prop")
+    single, split = str(out / "single"), str(out / "split")
+    merge_cdc_batch(df, single)
+
+    n = max(1, len(rows) // n_splits)
+    for start in range(0, len(rows), n):
+        chunk = [r for r in rows[start : start + n]]
+        cdf = (
+            spark.createDataFrame(chunk, schema)
+            .withColumn("ts", F.expr("timestamp_micros(off * 1000000)"))
+            .drop("off")
+        )
+        merge_cdc_batch(cdf, split)
+
+    key = lambda sdf: sorted(  # noqa: E731
+        (r.user_id, r.event_id, r.event_type) for r in current_state(spark, sdf).collect()
+    )
+    assert key(single) == key(split)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),  # (key, ts) left
+        min_size=1,
+        max_size=25,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 99)),
+        min_size=0,
+        max_size=25,
+    ),
+)
+def test_asof_join_matches_bruteforce(spark, left_rows, right_rows):
+    """The union+carry as-of join equals the brute-force definition:
+    for each left row, the right payload with max ts <= left ts (ties
+    broken by the tiebreak column, highest wins)."""
+    from odl_etl_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)], "lid long, k long, lts long"
+    )
+    r = spark.createDataFrame(
+        [(k, t, p) for (k, t, p) in right_rows], "k long, rts long, payload long"
+    )
+    got = {
+        row.lid: row.payload
+        for row in asof_join(
+            l, r, on=["k"], left_ts="lts", right_ts="rts",
+            payload=["payload"], tiebreak="payload",
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left_rows):
+        matches = [(rt, p) for (rk, rt, p) in right_rows if rk == k and rt <= t]
+        want = max(matches)[1] if matches else None
+        assert got[i] == want, (i, k, t, matches)
