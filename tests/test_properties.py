@@ -198,3 +198,37 @@ def test_asof_join_matches_bruteforce(spark, left_rows, right_rows):
         matches = [(rt, p) for (rk, rt, p) in right_rows if rk == k and rt <= t]
         want = max(matches)[1] if matches else None
         assert got[i] == want, (i, k, t, matches)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Label propagation must agree with a direct union-find on random
+    small graphs (self-loops and duplicate edges included): every node
+    labeled with the minimum id of its component."""
+    from odl_etl_spark.operators.components import connected_components
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.component for r in connected_components(e).collect()}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: min(m for m in parent if find(m) == find(n)) for n in parent}
+    assert got == want
