@@ -73,7 +73,16 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
     round — ADVICE r4 medium) — exactly 50. After this window lands green,
     no key's driver verification will be older than r3. Everything outside
     the window was driver-checked green in r3/r4 and is selfcheck-green at
-    sf0.001, sf0.01 AND sf0.1 (SELFCHECK_r04*.json)."""
+    sf0.001, sf0.01 AND sf0.1 (SELFCHECK_r04*.json).
+
+    Round-6 rotation note (do NOT apply before the r5 driver run lands):
+    after CORRECTNESS_r05 covers this window, the highest-priority keys
+    are the 26 round-5 additions with no driver row yet (sql_tpch_q2/q4/
+    q6/q7/q8/q9/q11-q17/q19-q22, stream_cdc_apply, text_keywords,
+    sketch_bloom, scd2_point_in_time, win_first_last, agg_corr,
+    sql_recursive_cte, scalar_variant, join_lateral_topk — all
+    tri-scale selfcheck-green, SELFCHECK_r05*.json), then the oldest
+    r3-checked keys to fill 50."""
     first = [
         # --- last driver-checked round 1 ---
         "scalar_null",
