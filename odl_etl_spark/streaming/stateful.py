@@ -58,3 +58,57 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4): the successor stateful API
+# ---------------------------------------------------------------------------
+
+try:  # Spark >= 4.0
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotalsProcessor(StatefulProcessor):
+        """Per-user running (count, sum(value)) on the Spark 4
+        ``transformWithStateInPandas`` API — typed composite state
+        (ValueState), explicit init/close lifecycle, per-key timers
+        available. Functionally identical to ``running_user_totals``;
+        the new API adds schema'd state (queryable via the state data
+        source), multiple state variables per key, and TTL support —
+        the long-term home for custom stateful operators.
+
+        Runtime dependency: the transformWithState state protocol talks
+        protobuf between the JVM and the Python state server, so running
+        a query requires ``google.protobuf`` (the replay test skips with
+        reason where it is absent; ``running_user_totals`` covers the
+        same semantics on applyInPandasWithState without it)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", RUNNING_STATE)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    def running_user_totals_tws(events: DataFrame) -> DataFrame:
+        """``running_user_totals`` on the transformWithState API."""
+        return events.groupBy("user_id").transformWithStateInPandas(
+            RunningTotalsProcessor(),
+            outputStructType=RUNNING_OUTPUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+except ImportError:  # pragma: no cover — pre-4.0 Spark
+    RunningTotalsProcessor = None  # type: ignore[assignment]
+
+    def running_user_totals_tws(events: DataFrame) -> DataFrame:
+        raise NotImplementedError("transformWithState requires Spark >= 4.0")

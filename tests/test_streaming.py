@@ -387,3 +387,38 @@ def test_streaming_agg_under_rocksdb_state_store(spark, sf_dir, events_dir):
         for r in tumbling_agg(load_table(spark, sf_dir, "events")).collect()
     )
     assert got == want
+
+
+def test_transform_with_state_matches_apply_in_pandas_with_state(
+    spark, sf_dir, events_dir
+):
+    """The Spark 4 transformWithState processor must accumulate the same
+    final per-user totals as the applyInPandasWithState path and the
+    plain batch aggregate. Requires protobuf (the transformWithState
+    state protocol) — skipped with reason where it is not installed;
+    the applyInPandasWithState path above covers stateful semantics
+    in that environment."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state protocol needs protobuf "
+        "(not shipped in this harness)",
+    )
+    from odl_etl_spark.streaming.stateful import running_user_totals_tws
+
+    stream = events_stream(spark, events_dir, max_files_per_trigger=1)
+    _run_stream(running_user_totals_tws(stream), "t_tws", mode="update")
+    final = {}
+    for r in spark.sql("SELECT * FROM t_tws").collect():
+        # memory sink keeps every update; the max n_events row per user
+        # is the final state.
+        cur = final.get(r.user_id)
+        if cur is None or r.n_events > cur[0]:
+            final[r.user_id] = (r.n_events, round(r.total_value, 2))
+    batch = {
+        r.user_id: (r.n, round(r.s, 2))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert final == batch
