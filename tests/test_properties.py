@@ -232,3 +232,42 @@ def test_connected_components_matches_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: min(m for m in parent if find(m) == find(n)) for n in parent}
     assert got == want
+
+
+def test_minhash_pairs_invariant_under_repartition(spark, sf_dir):
+    """The MinHash-LSH candidate/verify pipeline must produce the SAME
+    pair set at any partitioning — the deterministic-xxhash design
+    claim (vs spark.ml's seeded-random MinHashLSH, whose model depends
+    on fit-time RNG). Re-sharding a 100 TB corpus must not change who
+    deduplicates with whom."""
+    from odl_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = lambda df: sorted(  # noqa: E731
+        (r.id_a, r.id_b) for r in minhash_lsh_pairs(df, "doc_id", "text").collect()
+    )
+    base = pairs(d)
+    assert base  # fixture contains near-duplicates
+    assert pairs(d.repartition(7)) == base
+    assert pairs(d.coalesce(1)) == base
+
+
+def test_stratified_sample_invariant_under_repartition(spark, sf_dir):
+    """Hash-threshold stratified sampling must select the SAME rows at
+    any partitioning (no RNG state, no per-partition seeds)."""
+    from odl_etl_spark.queries import registry
+
+    spec = registry()["sample_stratified"]
+    ids = lambda df: sorted(  # noqa: E731
+        tuple(r) for r in df.collect()
+    )
+    base = ids(spec.build(spark, sf_dir))
+    again = ids(spec.build(spark, sf_dir))
+    assert base == again  # same plan, deterministic
+    # and stable under a different shuffle partitioning of the session
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        assert ids(spec.build(spark, sf_dir)) == base
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
