@@ -67,8 +67,17 @@ def curate_corpus(
         & (T.stopword_ratio("text", _STOPS) >= 0.003)
     )
     lang_ok = T.predicted_lang("text") == F.lit("en")
+    # Null-guard the gate flags: a null text makes both predicates NULL,
+    # and ~NULL is NULL, so without the coalesce a null-text doc would
+    # fall through every when() and be misattributed downstream. Null
+    # text counts as a quality reject (ADVICE r5).
     base = corpus.select(
-        "doc_id", "text", "lang", "source", quality_ok.alias("_q"), lang_ok.alias("_l")
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        F.coalesce(quality_ok, F.lit(False)).alias("_q"),
+        F.coalesce(lang_ok, F.lit(False)).alias("_l"),
     )
     survivors = base.where(F.col("_q") & F.col("_l")).select(
         "doc_id", "text", "lang", "source"
@@ -92,7 +101,10 @@ def curate_corpus(
     near_drops = comp.where(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
-    near_kept = exact_kept.join(F.broadcast(near_drops), "doc_id", "anti")
+    # near_drops scales with corpus size (every near-duplicate id), so no
+    # broadcast hint — at 100 TB it could blow the 8 GB broadcast limit.
+    # AQE picks broadcast at small scale on its own (ADVICE r5).
+    near_kept = exact_kept.join(near_drops, "doc_id", "anti")
 
     # --- decontamination: no 3-shingle overlap with the held-out set ---
     # Same posture as dedup_decontaminate: the benchmark shingle set is
@@ -111,7 +123,9 @@ def curate_corpus(
         .select("doc_id")
         .distinct()
     )
-    kept = near_kept.join(F.broadcast(contaminated_ids), "doc_id", "anti")
+    # contaminated_ids is also corpus-sized — same no-hint posture as
+    # near_drops (the bench-shingle broadcast above is the bounded one).
+    kept = near_kept.join(contaminated_ids, "doc_id", "anti")
 
     # --- single-pass funnel accounting --------------------------------
     exact_ids = exact_kept.select("doc_id", F.lit(1).alias("_ek"))

@@ -323,6 +323,25 @@ _SCD2_SQL = """
     """
 
 
+def _scd2_changes(spark, sf_dir):
+    """Per-user state-change rows (user_id, state, eff_from_us, event_id)
+    — the change-compressed relation both scd2_build and the
+    point-in-time lookup are built from."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.unix_micros("ts").alias("eff_from_us"),
+            "event_id",
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("state")))
+        .drop("prev")
+    )
+
+
 @spec(
     "scd2_build",
     _SCD2_SQL,
@@ -342,19 +361,7 @@ _SCD2_SQL = """
     ),
 )
 def scd2_build(spark, sf_dir):
-    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    chg = (
-        e.select(
-            "user_id",
-            F.col("event_type").alias("state"),
-            F.unix_micros("ts").alias("eff_from_us"),
-            "event_id",
-            F.lag("event_type").over(w).alias("prev"),
-        )
-        .where(F.col("prev").isNull() | (F.col("prev") != F.col("state")))
-        .drop("prev")
-    )
+    chg = _scd2_changes(spark, sf_dir)
     wv = Window.partitionBy("user_id").orderBy("eff_from_us", "event_id")
     eff_to = F.lead("eff_from_us").over(wv)
     return chg.select(
@@ -644,13 +651,21 @@ def timeseries_ewma(spark, sf_dir):
         "rides operators/asof.py's union+carry (ONE keyed shuffle, "
         "O(|L|+|R|) rows) instead of the oracle's interval theta join, "
         "which explodes to O(matches) pairs before filtering at scale. "
-        "Probes before a user's first state change drop (inner PIT)."
+        "Probes before a user's first state change drop (inner PIT). "
+        "Tiebreak among changes sharing eff_from_us is event_id "
+        "(highest wins), mirroring the oracle's LEAD ordering by "
+        "(eff_from_us, event_id) under which the tied-earlier change "
+        "gets an empty [t,t) interval and drops — so both engines "
+        "deterministically pick the LAST change at a tied timestamp "
+        "(ADVICE r5)."
     ),
 )
 def scd2_point_in_time(spark, sf_dir):
     from odl_etl_spark.operators.asof import asof_join
 
-    dim = scd2_build.build(spark, sf_dir).select("user_id", "state", "eff_from_us")
+    dim = _scd2_changes(spark, sf_dir).select(
+        "user_id", "state", "eff_from_us", "event_id"
+    )
     p = (
         load_table(spark, sf_dir, "events")
         .where(F.col("event_type") == "purchase")
@@ -667,7 +682,7 @@ def scd2_point_in_time(spark, sf_dir):
         left_ts="at_us",
         right_ts="eff_from_us",
         payload=["state", "eff_from_us"],
-        tiebreak="eff_from_us",
+        tiebreak="event_id",
     )
     return j.where(F.col("state").isNotNull()).select(
         "event_id", "user_id", "state", "eff_from_us"

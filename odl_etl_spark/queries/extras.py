@@ -1249,18 +1249,29 @@ _RECURSIVE_SQL = """
     ),
 )
 def sql_recursive_cte(spark, sf_dir):
-    register_views(spark, sf_dir)
     # Spark guards recursive CTEs with a CUMULATIVE row cap
     # (spark.sql.cteRecursionRowLimit, default 1e6) and errors — not
     # degrades — past it. Chain volume is anchor_rows x depth(<=13 by
     # the mod-4096 contract); size the cap from the metadata-only part
     # count so the query scales instead of tripping the default at
     # ~80k anchors (the sf1 probe found exactly this).
+    #
+    # The cap is read at EXECUTION time, so a set/restore around the
+    # build would re-trip the default when the caller later collects;
+    # and setting it on the caller's session leaks a loosened guard
+    # into every subsequent query (ADVICE r5). Scope it to a forked
+    # session instead: newSession() shares the SparkContext/executors
+    # but owns its SQLConf and temp views, so the returned DataFrame
+    # carries the override and the caller's session stays pristine.
+    from odl_etl_spark.session import tune_session
+
     n_parts = load_table(spark, sf_dir, "part").count()
-    spark.conf.set(
+    sub = tune_session(spark.newSession())
+    sub.conf.set(
         "spark.sql.cteRecursionRowLimit", str(max(1_000_000, n_parts * 16))
     )
-    return spark.sql(_RECURSIVE_SQL)
+    register_views(sub, sf_dir)
+    return sub.sql(_RECURSIVE_SQL)
 
 
 SPECS = [

@@ -38,7 +38,10 @@ DEFAULT_CONF: dict[str, str] = {
     # and semi-filters the fact scan before the exchange. No-op at
     # fixture scale (every dim broadcasts, which already prunes);
     # pinned under forced-shuffle conditions in tests/test_plans.py.
-    "spark.sql.optimizer.runtimeFilter.bloomFilter.enabled": "true",
+    # (Spark 4 defaults this on; set explicitly so the posture survives a
+    # deployment that flips the default. Key name verified against SQLConf
+    # — tests/test_session.py asserts it appears in `SET -v`.)
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
@@ -116,7 +119,7 @@ def cluster_conf(
         # At cluster scale dims routinely exceed even the generous
         # broadcast threshold; runtime bloom filters then prune the
         # fact side of the resulting shuffle joins.
-        "spark.sql.optimizer.runtimeFilter.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     }
 
 

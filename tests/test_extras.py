@@ -145,3 +145,17 @@ def test_scaled_sum_headroom_guard_raises_before_wraparound():
     assert_scaled_sum_headroom(10**9, 1.0, 10**9, margin=8)
     with pytest.raises(OverflowError):
         assert_scaled_sum_headroom(10**10, 1.0, 10**9, margin=8)
+
+
+def test_recursive_cte_does_not_leak_row_limit(spark, sf_dir):
+    """ADVICE r5: the loosened cteRecursionRowLimit must be scoped to the
+    query, not leaked into the shared session — and must still govern at
+    execution time (the cap is read when the DataFrame runs, not when
+    it is built)."""
+    from odl_etl_spark.queries import registry
+
+    before = spark.conf.get("spark.sql.cteRecursionRowLimit")
+    df = registry()["sql_recursive_cte"].build(spark, sf_dir)
+    assert spark.conf.get("spark.sql.cteRecursionRowLimit") == before
+    assert df.count() > 0  # executes under the forked session's cap
+    assert spark.conf.get("spark.sql.cteRecursionRowLimit") == before

@@ -236,3 +236,37 @@ def test_curation_runs_from_settings_document(spark, sf_dir, tmp_path):
         bad = tmp_path / "bad.json"
         bad.write_text(json.dumps({"sf_dir": sf_dir}))
         CurationConfig.from_file(str(bad))
+
+
+def test_curation_null_text_counts_as_quality_reject(spark, sf_dir, tmp_path):
+    """ADVICE r5: ~NULL is NULL, so un-guarded gate flags let a null-text
+    doc fall through every when() into 'exact_dup'. The coalesce guard
+    must route it to 'quality' (and keep the partition-sum invariant)."""
+    import pyspark.sql.functions as F
+
+    from odl_etl_spark.io.sources import load_table
+    from odl_etl_spark.pipelines.curation import curate_corpus
+
+    src = str(tmp_path / "mini_sf")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .limit(50)
+        .unionByName(
+            spark.createDataFrame(
+                [(10_000_001, None, "en", "src1", 0)],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            )
+        )
+    )
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    docs.toPandas().to_parquet(os.path.join(src, "documents.parquet"))
+
+    _, funnel = curate_corpus(spark, src, str(tmp_path / "curated_null"))
+    rows = spark.createDataFrame(funnel.collect(), funnel.schema)
+    stages = {r.stage: r.n_docs for r in rows.collect()}
+    corpus_n = docs.where(F.col("source") != "src0").count()
+    assert sum(stages.values()) == corpus_n
+    # the null-text doc is a quality reject, not a phantom exact_dup
+    assert stages.get("quality", 0) >= 1
