@@ -64,80 +64,86 @@ def registry() -> dict[str, QuerySpec]:
 def _check_order(out: dict[str, QuerySpec]) -> list[str]:
     """Key order = driver check order. The driver's gate verifies exactly
     the first 50 registry keys per round, so ordering is the verification
-    budget. Round-5 priority (VERDICT.md r4, Next-round #1): the 48 keys
-    whose latest driver CORRECTNESS row is from r1/r2 (oldest-first:
-    `scalar_null` is the single r1-latest key; the other 47 were last
-    checked r2 — the entire dedup/sim/text LLM tier among them), then
-    `basket_pairs` (plan rewritten in r4 but outside the r4 window —
-    ADVICE r4 low), then `sink_upsert` (staging reads schema-pinned this
-    round — ADVICE r4 medium) — exactly 50. After this window lands green,
-    no key's driver verification will be older than r3. Everything outside
-    the window was driver-checked green in r3/r4 and is selfcheck-green at
-    sf0.001, sf0.01 AND sf0.1 (SELFCHECK_r04*.json).
+    budget.
 
-    Round-6 rotation note (do NOT apply before the r5 driver run lands):
-    after CORRECTNESS_r05 covers this window, the highest-priority keys
-    are the 26 round-5 additions with no driver row yet (sql_tpch_q2/q4/
-    q6/q7/q8/q9/q11-q17/q19-q22, stream_cdc_apply, text_keywords,
-    sketch_bloom, scd2_point_in_time, win_first_last, agg_corr,
-    sql_recursive_cte, scalar_variant, join_lateral_topk — all
-    tri-scale selfcheck-green, SELFCHECK_r05*.json), then the oldest
-    r3-checked keys to fill 50."""
+    Round-6 window (VERDICT.md r5, Next-round #1): the 31 round-5
+    additions that have never had a driver CORRECTNESS row (all
+    tri-scale selfcheck-green, SELFCHECK_r05*.json), then the 19 oldest
+    r3-checked keys in registry order — exactly 50. After this window
+    lands green, every registry key has a driver row and none is older
+    than r3. Two keys in the window changed plans THIS round, both
+    advisor-prescribed (ADVICE r5): `scd2_point_in_time` (deterministic
+    event_id tiebreak) and `sql_recursive_cte` (forked-session conf
+    scoping); both re-verified hash-green against the oracle before the
+    rotation was applied.
+
+    Round-7 rotation plan (reaches zero-stale; do NOT apply before the
+    r6 driver run lands): the 24 remaining r3-checked keys
+    (`text_repetition`, `dedup_decontaminate`, `corpus_mix`,
+    `emb_quantize`, `sim_ann_hyperplane`, `multimodal_catalog`,
+    `multimodal_image_features`, `multimodal_video_frames`,
+    `sql_tpch_q1`, `sql_tpch_q5`, `sql_tpch_q18`, `quality_gopher`,
+    `corpus_filter_c4`, `emb_norm_stats`, `join_interval_overlap`,
+    `events_active_users`, `agg_weighted`, `win_mad_outlier`,
+    `text_ngram_profile`, `agg_grouping_id`, `text_entropy`,
+    `events_funnel_time`, `emb_pq_codebook`, `text_idf_stop`), then the
+    oldest r4-checked keys in registry order to fill 50 (26 of the 49,
+    starting `project_hash_email`, `filter_pred`, …). After round 7 no
+    key's latest row is older than r4 and the steady-state cadence
+    (≈50 checked/round vs ≤5 added/round) keeps staleness ≤2 rounds."""
     first = [
-        # --- last driver-checked round 1 ---
-        "scalar_null",
-        # --- last driver-checked round 2 (47 keys, registry order) ---
-        "sink_orc_roundtrip",
-        "sort_zorder",
-        "scalar_map",
-        "agg_pivot",
-        "agg_approx_quantile",
-        "agg_approx_distinct",
-        "agg_decimal_exact",
-        "stream_dedup",
-        "stream_interval_join",
-        "scd2_build",
-        "timeseries_resample",
-        "events_anomaly",
-        "events_path_topk",
-        "timeseries_ewma",
-        "text_tokenize_tf",
-        "text_ngrams",
-        "text_lang_stats",
-        "text_token_count",
-        "text_quality",
-        "text_langid",
-        "text_fingerprint",
-        "dedup_exact",
-        "dedup_fingerprint",
-        "dedup_ngram_jaccard",
-        "dedup_near",
-        "dedup_simhash",
-        "dedup_cluster",
-        "text_tfidf",
-        "text_pii_scrub",
-        "text_winnow_fp",
-        "sample_stratified",
-        "text_bpe_count",
-        "corpus_filter",
-        "text_chunk",
-        "sim_topk",
-        "sim_pairwise_label",
-        "sim_ann_ivf",
-        "emb_centroid_dist",
-        "dedup_embedding",
-        "sim_knn_join",
-        "multimodal_audio_features",
-        "emb_kmeans",
-        "sketch_countmin",
-        "text_bm25",
-        "corpus_split",
-        "text_unigram_ppl",
-        "dedup_span_coverage",
-        # --- plan rewritten in r4 outside the r4 window (ADVICE r4) ---
-        "basket_pairs",
-        # --- plan changed this round: staging reads schema-pinned ---
-        "sink_upsert",
+        # --- never driver-checked (31 round-5 additions, registry order) ---
+        "scalar_variant",
+        "join_fuzzy_match",
+        "join_lateral_topk",
+        "agg_corr",
+        "win_first_last",
+        "stream_cdc_apply",
+        "scd2_point_in_time",
+        "dedup_url",
+        "text_keywords",
+        "sim_maxsim",
+        "graph_triangles",
+        "sketch_bloom",
+        "sql_tpch_q10",
+        "sql_recursive_cte",
+        "sql_tpch_q2",
+        "sql_tpch_q4",
+        "sql_tpch_q6",
+        "sql_tpch_q7",
+        "sql_tpch_q8",
+        "sql_tpch_q9",
+        "sql_tpch_q11",
+        "sql_tpch_q12",
+        "sql_tpch_q13",
+        "sql_tpch_q14",
+        "sql_tpch_q15",
+        "sql_tpch_q16",
+        "sql_tpch_q17",
+        "sql_tpch_q19",
+        "sql_tpch_q20",
+        "sql_tpch_q21",
+        "sql_tpch_q22",
+        # --- oldest driver rows (r3), registry order, fill to 50 ---
+        "scan_parquet",
+        "scan_pruned",
+        "sink_csv_roundtrip",
+        "sink_jsonl_roundtrip",
+        "udaf_regression",
+        "explode_posexplode",
+        "join_skew_salted",
+        "join_bucketed",
+        "agg_sketch_partial",
+        "agg_exact_median",
+        "agg_histogram",
+        "agg_mode",
+        "unpivot_long",
+        "timeseries_gapfill",
+        "events_funnel",
+        "events_retention",
+        "events_transitions",
+        "events_sessionize",
+        "events_attribution",
     ]
     assert len(first) == 50, len(first)
     assert all(k in out for k in first), sorted(set(first) - set(out))
