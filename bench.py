@@ -54,6 +54,25 @@ def main() -> None:
     specs["project_hash_email"].build(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # Warm up the PYTHON worker pool before any timed rep (VERDICT r5 #3):
+    # the first Arrow-batched stage pays daemon fork + one worker fork per
+    # core + the pandas/numpy import, and with per-query warm-ups alone
+    # that cost landed in whichever mapInPandas key ran first, flip-
+    # flopping its median across rounds (image_features 4.1→0.53→2.09s on
+    # an unchanged plan). One untimed pass with exactly `cpus` partitions
+    # forks and warms every reusable worker (spark.python.worker.reuse
+    # defaults true and killOnIdleTimeout defaults false, so the pool
+    # survives the whole suite).
+    def _py_warm(it):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        for pdf in it:
+            yield pdf
+
+    spark.range(0, int(cpus) * 4, 1, int(cpus)).mapInPandas(
+        _py_warm, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     t_suite = time.perf_counter()
