@@ -117,3 +117,29 @@ def test_iterative_consumer_is_mode_agnostic(spark, tmp_path):
     finally:
         spark.conf.unset(MODE_CONF)
         _clear_checkpoint_dir(spark)
+
+
+def test_checkpoint_mode_survives_executor_loss():
+    """Fault injection (VERDICT r5 #4): connected_components on
+    local-cluster[2,1,1024] with materialize(mode='checkpoint'); one
+    executor JVM is SIGKILLed mid-iteration and the job must still
+    produce the exact union-find answer. Runs in a subprocess because a
+    local-cluster SparkContext can't coexist with the session fixture's.
+    Exit 3 = environment can't run local-cluster, 4 = kill landed after
+    completion — both skip rather than flake."""
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(__file__), "_fault_inject_cc.py")
+    proc = subprocess.run(
+        [sys.executable, script],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(script))),
+    )
+    tail = "\n".join((proc.stdout + proc.stderr).splitlines()[-15:])
+    if proc.returncode in (3, 4):
+        pytest.skip(f"fault-injection scenario unavailable: {tail}")
+    assert proc.returncode == 0, tail
