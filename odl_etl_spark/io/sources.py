@@ -84,6 +84,23 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+# Fixture-table row counts, one count() action per (sf_dir, table) per
+# process (VERDICT r5 #5): the count is Parquet-metadata-cheap but still
+# a Spark job, and the overflow guards run it inside the timed build
+# path of several queries. Fixture dirs are immutable within a run, so a
+# process-lifetime cache is safe; the count is session-independent.
+_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def cached_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    key = (sf_dir, name)
+    n = _COUNT_CACHE.get(key)
+    if n is None:
+        n = load_table(spark, sf_dir, name).count()
+        _COUNT_CACHE[key] = n
+    return n
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for ``spark.sql``."""
     for name in TABLES:

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from odl_etl_spark.functions import text as T
 from odl_etl_spark.functions.numeric import assert_scaled_sum_headroom, roundn
-from odl_etl_spark.io.sources import load_table, register_views, spread
+from odl_etl_spark.io.sources import cached_count, load_table, register_views, spread
 from odl_etl_spark.operators.materialize import materialize
 from odl_etl_spark.queries.base import spec
 
@@ -78,7 +78,7 @@ def sql_tpch_q1(spark, sf_dir):
     # 100 TB scale factor this FIRES and tells the user to widen the
     # accumulators to DECIMAL(38,0), instead of wrapping silently.
     assert_scaled_sum_headroom(
-        load_table(spark, sf_dir, "lineitem").count(),
+        cached_count(spark, sf_dir, "lineitem"),
         2e5 * 1.08,
         10**6,
         what="sql_tpch_q1 sum_charge",
@@ -665,7 +665,10 @@ def agg_weighted(spark, sf_dir):
     # term ≤ 1e7·100 = 1e9; a single brand group can in the worst case
     # see every lineitem row, so guard on the table count (metadata-only).
     assert_scaled_sum_headroom(
-        li.count(), 2e5 * 50, 100, what="agg_weighted price*qty sum"
+        cached_count(spark, sf_dir, "lineitem"),
+        2e5 * 50,
+        100,
+        what="agg_weighted price*qty sum",
     )
     j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
     qty = F.round(F.col("l_quantity")).cast("bigint")
@@ -1265,7 +1268,7 @@ def sql_recursive_cte(spark, sf_dir):
     # carries the override and the caller's session stays pristine.
     from odl_etl_spark.session import tune_session
 
-    n_parts = load_table(spark, sf_dir, "part").count()
+    n_parts = cached_count(spark, sf_dir, "part")
     sub = tune_session(spark.newSession())
     sub.conf.set(
         "spark.sql.cteRecursionRowLimit", str(max(1_000_000, n_parts * 16))

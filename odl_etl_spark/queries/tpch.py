@@ -40,7 +40,7 @@ to the canonical decision-support suite, per SURVEY.md §2B/§8.
 from __future__ import annotations
 
 from odl_etl_spark.functions.numeric import assert_scaled_sum_headroom
-from odl_etl_spark.io.sources import load_table, register_views
+from odl_etl_spark.io.sources import cached_count, load_table, register_views
 from odl_etl_spark.queries.base import spec
 
 # Reused scaled-money fragments (identical text on both engines).
@@ -48,9 +48,13 @@ _REV_C = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)"
 
 
 def _guard_lineitem_money(spark, sf_dir, what: str, scale: int = 10**4) -> None:
-    """Worst case: one group sees every lineitem row at max |price|·scale."""
+    """Worst case: one group sees every lineitem row at max |price|·scale.
+
+    The row count comes from the process-lifetime ``cached_count`` —
+    one count() job per (sf_dir, table), not one per guarded query
+    build (VERDICT r5 #5)."""
     assert_scaled_sum_headroom(
-        load_table(spark, sf_dir, "lineitem").count(), 2e5, scale, what=what
+        cached_count(spark, sf_dir, "lineitem"), 2e5, scale, what=what
     )
 
 
