@@ -167,6 +167,7 @@ class CurationConfig:
     held_out_source: str = "src0"
     min_words: int = 20
     near_threshold: float = 0.8
+    decontam_shingle_n: int = 3
 
     @classmethod
     def from_file(cls, path: str) -> "CurationConfig":
@@ -177,6 +178,7 @@ class CurationConfig:
             held_out_source=doc.get("held_out_source", "src0"),
             min_words=int(doc.get("min_words", 20)),
             near_threshold=float(doc.get("near_threshold", 0.8)),
+            decontam_shingle_n=int(doc.get("decontam_shingle_n", 3)),
         )
 
 
@@ -195,5 +197,6 @@ def run_curation_from_config(
         held_out_source=cfg.held_out_source,
         min_words=cfg.min_words,
         near_threshold=cfg.near_threshold,
+        decontam_shingle_n=cfg.decontam_shingle_n,
     )
     return {r["stage"]: r["n_docs"] for r in funnel.collect()}

@@ -47,6 +47,7 @@ def curate_corpus(
     held_out_source: str = "src0",
     min_words: int = 20,
     near_threshold: float = 0.8,
+    decontam_shingle_n: int = 3,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the curation funnel over ``documents``.
 
@@ -112,12 +113,12 @@ def curate_corpus(
     # semi-join — no corpus shuffle, no driver materialization.
     bench = (
         d.where(F.col("source") == held_out_source)
-        .select(F.explode(T.word_shingles("text", 3)).alias("_s"))
+        .select(F.explode(T.word_shingles("text", decontam_shingle_n)).alias("_s"))
         .distinct()
     )
     contaminated_ids = (
         near_kept.select(
-            "doc_id", F.explode(T.word_shingles("text", 3)).alias("_s")
+            "doc_id", F.explode(T.word_shingles("text", decontam_shingle_n)).alias("_s")
         )
         .join(F.broadcast(bench), "_s", "semi")
         .select("doc_id")

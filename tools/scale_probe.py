@@ -81,18 +81,38 @@ def _replicate(spark: SparkSession, name: str, factor: int) -> DataFrame:
     for k in _KEY_COLS.get(name, []):
         out = out.withColumn(k, (F.col(k) * factor + r).cast("bigint"))
     if name == "documents":
-        # Suffix a per-replica salt onto EVERY word (all replicas, so
-        # the factor=1 baseline has the same per-row shape): shingles
-        # map bijectively onto the original corpus' shingles, so
-        # within-replica near-dup structure is isomorphic to sf0.1 and
-        # cross-replica shingle overlap is zero. (An interleaved salt
-        # token was tried first and collapsed every other shingle onto
-        # a single-word key — candidate explosion, 6× inflated dedup
-        # baselines.)
-        repl = F.concat(F.lit("$1q"), r.cast("string"), F.lit("z"))
-        out = out.withColumn(
-            "text", F.regexp_replace(F.col("text"), F.lit(r"(\S+)"), repl)
+        # Suffix a per-replica salt onto every word EXCEPT the ~30
+        # gate-bearing function words (curation stopwords + language
+        # profiles) — all replicas, including the factor=1 baseline, so
+        # every replica has the same per-row shape. Salted shingles map
+        # bijectively onto the original corpus' shingles (within-replica
+        # near-dup structure isomorphic to sf0.1, cross-replica overlap
+        # ~zero), while stopword_ratio / predicted_lang / n_words are
+        # UNCHANGED, so the curation funnel's quality and language gates
+        # see identical statistics in every replica. The protected-only
+        # shingle subset is replica-invariant, so cross-replica
+        # contamination probability is scale-invariant too — every
+        # funnel stage scales linearly by construction. (Salting every
+        # word was tried first and zeroed stopword_ratio: 100% of probe
+        # docs became quality rejects and the dedup stages ran on an
+        # empty corpus.)
+        from odl_etl_spark.functions.text import LANG_PROFILES
+        from odl_etl_spark.pipelines.curation import _STOPS
+
+        protected = sorted(
+            set(_STOPS) | {w for ws in LANG_PROFILES.values() for w in ws}
         )
+        prot = F.array(*[F.lit(w) for w in protected])
+        salted = F.array_join(
+            F.transform(
+                F.split(F.col("text"), r"\s+"),
+                lambda t: F.when(
+                    (t == "") | F.array_contains(prot, F.lower(t)), t
+                ).otherwise(F.concat(t, F.lit("q"), r.cast("string"), F.lit("z"))),
+            ),
+            " ",
+        )
+        out = out.withColumn("text", salted)
         out = out.withColumn("n_chars", F.length("text"))
     if name == "embeddings":
         noise = (
@@ -144,6 +164,45 @@ def run(spark: SparkSession, keys: list[str] | None = None) -> dict:
     return result
 
 
+def curation(spark: SparkSession) -> dict:
+    """Drive the end-to-end curation DAG at probe scale (VERDICT r5 #6):
+    same funnel at sf0.1p and sf1p, recording per-stage attrition counts
+    and wall time. The salted-replica construction keeps within-replica
+    dup/contamination structure isomorphic to sf0.1, so every stage's
+    count should scale ~linearly (ratio ≈ FACTOR) and the wall-time
+    ratio bounds the DAG's scaling exponent.
+
+    Two decontamination widths per scale: n=3 (the default — on this
+    tiny-vocabulary synthetic corpus it contaminates ~everything, so it
+    probes the funnel's reject path at full volume) and n=5 (realistic
+    survivor mix, so the partitioned write stage runs over a real
+    survivor set too)."""
+    from odl_etl_spark.pipelines.curation import curate_corpus
+
+    out: dict[str, dict] = {}
+    for n in (3, 5):
+        for tag in ("sf0.1p", "sf1p"):
+            sf_dir = os.path.join(ROOT, tag)
+            dest = os.path.join(ROOT, f"curated_{tag}_n{n}")
+            shutil.rmtree(dest, ignore_errors=True)
+            t0 = time.perf_counter()
+            _, funnel = curate_corpus(spark, sf_dir, dest, decontam_shingle_n=n)
+            stages = {r["stage"]: r["n_docs"] for r in funnel.collect()}
+            out[f"{tag}_n{n}"] = {
+                "stages": stages,
+                "total_docs": sum(stages.values()),
+                "seconds": round(time.perf_counter() - t0, 1),
+            }
+            print(f"{tag}_n{n}: {out[f'{tag}_n{n}']}", flush=True)
+        lo, hi = out[f"sf0.1p_n{n}"], out[f"sf1p_n{n}"]
+        out[f"stage_count_ratios_n{n}"] = {
+            s: round(hi["stages"].get(s, 0) / max(lo["stages"].get(s, 1), 1), 2)
+            for s in lo["stages"]
+        }
+        out[f"wall_ratio_n{n}"] = round(hi["seconds"] / lo["seconds"], 2)
+    return out
+
+
 def main() -> None:
     from odl_etl_spark.session import get_spark
 
@@ -159,6 +218,8 @@ def main() -> None:
     elif cmd == "run":
         keys = sys.argv[2].split(",") if len(sys.argv) > 2 else None
         print(json.dumps(run(spark, keys)))
+    elif cmd == "curation":
+        print(json.dumps(curation(spark)))
     else:
         raise SystemExit(f"unknown command {cmd!r}")
 
