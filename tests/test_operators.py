@@ -248,3 +248,42 @@ def test_global_cumsum_matches_single_partition_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_scd2_pit_tied_timestamps_pick_last_change(spark, tmp_path):
+    """ADVICE r5: two state changes at the same instant — the PIT lookup
+    must deterministically return the LAST change (highest event_id),
+    matching the oracle's interval semantics where the tied-earlier
+    change gets an empty [t,t) interval and drops."""
+    import os
+
+    import pandas as pd
+
+    from odl_etl_spark.queries import registry
+
+    src = tmp_path / "scd2_mini"
+    os.makedirs(src, exist_ok=True)
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:00",
+                    "2024-01-02 00:00:00",
+                    "2024-01-02 00:00:00",  # tied with event_id 2
+                    "2024-01-02 02:00:00",
+                ]
+            ).astype("datetime64[us]"),
+            "user_id": [1, 1, 1, 1],
+            "event_type": ["view", "cart", "refund", "purchase"],
+            "value": [0.0, 0.0, 0.0, 1.0],
+            "props": ["{}"] * 4,
+        }
+    )
+    df.to_parquet(src / "events.parquet")
+    rows = registry()["scd2_point_in_time"].build(spark, str(src)).collect()
+    # probe = purchase ts - 1h = 01:00, inside the tied-change window
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["event_id"] == 4
+    assert r["state"] == "refund"  # event_id 3 beats event_id 2 at the tie
