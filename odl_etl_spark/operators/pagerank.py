@@ -91,12 +91,14 @@ def pagerank_fixed(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        r = nodes.join(s, nodes["node"] == s["dst"], "left").select(
-            "node",
-            (
-                F.lit(base)
-                + F.floor(F.coalesce("s", F.lit(0)) * DAMP_NUM / DAMP_DEN)
-            )
+        # The symmetric graph makes the contribution aggregate node-
+        # complete — every node u has an edge (v, u), so every node
+        # appears as a dst and the old `nodes LEFT JOIN s` re-keying
+        # (one extra node-sized shuffle join per round, coalesce(s, 0)
+        # provably dead) is unnecessary (PLANS.md round-6 candidate).
+        r = s.select(
+            F.col("dst").alias("node"),
+            (F.lit(base) + F.floor(F.col("s") * DAMP_NUM / DAMP_DEN))
             .cast("bigint")
             .alias("rank"),
         )
