@@ -265,3 +265,18 @@ def test_python_datasource_parallel_paged_reads(spark):
             .load()
             .collect()
         )
+
+
+def test_cached_count_runs_one_job_per_table(spark, sf_dir):
+    """The overflow guards call cached_count inside query builds; it must
+    hit Spark once per (sf_dir, table) and serve repeats from memory."""
+    from odl_etl_spark.io import sources
+
+    sources._COUNT_CACHE.clear()
+    n1 = sources.cached_count(spark, sf_dir, "region")
+    assert (sf_dir, "region") in sources._COUNT_CACHE
+    # poison the cache: a second call must NOT recount
+    sources._COUNT_CACHE[(sf_dir, "region")] = n1 + 41
+    assert sources.cached_count(spark, sf_dir, "region") == n1 + 41
+    sources._COUNT_CACHE.clear()
+    assert sources.cached_count(spark, sf_dir, "region") == n1
