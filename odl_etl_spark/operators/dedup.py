@@ -279,6 +279,63 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_probe(
+    new: DataFrame,
+    existing: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    band_size: int = 4,
+) -> DataFrame:
+    """Incremental near-dedup: probe a NEW batch against an EXISTING
+    corpus — the daily-ingest posture (generalizes the reference\'s daily
+    batch cadence, mitx_etl.py:16-17, to the LLM dedup tier).
+
+    Same MinHash family and banding as ``minhash_lsh_pairs`` (so the
+    existing side\'s (_id, _band, _bh) index is persistable and reusable
+    across days: build once, probe every batch), but the candidate join
+    is NEW x EXISTING instead of a self-join — candidate volume scales
+    with the batch, not the corpus, and only the batch\'s band tuples
+    shuffle against the index. Returns (new_id, ex_id, jaccard >=
+    threshold) pairs; dropping ``new_id``s anti-joins the batch.
+    """
+    banded_new = _minhash_signatures(
+        _shingle_hashes(new, id_col, text_col, n), num_hashes, band_size
+    )
+    banded_ex = _minhash_signatures(
+        _shingle_hashes(existing, id_col, text_col, n), num_hashes, band_size
+    )
+    a, b = banded_new.alias("a"), banded_ex.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bh") == F.col("b._bh")),
+        )
+        .select(F.col("a._id").alias("new_id"), F.col("b._id").alias("ex_id"))
+        .dropDuplicates(["new_id", "ex_id"])
+    )
+    candidates = materialize(candidates)  # read 3x below, same as pairs
+    new_ids = candidates.select(F.col("new_id").alias("_id")).distinct()
+    ex_ids = candidates.select(F.col("ex_id").alias("_id")).distinct()
+    sh_new = new.join(
+        F.broadcast(new_ids), F.col(id_col) == F.col("_id"), "left_semi"
+    ).select(F.col(id_col).alias("new_id"), word_shingles(text_col, n).alias("_sha"))
+    sh_ex = existing.join(
+        F.broadcast(ex_ids), F.col(id_col) == F.col("_id"), "left_semi"
+    ).select(F.col(id_col).alias("ex_id"), word_shingles(text_col, n).alias("_shb"))
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    union = F.size(F.array_union("_sha", "_shb"))
+    return (
+        candidates.join(sh_new, "new_id")
+        .join(sh_ex, "ex_id")
+        .select("new_id", "ex_id", (inter / union).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash64(text_col: Column | str, token_arr: Column | None = None) -> Column:
     """64-bit SimHash of the token multiset, as a pure expression.
 

@@ -263,6 +263,60 @@ def dedup_near(spark, sf_dir):
     )
 
 
+_INCR_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKS_SQL} AS ts FROM documents
+    ), idx AS (
+      SELECT doc_id, source, ts,
+             UNNEST(range(1, GREATEST(len(ts) - 1, 1))) AS i FROM toks
+    ), sh AS (
+      SELECT DISTINCT doc_id, source,
+             ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS s
+      FROM idx WHERE i + 2 <= len(ts)
+    ), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+    SELECT a.doc_id AS new_id, b.doc_id AS ex_id,
+           ROUND(COUNT(*) * 1.0 / (MIN(ca.n) + MIN(cb.n) - COUNT(*)) * 10000)
+             / 10000 AS jaccard
+    FROM sh a JOIN sh b ON a.s = b.s AND a.source = 'src1' AND b.source <> 'src1'
+    JOIN cnt ca ON ca.doc_id = a.doc_id
+    JOIN cnt cb ON cb.doc_id = b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) * 1.0 / (MIN(ca.n) + MIN(cb.n) - COUNT(*)) >= 0.8
+"""
+
+
+@spec(
+    "dedup_incremental",
+    _INCR_ORACLE,
+    doc=(
+        "Incremental near-dedup: the day's NEW batch (source='src1') "
+        "probed against the EXISTING corpus (every other source) — the "
+        "operational posture the reference's daily cadence implies "
+        "(mitx_etl.py:16-17 date-suffixed batches) applied to the LLM "
+        "dedup tier. Same MinHash-LSH family as dedup_near, but the "
+        "candidate join is batch x index instead of a corpus self-join: "
+        "the existing side's (id, band, hash) tuples are a persistable "
+        "index built once, and per-day cost scales with the batch, not "
+        "the corpus. Oracled against the exact cross-set Jaccard SQL "
+        "(recall argument identical to dedup_near: miss probability "
+        "< 1e-6 at j>=0.8, precision exact by verification)."
+    ),
+)
+def dedup_incremental(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_probe(
+        d.where(F.col("source") == "src1"),
+        d.where(F.col("source") != "src1"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.8,
+    )
+    return pairs.select(
+        "new_id", "ex_id", roundn(F.col("jaccard"), 4).alias("jaccard")
+    )
+
+
 def _simhash_oracle(max_hamming: int) -> str:
     """All-pairs SimHash-64 ground truth with md5-derived per-token bits.
 
@@ -1148,4 +1202,7 @@ SPECS = [
     text_chunk,
     dedup_url,
     text_keywords,
+    # round 6 (sole addition under the registry-growth freeze,
+    # VERDICT r5 #2): incremental batch-vs-corpus near-dedup.
+    dedup_incremental,
 ]

@@ -287,3 +287,37 @@ def test_scd2_pit_tied_timestamps_pick_last_change(spark, tmp_path):
     r = rows[0]
     assert r["event_id"] == 4
     assert r["state"] == "refund"  # event_id 3 beats event_id 2 at the tie
+
+
+def test_minhash_lsh_probe_matches_cross_set_pairs(spark, sf_dir):
+    """Incremental probe (batch vs corpus) must find exactly the
+    cross-set subset of the full pair relation — same hash family, so
+    splitting the corpus into (new, existing) loses nothing."""
+    from pyspark.sql import functions as F
+
+    from odl_etl_spark.operators.dedup import minhash_lsh_probe
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("source") == "src1")
+    existing = docs.where(F.col("source") != "src1")
+    probe = {
+        (r["new_id"], r["ex_id"])
+        for r in minhash_lsh_probe(
+            new, existing, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    src = {
+        r["doc_id"]: r["source"]
+        for r in docs.select("doc_id", "source").collect()
+    }
+    full = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    expected = set()
+    for r in full:
+        a, b = r["id_a"], r["id_b"]
+        # pairs are unordered in the full relation; orient batch-first
+        if src[a] == "src1" and src[b] != "src1":
+            expected.add((a, b))
+        elif src[b] == "src1" and src[a] != "src1":
+            expected.add((b, a))
+    assert probe == expected
+    assert len(probe) > 0  # fixtures plant cross-source near-dups
