@@ -290,14 +290,14 @@ def minhash_lsh_probe(
     band_size: int = 4,
 ) -> DataFrame:
     """Incremental near-dedup: probe a NEW batch against an EXISTING
-    corpus — the daily-ingest posture (generalizes the reference\'s daily
+    corpus — the daily-ingest posture (generalizes the reference's daily
     batch cadence, mitx_etl.py:16-17, to the LLM dedup tier).
 
     Same MinHash family and banding as ``minhash_lsh_pairs`` (so the
-    existing side\'s (_id, _band, _bh) index is persistable and reusable
+    existing side's (_id, _band, _bh) index is persistable and reusable
     across days: build once, probe every batch), but the candidate join
     is NEW x EXISTING instead of a self-join — candidate volume scales
-    with the batch, not the corpus, and only the batch\'s band tuples
+    with the batch, not the corpus, and only the batch's band tuples
     shuffle against the index. Returns (new_id, ex_id, jaccard >=
     threshold) pairs; dropping ``new_id``s anti-joins the batch.
     """
