@@ -137,4 +137,119 @@ def dedup_span_coverage(spark, sf_dir):
     )
 
 
-SPECS = [text_unigram_ppl, dedup_span_coverage]
+@spec(
+    "dedup_span_rewrite",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), pos AS (
+      SELECT doc_id, toks,
+             CAST(UNNEST(range(1, len(toks) - {_SPAN} + 2)) AS INTEGER) AS p
+      FROM t WHERE len(toks) >= {_SPAN}
+    ), sp AS (
+      SELECT doc_id, p,
+             md5(array_to_string(list_slice(toks, p, p + {_SPAN} - 1), ' ')) AS sh
+      FROM pos
+    ), rem AS (
+      SELECT doc_id, p FROM (
+        SELECT doc_id, p,
+               ROW_NUMBER() OVER (PARTITION BY sh
+                                  ORDER BY doc_id ASC, p ASC) AS rn
+        FROM sp) z WHERE rn > 1
+    ), rp AS (
+      SELECT DISTINCT doc_id, tp FROM (
+        SELECT doc_id, CAST(UNNEST(range(p, p + {_SPAN})) AS INTEGER) AS tp
+        FROM rem) q
+    ), tok AS (
+      SELECT doc_id, CAST(generate_subscripts(toks, 1) AS INTEGER) AS tp,
+             UNNEST(toks) AS term
+      FROM t
+    ), ka AS (
+      SELECT k.doc_id, COUNT(*) AS n_kept,
+             STRING_AGG(k.term, ' ' ORDER BY k.tp) AS text_dedup
+      FROM tok k LEFT JOIN rp ON k.doc_id = rp.doc_id AND k.tp = rp.tp
+      WHERE rp.doc_id IS NULL
+      GROUP BY k.doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_toks,
+           CAST(len(t.toks) - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(ka.text_dedup, '') AS text_dedup
+    FROM t LEFT JOIN ka ON t.doc_id = ka.doc_id
+    """,
+    doc=(
+        "Exact-substring span REMOVAL, the rewrite counterpart of "
+        "`dedup_span_coverage` (C4 §3.1 'three-sentence span' dedup / "
+        "Lee et al. 2021 exact-substring dedup, token-window form): "
+        f"every {_SPAN}-token span is hashed; for each span value only "
+        "the globally first occurrence (lowest doc_id, then position — "
+        "intra-doc repeats count too) survives; tokens covered by any "
+        "non-first duplicate span are deleted and each document's "
+        "surviving tokens are re-joined in order. Plan shape: one "
+        "generator fan-out per token position, ONE corpus shuffle on "
+        "the 16-byte span hash for the first-occurrence window (tiny "
+        "per-hash partitions, so the in-partition sort is bounded), a "
+        "doc-keyed distinct of only the removed positions (duplicate "
+        "spans are the minority in a healthy corpus), a doc-keyed "
+        "anti-join, and a doc-keyed reassembly agg — all "
+        "map-side-combined, nothing quadratic, only hashes and "
+        "positions shuffle beyond the final per-doc rebuild. At 100 TB "
+        "this is the canonical dedup rewrite step between filtering "
+        "and tokenization."
+    ),
+)
+def dedup_span_rewrite(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = spread(d).select("doc_id", T.tokens("text").alias("toks"))
+    pos = t.where(F.size("toks") >= _SPAN).select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks") - _SPAN + 1).cast("array<int>")
+        ).alias("p"),
+    )
+    sp = pos.select(
+        "doc_id",
+        "p",
+        F.md5(F.array_join(F.slice("toks", F.col("p"), _SPAN), " ")).alias("sh"),
+    )
+    w = Window.partitionBy("sh").orderBy(F.col("doc_id").asc(), F.col("p").asc())
+    rem = (
+        sp.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("p"), F.col("p") + _SPAN - 1).cast("array<int>")
+            ).alias("tp"),
+        )
+        .distinct()
+    )
+    tok = t.select(
+        "doc_id", F.posexplode("toks").alias("p0", "term")
+    ).select("doc_id", (F.col("p0") + 1).cast("int").alias("tp"), "term")
+    ka = (
+        tok.join(rem, ["doc_id", "tp"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tp", "term"))),
+                    lambda s: s["term"],
+                ),
+                " ",
+            ).alias("text_dedup"),
+        )
+    )
+    base = t.select("doc_id", F.size("toks").cast("bigint").alias("n_toks"))
+    return base.join(ka, "doc_id", "left").select(
+        "doc_id",
+        "n_toks",
+        (F.col("n_toks") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
+        F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+    )
+
+
+SPECS = [text_unigram_ppl, dedup_span_coverage, dedup_span_rewrite]

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from odl_etl_spark.functions.numeric import roundn
 from odl_etl_spark.functions.vectors import cosine
-from odl_etl_spark.io.sources import load_table
+from odl_etl_spark.io.sources import load_table, spread
 from odl_etl_spark.operators.similarity import (
     IvfIndex,
     cosine_lsh_pairs,
@@ -519,6 +519,132 @@ def sim_maxsim(spark, sf_dir, n_tok: int = 8, dim: int = 8, k: int = 20):
     return scored.orderBy(F.col("maxsim").desc(), F.col("vec_id").asc()).limit(k)
 
 
+_PQ_SUBS = 8  # 64-dim vectors -> 8 subspaces of 8 dims
+_PQ_CODES = 16
+_Q = 1000000000  # BIGINT quantization scale shared with emb_pq_codebook
+
+
+@spec(
+    "sim_ann_pq",
+    f"""
+    WITH ex AS (
+      SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ), exs AS (
+      SELECT vec_id, x, i, (i - 1) // 8 AS sub,
+             vec_id % {_PQ_CODES} AS init_code
+      FROM ex
+    ), cent AS (
+      SELECT init_code AS code, i, sub,
+             SUM(CAST(ROUND(x * {_Q}) AS BIGINT)) AS sx,
+             COUNT(*) AS n
+      FROM exs GROUP BY init_code, i, sub
+    ), dist AS (
+      SELECT e.vec_id, e.sub, c.code,
+             SUM(CAST(ROUND((e.x - c.sx / {_Q}.0 / c.n)
+                            * (e.x - c.sx / {_Q}.0 / c.n)
+                            * {_Q}) AS BIGINT)) AS d2q
+      FROM exs e JOIN cent c ON e.i = c.i
+      WHERE e.vec_id <> 0
+      GROUP BY e.vec_id, e.sub, c.code
+    ), codes AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d2q ASC, code ASC) AS rn
+        FROM dist) z WHERE rn = 1
+    ), probe AS (
+      SELECT CAST(UNNEST(embedding) AS DOUBLE) AS px,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id = 0
+    ), lut AS (
+      SELECT c.sub, c.code,
+             SUM(CAST(ROUND((p.px - c.sx / {_Q}.0 / c.n)
+                            * (p.px - c.sx / {_Q}.0 / c.n)
+                            * {_Q}) AS BIGINT)) AS lq
+      FROM cent c JOIN probe p ON c.i = p.i
+      GROUP BY c.sub, c.code
+    )
+    SELECT k.vec_id,
+           ROUND(SUM(l.lq) / {_Q}.0 * 1000000) / 1000000 AS adc_d2
+    FROM codes k JOIN lut l ON k.sub = l.sub AND k.code = l.code
+    GROUP BY k.vec_id
+    ORDER BY adc_d2 ASC, vec_id ASC LIMIT 10
+    """,
+    doc=(
+        "Product-quantization ANN search with asymmetric distance "
+        "computation (Jegou et al. 2011, the search half of "
+        "`emb_pq_codebook`): train the deterministic per-subspace "
+        f"codebook ({_PQ_SUBS} subspaces x {_PQ_CODES} codes, vec_id%k "
+        "seeding + one averaging step, BIGINT-quantized sums so both "
+        "engines agree bit-for-bit), encode every corpus vector as "
+        f"{_PQ_SUBS} codes, then score the probe against the CODES ONLY: "
+        "a 128-entry (sub, code) -> squared-distance lookup table is "
+        "built from the probe and the centroids (parameter data, "
+        "broadcast), and each vector's approximate distance is the "
+        "integer sum of 8 table entries — the corpus' raw floats are "
+        "never touched at query time. 100 TB posture: the codes "
+        "relation is the stored 8-byte-per-vector compressed index "
+        "(built once, reused per query); a search is one broadcast "
+        "LUT join + one vec-keyed integer agg + TakeOrdered, with "
+        "argmin encoding done as a lexicographic MIN(struct(d2q, "
+        "code)) agg — map-side-combined, no window sort."
+    ),
+)
+def sim_ann_pq(spark, sf_dir):
+    probe = _probe_vec(spark, sf_dir, 0)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ex = spread(e).select(
+        "vec_id", F.posexplode("v").alias("i0", "x")
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        "x",
+        F.floor(F.col("i0") / 8).alias("sub"),
+        (F.col("vec_id") % _PQ_CODES).alias("init_code"),
+    )
+    q = F.lit(float(_Q))
+    cent = ex.groupBy(F.col("init_code").alias("code"), "i", "sub").agg(
+        F.sum(F.round(F.col("x") * q).cast("bigint")).alias("sx"),
+        F.count("*").alias("n"),
+    )
+    cent = cent.select(
+        "code", "sub", F.col("i").alias("ci"),
+        (F.col("sx") / q / F.col("n")).alias("cx"),
+    )
+    # Encode: quantized squared distance per (vec, sub, code), then
+    # argmin as a lexicographic struct-MIN — a second map-side-combined
+    # agg instead of a window sort.
+    diff = F.col("x") - F.col("cx")
+    cent_enc = cent.drop("sub")  # sub is derivable from ex's side
+    dist = (
+        ex.where(F.col("vec_id") != 0)
+        .join(F.broadcast(cent_enc), ex.i == cent_enc.ci)
+        .groupBy("vec_id", "sub", "code")
+        .agg(F.sum(F.round(diff * diff * q).cast("bigint")).alias("d2q"))
+    )
+    codes = dist.groupBy("vec_id", "sub").agg(
+        F.min(F.struct("d2q", "code")).alias("_m")
+    ).select("vec_id", "sub", F.col("_m.code").alias("code"))
+    # Probe LUT: 128 (sub, code) entries computed from literals + the
+    # centroid relation — parameter data, broadcast to meet the codes.
+    parr = F.array(*[F.lit(float(v)) for v in probe])
+    pdiff = F.element_at(parr, F.col("ci").cast("int")) - F.col("cx")
+    lut = cent.groupBy("sub", "code").agg(
+        F.sum(F.round(pdiff * pdiff * q).cast("bigint")).alias("lq")
+    )
+    return (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("vec_id")
+        .agg(roundn(F.sum("lq") / q, 6).alias("adc_d2"))
+        .orderBy(F.col("adc_d2").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
 SPECS = [
     sim_topk,
     sim_pairwise_label,
@@ -529,4 +655,5 @@ SPECS = [
     emb_quantize,
     sim_ann_hyperplane,
     sim_maxsim,
+    sim_ann_pq,
 ]

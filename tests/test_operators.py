@@ -321,3 +321,75 @@ def test_minhash_lsh_probe_matches_cross_set_pairs(spark, sf_dir):
             expected.add((b, a))
     assert probe == expected
     assert len(probe) > 0  # fixtures plant cross-source near-dups
+
+
+def test_span_rewrite_crafted_corpus(spark, tmp_path):
+    """dedup_span_rewrite on a hand-built corpus: the globally-first
+    occurrence of a duplicated 8-token span survives, later cross-doc
+    AND intra-doc occurrences lose exactly the covered tokens, short
+    and unique docs pass through byte-identical."""
+    import os
+
+    import pandas as pd
+
+    from odl_etl_spark.queries import registry
+
+    span = "a b c d e f g h"
+    texts = {
+        1: span,                              # first occurrence — kept whole
+        2: "z1 z2 " + span + " z3",           # loses the 8 span tokens
+        3: "u1 u2 u3",                        # shorter than a span — untouched
+        4: "m1 m2 m3 m4 m5 m6 m7 m8 m1 m2 m3 m4 m5 m6 m7 m8",  # intra-doc repeat
+    }
+    src = tmp_path / "span_mini"
+    os.makedirs(src, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": ["en"] * 4,
+            "source": ["t"] * 4,
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    ).to_parquet(src / "documents.parquet")
+    rows = {
+        r["doc_id"]: r
+        for r in registry()["dedup_span_rewrite"].build(spark, str(src)).collect()
+    }
+    assert rows[1]["text_dedup"] == span and rows[1]["n_removed"] == 0
+    assert rows[2]["text_dedup"] == "z1 z2 z3" and rows[2]["n_removed"] == 8
+    assert rows[3]["text_dedup"] == "u1 u2 u3" and rows[3]["n_removed"] == 0
+    assert rows[4]["text_dedup"] == "m1 m2 m3 m4 m5 m6 m7 m8"
+    assert rows[4]["n_removed"] == 8
+
+
+def test_pq_adc_degenerates_to_exact_when_codes_cover_corpus(spark, tmp_path):
+    """sim_ann_pq with <= 16 vectors: vec_id%16 seeding gives every
+    vector its own singleton centroid, so the ADC distance IS the exact
+    squared L2 to each vector (up to the shared BIGINT quantization) and
+    the top-k must equal the brute-force L2 ranking."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from odl_etl_spark.queries import registry
+
+    rng = np.random.RandomState(7)
+    vecs = rng.rand(13, 64).astype(np.float32)
+    src = tmp_path / "pq_mini"
+    os.makedirs(src, exist_ok=True)
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(13, dtype=np.int64),
+            "embedding": [v.tolist() for v in vecs],
+            "label": np.zeros(13, dtype=np.int32),
+        }
+    ).to_parquet(src / "embeddings.parquet")
+    got = [
+        r["vec_id"]
+        for r in registry()["sim_ann_pq"].build(spark, str(src)).collect()
+    ]
+    d2 = ((vecs[1:].astype(np.float64) - vecs[0].astype(np.float64)) ** 2).sum(axis=1)
+    want = [int(i) + 1 for i in np.argsort(d2, kind="stable")][:10]
+    assert got == want

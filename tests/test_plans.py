@@ -593,3 +593,30 @@ def test_lateral_topk_decorrelates_to_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sim_ann_pq_searches_codes_not_floats(spark, sf_dir):
+    # PQ/ADC search: centroids and the 128-entry probe LUT are parameter
+    # data and must BROADCAST to meet the corpus; the final top-k is a
+    # TakeOrdered, never a global sort; nothing nested-loops the corpus.
+    df = build("sim_ann_pq", spark, sf_dir)
+    plan = explain_str(df)
+    assert plan.count("BroadcastHashJoin") >= 2  # encode join + LUT join
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert has_partial_aggregate(df)
+
+
+def test_dedup_span_rewrite_antijoin_no_quadratics(spark, sf_dir):
+    # Span rewrite: removed positions are subtracted via an ANTI join
+    # (AQE picks build side), first-occurrence selection is one keyed
+    # window on the span hash, and no plan node is quadratic.
+    df = build("dedup_span_rewrite", spark, sf_dir)
+    plan = explain_str(df)
+    assert "LeftAnti" in plan
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert has_partial_aggregate(df)
