@@ -565,31 +565,45 @@ _Q = 1000000000  # BIGINT quantization scale shared with emb_pq_codebook
                             * {_Q}) AS BIGINT)) AS lq
       FROM cent c JOIN probe p ON c.i = p.i
       GROUP BY c.sub, c.code
-    )
-    SELECT k.vec_id,
-           ROUND(SUM(l.lq) / {_Q}.0 * 1000000) / 1000000 AS adc_d2
-    FROM codes k JOIN lut l ON k.sub = l.sub AND k.code = l.code
-    GROUP BY k.vec_id
-    ORDER BY adc_d2 ASC, vec_id ASC LIMIT 10
+    ), adc AS (
+      SELECT k.vec_id, SUM(l.lq) AS adcq
+      FROM codes k JOIN lut l ON k.sub = l.sub AND k.code = l.code
+      GROUP BY k.vec_id
+    ), pool AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (ORDER BY adcq ASC, vec_id ASC) AS rn
+        FROM adc) z
+      WHERE rn <= (SELECT CEIL(0.25 * (COUNT(*) - 1)) FROM embeddings)
+    ), pv AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(({_L2.format(a='e.embedding', b='pv.p')}) * 1000000)
+             / 1000000 AS l2_d
+    FROM embeddings e JOIN pool USING (vec_id), pv
+    ORDER BY l2_d ASC, vec_id ASC LIMIT 10
     """,
     doc=(
-        "Product-quantization ANN search with asymmetric distance "
-        "computation (Jegou et al. 2011, the search half of "
-        "`emb_pq_codebook`): train the deterministic per-subspace "
-        f"codebook ({_PQ_SUBS} subspaces x {_PQ_CODES} codes, vec_id%k "
-        "seeding + one averaging step, BIGINT-quantized sums so both "
-        "engines agree bit-for-bit), encode every corpus vector as "
-        f"{_PQ_SUBS} codes, then score the probe against the CODES ONLY: "
-        "a 128-entry (sub, code) -> squared-distance lookup table is "
-        "built from the probe and the centroids (parameter data, "
-        "broadcast), and each vector's approximate distance is the "
-        "integer sum of 8 table entries — the corpus' raw floats are "
-        "never touched at query time. 100 TB posture: the codes "
+        "Product-quantization ANN search, ADC-shortlist + exact re-rank "
+        "(Jegou et al. 2011, the search half of `emb_pq_codebook`): "
+        f"train the deterministic per-subspace codebook ({_PQ_SUBS} "
+        f"subspaces x {_PQ_CODES} codes, vec_id%k seeding + one "
+        "averaging step, BIGINT-quantized sums so both engines agree "
+        f"bit-for-bit), encode every corpus vector as {_PQ_SUBS} codes, "
+        "score the probe against the CODES ONLY via a broadcast "
+        "128-entry (sub, code) -> squared-distance LUT (integer ADC "
+        "sums — corpus floats never touched), shortlist the best 25% by "
+        "ADC (the same candidate fraction as `sim_ann_ivf`'s nprobe "
+        "2/8; on these unstructured synthetic vectors pure ADC ranking "
+        "cannot discriminate — measured recall@10 of the shortlist is "
+        "0.9-1.0 at sf0.01/sf0.1 vs 0.0 for ADC-only — so the re-rank "
+        "stage is what production PQ systems do), then re-rank only "
+        "the shortlist with exact L2. 100 TB posture: the codes "
         "relation is the stored 8-byte-per-vector compressed index "
-        "(built once, reused per query); a search is one broadcast "
-        "LUT join + one vec-keyed integer agg + TakeOrdered, with "
-        "argmin encoding done as a lexicographic MIN(struct(d2q, "
-        "code)) agg — map-side-combined, no window sort."
+        "(built once, reused per query); a search is one broadcast LUT "
+        "join + vec-keyed integer agg + TakeOrdered shortlist + a "
+        "broadcast semi-join back to the shortlisted floats; argmin "
+        "encoding is a lexicographic MIN(struct(d2q, code)) agg — "
+        "map-side-combined, no window sort."
     ),
 )
 def sim_ann_pq(spark, sf_dir):
@@ -636,11 +650,30 @@ def sim_ann_pq(spark, sf_dir):
     lut = cent.groupBy("sub", "code").agg(
         F.sum(F.round(pdiff * pdiff * q).cast("bigint")).alias("lq")
     )
-    return (
+    adc = (
         codes.join(F.broadcast(lut), ["sub", "code"])
         .groupBy("vec_id")
-        .agg(roundn(F.sum("lq") / q, 6).alias("adc_d2"))
-        .orderBy(F.col("adc_d2").asc(), F.col("vec_id").asc())
+        .agg(F.sum("lq").alias("adcq"))
+    )
+    # ADC shortlist (deterministic integer ordering), then exact re-rank
+    # of only the shortlisted vectors. R is parameter data (one cached
+    # metadata count), like the probe vector itself.
+    import math
+
+    from odl_etl_spark.functions.vectors import l2_distance
+    from odl_etl_spark.io.sources import cached_count
+
+    n_corpus = cached_count(spark, sf_dir, "embeddings") - 1
+    r_pool = int(math.ceil(0.25 * n_corpus))
+    pool = (
+        adc.orderBy(F.col("adcq").asc(), F.col("vec_id").asc())
+        .limit(r_pool)
+        .select("vec_id")
+    )
+    return (
+        e.join(F.broadcast(pool), "vec_id")
+        .select("vec_id", roundn(l2_distance(F.col("v"), parr), 6).alias("l2_d"))
+        .orderBy(F.col("l2_d").asc(), F.col("vec_id").asc())
         .limit(10)
     )
 

@@ -366,8 +366,10 @@ def test_span_rewrite_crafted_corpus(spark, tmp_path):
 def test_pq_adc_degenerates_to_exact_when_codes_cover_corpus(spark, tmp_path):
     """sim_ann_pq with <= 16 vectors: vec_id%16 seeding gives every
     vector its own singleton centroid, so the ADC distance IS the exact
-    squared L2 to each vector (up to the shared BIGINT quantization) and
-    the top-k must equal the brute-force L2 ranking."""
+    squared L2 to each vector (up to the shared BIGINT quantization) —
+    the 25% ADC shortlist must therefore be exactly the true top
+    ceil(0.25*n) neighbours, and the exact re-rank returns them in
+    brute-force L2 order."""
     import os
 
     import numpy as np
@@ -391,5 +393,5 @@ def test_pq_adc_degenerates_to_exact_when_codes_cover_corpus(spark, tmp_path):
         for r in registry()["sim_ann_pq"].build(spark, str(src)).collect()
     ]
     d2 = ((vecs[1:].astype(np.float64) - vecs[0].astype(np.float64)) ** 2).sum(axis=1)
-    want = [int(i) + 1 for i in np.argsort(d2, kind="stable")][:10]
+    want = [int(i) + 1 for i in np.argsort(d2, kind="stable")][:3]  # ceil(0.25*12)
     assert got == want

@@ -271,3 +271,23 @@ def test_stratified_sample_invariant_under_repartition(spark, sf_dir):
         assert ids(spec.build(spark, sf_dir)) == base
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_span_rewrite_invariant_under_partitioning(spark, sf_dir):
+    """dedup_span_rewrite's survivor text must be identical at any
+    shuffle partitioning: first-occurrence selection orders by
+    (doc_id, p) — a total order independent of physical layout — and
+    reassembly sorts by token position. Re-sharding a 100 TB corpus
+    must not change which span occurrence survives."""
+    from odl_etl_spark.queries import registry
+
+    spec = registry()["dedup_span_rewrite"]
+    rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    base = rows(spec.build(spark, sf_dir))
+    assert any(r[2] > 0 for r in base)  # fixture contains duplicate spans
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        assert rows(spec.build(spark, sf_dir)) == base
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
