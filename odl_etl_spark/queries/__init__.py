@@ -86,15 +86,18 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
     `corpus_filter_c4`, `emb_norm_stats`, `join_interval_overlap`,
     `events_active_users`, `agg_weighted`, `win_mad_outlier`,
     `text_ngram_profile`, `agg_grouping_id`, `text_entropy`,
-    `events_funnel_time`, `emb_pq_codebook`, `text_idf_stop`), then
-    `graph_pagerank` (plan changed in round 6 — the dead per-iteration
-    nodes-LEFT-JOIN removed, PLANS.md candidate; changed-plan keys join
-    the next window, the r5 `basket_pairs`/`sink_upsert` precedent),
-    then the oldest r4-checked keys in registry order to fill 50 (25 of
-    the 49, starting `sink_partitioned`, `sql_tpch_q3`,
-    `project_hash_email`, …). After round 7 no key's latest row is older
-    than r4 and the steady-state cadence (≈50 checked/round vs ≤5
-    added/round) keeps staleness ≤2 rounds."""
+    `events_funnel_time`, `emb_pq_codebook`, `text_idf_stop`), then the
+    3 never-checked round-6 additions (`dedup_incremental`,
+    `sim_ann_pq`, `dedup_span_rewrite` — all tri-scale selfcheck-green,
+    SELFCHECK_r06*.json), then `graph_pagerank` (plan changed in round
+    6 — the dead per-iteration nodes-LEFT-JOIN removed, PLANS.md
+    candidate; changed-plan keys join the next window, the r5
+    `basket_pairs`/`sink_upsert` precedent), then the oldest r4-checked
+    keys in registry order to fill 50 (22 of the 49, starting
+    `sink_partitioned`, `sql_tpch_q3`, `project_hash_email`, …). After
+    round 7 no key lacks a driver row and none is older than r4; the
+    steady-state cadence (≈50 checked/round vs ≤5 added/round) keeps
+    staleness ≤2 rounds."""
     first = [
         # --- never driver-checked (31 round-5 additions, registry order) ---
         "scalar_variant",
