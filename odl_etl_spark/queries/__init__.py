@@ -80,7 +80,9 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
     Round-7 rotation plan (reaches zero-stale; do NOT apply before the
     r6 driver run lands): the 24 remaining r3-checked keys
     (`text_repetition`, `dedup_decontaminate`, `corpus_mix`,
-    `emb_quantize`, `sim_ann_hyperplane`, `multimodal_catalog`,
+    `emb_quantize`, `sim_ann_hyperplane` (plan+semantics changed in
+    round 6: Hamming≤1 multi-probe, recall@10 0.0→0.4-0.6; tri-scale
+    re-verified), `multimodal_catalog`,
     `multimodal_image_features`, `multimodal_video_frames`,
     `sql_tpch_q1`, `sql_tpch_q5`, `sql_tpch_q18`, `quality_gopher`,
     `corpus_filter_c4`, `emb_norm_stats`, `join_interval_overlap`,

@@ -400,21 +400,27 @@ _DOT = """
            ROUND(({_COS.format(a='s.embedding', b='probe.p')}) * 1000000)
              / 1000000 AS cos_sim
     FROM sig s, probe, psig
-    WHERE s.bucket = psig.bucket AND s.vec_id <> 0
+    WHERE bit_count(xor(s.bucket, psig.bucket)) <= 1 AND s.vec_id <> 0
     ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
     """,
     doc=(
-        "Random-hyperplane (sign-bit) LSH ANN search: 5 data-derived "
-        "hyperplanes (embeddings 1..5 — deterministic, so the oracle "
-        "replicates the index literally in SQL) give a 32-bucket cosine "
-        "partitioning; the probe searches ONLY its own bucket "
-        "(~1/32 of the corpus). The signature is a pure codegen'd "
-        "expression (5 zip_with/aggregate dots per row, no shuffle, no "
-        "Python); the bucket filter prunes before the only "
-        "TakeOrderedAndProject. Same sign convention both engines: "
-        "dot ≥ 0 sets the bit, double-accumulated in array order, so "
-        "buckets are bit-identical. The scale path partitions the lake "
-        "BY bucket so a probe touches one partition "
+        "Random-hyperplane (sign-bit) LSH ANN search with MULTI-PROBE "
+        "(Lv et al. 2007): 5 data-derived hyperplanes (embeddings 1..5 "
+        "— deterministic, so the oracle replicates the index literally "
+        "in SQL) give a 32-bucket cosine partitioning; the probe "
+        "searches its own bucket plus the 5 buckets one sign-flip away "
+        "(Hamming ≤ 1 on the signature — 6/32 ≈ 19% of the corpus). "
+        "Single-bucket probing measured recall@10 = 0.0 on the "
+        "near-orthogonal synthetic vectors (a cos≈0.2 neighbour "
+        "matches all 5 sign bits with prob ≈0.57^5 ≈ 6%); Hamming ≤ 1 "
+        "lifts it to 0.4-0.6 while still pruning 81% of candidates "
+        "before the exact cosine re-rank. The signature is a pure "
+        "codegen'd expression (5 zip_with/aggregate dots per row, no "
+        "shuffle, no Python); the multi-probe filter is "
+        "bit_count(sig XOR probe_sig) <= 1, identical both engines "
+        "(dot ≥ 0 sets the bit, double-accumulated in array order). "
+        "The scale path partitions the lake BY bucket so a probe "
+        "touches nprobe partitions "
         "(operators/similarity.py:108 is the pair-mining variant with "
         "seeded Gaussian planes and banding)."
     ),
@@ -452,7 +458,10 @@ def sim_ann_hyperplane(spark, sf_dir):
         )
         bucket = bit if bucket is None else bucket + bit
     cand = e.where(F.col("vec_id") != 0).where(
-        bucket.cast("bigint") == F.lit(probe_bucket)
+        F.bit_count(
+            bucket.cast("bigint").bitwiseXOR(F.lit(probe_bucket))
+        )
+        <= 1
     )
     return topk_cosine(cand, probe, k=10, round_to=6)
 
