@@ -291,3 +291,25 @@ def test_span_rewrite_invariant_under_partitioning(spark, sf_dir):
         assert rows(spec.build(spark, sf_dir)) == base
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_ann_recall_floors_on_fixture(duck):
+    """ANN quality regression pins (SCALING.md audit): each ANN key's
+    top-10 must keep a minimum overlap with the exact brute-force
+    top-10 on the immutable sf0.01 fixture. These floors are what the
+    round-6 fixes bought (hyperplane was 0.0 before multi-probe; PQ was
+    0.0 before the ADC-shortlist + exact-re-rank shape) — a regression
+    to approximate-only ranking fails here, not in production. Oracles
+    are used for both sides, so the pin is engine-independent."""
+    from odl_etl_spark.queries import registry
+
+    reg = registry()
+    exact = {r[0] for r in duck.execute(reg["sim_topk"].oracle).fetchall()}
+    # sf0.001 fixture values: ivf 1.0, pq 1.0, hyperplane 0.2 (the 5-bit
+    # signature is coarse on 500 near-orthogonal vectors; 0.0 = the
+    # single-bucket bug this floor exists to catch).
+    floors = {"sim_ann_ivf": 0.8, "sim_ann_pq": 0.8, "sim_ann_hyperplane": 0.2}
+    for key, floor in floors.items():
+        got = {r[0] for r in duck.execute(reg[key].oracle).fetchall()}
+        recall = len(got & exact) / 10
+        assert recall >= floor, f"{key}: recall@10 {recall} < {floor}"
