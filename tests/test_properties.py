@@ -313,3 +313,24 @@ def test_ann_recall_floors_on_fixture(duck):
         got = {r[0] for r in duck.execute(reg[key].oracle).fetchall()}
         recall = len(got & exact) / 10
         assert recall >= floor, f"{key}: recall@10 {recall} < {floor}"
+
+
+def test_pq_search_invariant_under_partitioning(spark, sf_dir):
+    """sim_ann_pq must return identical results at any shuffle
+    partitioning: centroid sums are BIGINT-quantized (associative),
+    argmin encoding is a lexicographic struct-MIN, and both the ADC
+    shortlist and final ordering use integer keys with vec_id
+    tie-breaks. Re-sharding a stored codes index must not change who
+    gets retrieved."""
+    from odl_etl_spark.queries import registry
+
+    spec = registry()["sim_ann_pq"]
+    rows = lambda df: [tuple(r) for r in df.collect()]  # noqa: E731
+    base = rows(spec.build(spark, sf_dir))
+    assert len(base) == 10
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        assert rows(spec.build(spark, sf_dir)) == base
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
