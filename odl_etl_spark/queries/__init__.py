@@ -66,93 +66,94 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
     the first 50 registry keys per round, so ordering is the verification
     budget.
 
-    Round-6 window (VERDICT.md r5, Next-round #1): the 31 round-5
-    additions that have never had a driver CORRECTNESS row (all
-    tri-scale selfcheck-green, SELFCHECK_r05*.json), then the 19 oldest
-    r3-checked keys in registry order — exactly 50. After this window
-    lands green, every registry key has a driver row and none is older
-    than r3. Two keys in the window changed plans THIS round, both
-    advisor-prescribed (ADVICE r5): `scd2_point_in_time` (deterministic
-    event_id tiebreak) and `sql_recursive_cte` (forked-session conf
-    scoping); both re-verified hash-green against the oracle before the
-    rotation was applied.
+    Round-7 window (VERDICT.md r6, Next-round #1 — the scripted
+    rotation, applied verbatim): the 24 r3-stale keys in registry
+    order, then the 3 round-6 additions that have never had a driver
+    CORRECTNESS row (`dedup_incremental`, `sim_ann_pq`,
+    `dedup_span_rewrite` — all tri-scale selfcheck-green,
+    SELFCHECK_r06*.json), then changed-plan `graph_pagerank` (round-6
+    dead-join removal; changed-plan keys join the next window, the r5
+    `basket_pairs`/`sink_upsert` precedent), then the 22 oldest
+    r4-checked keys in registry order (`sink_partitioned` …
+    `agg_groupby`, skipping `graph_pagerank` which is already pulled
+    forward) — exactly 50. Keys whose plan changed THIS round and sit
+    in the window were re-verified hash-green tri-scale before the
+    rotation landed: `sim_ann_hyperplane` (recall raise: 8 planes +
+    Hamming≤2 multi-probe) and `sim_ann_pq` (ADVICE r6: constant
+    R_MAX shortlist cap replacing the unbounded fraction broadcast).
+    After this window lands green, every registry key has a driver row
+    and none is older than r4.
 
-    Round-7 rotation plan (reaches zero-stale; do NOT apply before the
-    r6 driver run lands): the 24 remaining r3-checked keys
-    (`text_repetition`, `dedup_decontaminate`, `corpus_mix`,
-    `emb_quantize`, `sim_ann_hyperplane` (plan+semantics changed in
-    round 6: Hamming≤1 multi-probe, recall@10 0.0→0.4-0.6; tri-scale
-    re-verified), `multimodal_catalog`,
-    `multimodal_image_features`, `multimodal_video_frames`,
-    `sql_tpch_q1`, `sql_tpch_q5`, `sql_tpch_q18`, `quality_gopher`,
-    `corpus_filter_c4`, `emb_norm_stats`, `join_interval_overlap`,
-    `events_active_users`, `agg_weighted`, `win_mad_outlier`,
-    `text_ngram_profile`, `agg_grouping_id`, `text_entropy`,
-    `events_funnel_time`, `emb_pq_codebook`, `text_idf_stop`), then the
-    3 never-checked round-6 additions (`dedup_incremental`,
-    `sim_ann_pq`, `dedup_span_rewrite` — all tri-scale selfcheck-green,
-    SELFCHECK_r06*.json), then `graph_pagerank` (plan changed in round
-    6 — the dead per-iteration nodes-LEFT-JOIN removed, PLANS.md
-    candidate; changed-plan keys join the next window, the r5
-    `basket_pairs`/`sink_upsert` precedent), then the oldest r4-checked
-    keys in registry order to fill 50 (22 of the 49, starting
-    `sink_partitioned`, `sql_tpch_q3`, `project_hash_email`, …). After
-    round 7 no key lacks a driver row and none is older than r4; the
-    steady-state cadence (≈50 checked/round vs ≤5 added/round) keeps
-    staleness ≤2 rounds."""
+    Round-8 rotation plan (do NOT apply before the r7 driver run
+    lands): the 26 remaining r4-checked keys in registry order
+    (`agg_stats`, `agg_collect`, `agg_distinct`, `agg_rollup`,
+    `agg_cube`, `agg_gsets`, `agg_having`, `win_rank`, `win_analytic`,
+    `win_frame`, `win_ntile`, `win_cume`, `win_range_frame`,
+    `sort_limit`, `topk_per_group`, `set_union`, `set_intersect`,
+    `set_except`, `stream_tumbling`, `stream_sliding`,
+    `stream_session`, `text_pack_sequences`, `emb_covariance`,
+    `text_ngram_containment`, `events_rfm`, `orders_backlog`), then
+    the round-7 additions (never driver-checked; see registry tail),
+    then any key whose plan changed in round 7 (`sim_maxsim` if the
+    higher-order-function rewrite ships), then the oldest r5-checked
+    keys in registry order to fill 50. Steady-state cadence (≈50
+    checked/round vs ≤5 added/round) keeps staleness ≤2 rounds."""
     first = [
-        # --- never driver-checked (31 round-5 additions, registry order) ---
-        "scalar_variant",
-        "join_fuzzy_match",
-        "join_lateral_topk",
-        "agg_corr",
-        "win_first_last",
-        "stream_cdc_apply",
-        "scd2_point_in_time",
-        "dedup_url",
-        "text_keywords",
-        "sim_maxsim",
-        "graph_triangles",
-        "sketch_bloom",
-        "sql_tpch_q10",
-        "sql_recursive_cte",
-        "sql_tpch_q2",
-        "sql_tpch_q4",
-        "sql_tpch_q6",
-        "sql_tpch_q7",
-        "sql_tpch_q8",
-        "sql_tpch_q9",
-        "sql_tpch_q11",
-        "sql_tpch_q12",
-        "sql_tpch_q13",
-        "sql_tpch_q14",
-        "sql_tpch_q15",
-        "sql_tpch_q16",
-        "sql_tpch_q17",
-        "sql_tpch_q19",
-        "sql_tpch_q20",
-        "sql_tpch_q21",
-        "sql_tpch_q22",
-        # --- oldest driver rows (r3), registry order, fill to 50 ---
-        "scan_parquet",
-        "scan_pruned",
-        "sink_csv_roundtrip",
-        "sink_jsonl_roundtrip",
-        "udaf_regression",
-        "explode_posexplode",
-        "join_skew_salted",
-        "join_bucketed",
-        "agg_sketch_partial",
-        "agg_exact_median",
-        "agg_histogram",
-        "agg_mode",
-        "unpivot_long",
-        "timeseries_gapfill",
-        "events_funnel",
-        "events_retention",
-        "events_transitions",
-        "events_sessionize",
-        "events_attribution",
+        # --- round-7 window (VERDICT r6 Next-round #1): the 24 r3-stale
+        # keys in registry order ---
+        "text_repetition",
+        "dedup_decontaminate",
+        "corpus_mix",
+        "emb_quantize",
+        "sim_ann_hyperplane",
+        "multimodal_catalog",
+        "multimodal_image_features",
+        "multimodal_video_frames",
+        "sql_tpch_q1",
+        "sql_tpch_q5",
+        "sql_tpch_q18",
+        "quality_gopher",
+        "corpus_filter_c4",
+        "emb_norm_stats",
+        "join_interval_overlap",
+        "events_active_users",
+        "agg_weighted",
+        "win_mad_outlier",
+        "text_ngram_profile",
+        "agg_grouping_id",
+        "text_entropy",
+        "events_funnel_time",
+        "emb_pq_codebook",
+        "text_idf_stop",
+        # --- the 3 round-6 additions with no driver row yet ---
+        "dedup_incremental",
+        "sim_ann_pq",
+        "dedup_span_rewrite",
+        # --- changed-plan in round 6 (dead join removed) ---
+        "graph_pagerank",
+        # --- oldest r4-checked keys, registry order, fill to 50 ---
+        "sink_partitioned",
+        "sql_tpch_q3",
+        "project_hash_email",
+        "filter_pred",
+        "scalar_string",
+        "scalar_date",
+        "scalar_math",
+        "scalar_json",
+        "scalar_array",
+        "udf_scalar_pandas",
+        "join_inner_equi",
+        "join_full",
+        "subq_in",
+        "subq_scalar",
+        "join_broadcast",
+        "join_left",
+        "join_semi",
+        "join_anti",
+        "join_theta_range",
+        "join_multiway",
+        "join_asof",
+        "agg_groupby",
     ]
     assert len(first) == 50, len(first)
     assert all(k in out for k in first), sorted(set(first) - set(out))
