@@ -400,7 +400,7 @@ _DOT = """
            ROUND(({_COS.format(a='s.embedding', b='probe.p')}) * 1000000)
              / 1000000 AS cos_sim
     FROM sig s, probe, psig
-    WHERE bit_count(xor(s.bucket, psig.bucket)) <= 1 AND s.vec_id <> 0
+    WHERE bit_count(xor(s.bucket, psig.bucket)) <= 2 AND s.vec_id <> 0
     ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
     """,
     doc=(
@@ -408,19 +408,24 @@ _DOT = """
         "(Lv et al. 2007): 5 data-derived hyperplanes (embeddings 1..5 "
         "— deterministic, so the oracle replicates the index literally "
         "in SQL) give a 32-bucket cosine partitioning; the probe "
-        "searches its own bucket plus the 5 buckets one sign-flip away "
-        "(Hamming ≤ 1 on the signature — 6/32 ≈ 19% of the corpus). "
-        "Single-bucket probing measured recall@10 = 0.0 on the "
-        "near-orthogonal synthetic vectors (a cos≈0.2 neighbour "
-        "matches all 5 sign bits with prob ≈0.57^5 ≈ 6%); Hamming ≤ 1 "
-        "lifts it to 0.4-0.6 while still pruning 81% of candidates "
-        "before the exact cosine re-rank. The signature is a pure "
-        "codegen'd expression (5 zip_with/aggregate dots per row, no "
-        "shuffle, no Python); the multi-probe filter is "
-        "bit_count(sig XOR probe_sig) <= 1, identical both engines "
+        "searches the 16/32 buckets within TWO sign-flips (Hamming ≤ 2 "
+        "on the signature). Round-7 config sweep on the fixtures "
+        "(near-orthogonal uniform vectors — LSH's worst case): "
+        "Hamming ≤ 1 measured recall@10 0.2/0.4/0.6 tri-scale; "
+        "Hamming ≤ 2 lifts it to 0.7/1.0/1.0 at ~50% candidate "
+        "fraction. Growing planes 5→8 with ≤ 2 probing HURTS here "
+        "(0.2/0.5/0.3 — finer buckets scatter true neighbours on "
+        "clusterless data), and margin-ranked query-directed probing "
+        "at the same 16-bucket budget was no better at sf≥0.01 while "
+        "adding float-order-sensitive cost ties to the oracle, so "
+        "plain Hamming radius won. The signature is a pure codegen'd "
+        "expression (5 zip_with/aggregate dots per row, no shuffle, "
+        "no Python); the multi-probe filter is "
+        "bit_count(sig XOR probe_sig) <= 2, identical both engines "
         "(dot ≥ 0 sets the bit, double-accumulated in array order). "
         "The scale path partitions the lake BY bucket so a probe "
-        "touches nprobe partitions "
+        "touches nprobe partitions, and on real (clustered) corpora "
+        "the radius/plane-count trade-off re-tightens "
         "(operators/similarity.py:108 is the pair-mining variant with "
         "seeded Gaussian planes and banding)."
     ),
@@ -461,7 +466,7 @@ def sim_ann_hyperplane(spark, sf_dir):
         F.bit_count(
             bucket.cast("bigint").bitwiseXOR(F.lit(probe_bucket))
         )
-        <= 1
+        <= 2
     )
     return topk_cosine(cand, probe, k=10, round_to=6)
 
@@ -531,6 +536,13 @@ def sim_maxsim(spark, sf_dir, n_tok: int = 8, dim: int = 8, k: int = 20):
 _PQ_SUBS = 8  # 64-dim vectors -> 8 subspaces of 8 dims
 _PQ_CODES = 16
 _Q = 1000000000  # BIGINT quantization scale shared with emb_pq_codebook
+# Shortlist cap (ADVICE r6): the re-rank pool is min(ceil(0.25*n), R_MAX).
+# The 25% fraction keeps the toy fixture discriminative, but a
+# fraction-of-corpus pool grows linearly and would OOM the broadcast at
+# lake scale; production PQ shortlists a CONSTANT R (Jegou et al. use
+# R in the 1e3-1e4 range), so the cap is what makes the broadcast-hint
+# re-rank join legitimate at 100 TB. Both engines apply the same LEAST().
+_PQ_R_MAX = 4096
 
 
 @spec(
@@ -583,7 +595,8 @@ _Q = 1000000000  # BIGINT quantization scale shared with emb_pq_codebook
         SELECT vec_id,
                ROW_NUMBER() OVER (ORDER BY adcq ASC, vec_id ASC) AS rn
         FROM adc) z
-      WHERE rn <= (SELECT CEIL(0.25 * (COUNT(*) - 1)) FROM embeddings)
+      WHERE rn <= (SELECT LEAST(CEIL(0.25 * (COUNT(*) - 1)), 4096)
+                   FROM embeddings)
     ), pv AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
     SELECT e.vec_id,
            ROUND(({_L2.format(a='e.embedding', b='pv.p')}) * 1000000)
@@ -606,7 +619,12 @@ _Q = 1000000000  # BIGINT quantization scale shared with emb_pq_codebook
         "cannot discriminate — measured recall@10 of the shortlist is "
         "0.9-1.0 at sf0.01/sf0.1 vs 0.0 for ADC-only — so the re-rank "
         "stage is what production PQ systems do), then re-rank only "
-        "the shortlist with exact L2. 100 TB posture: the codes "
+        "the shortlist with exact L2. The shortlist is capped at "
+        f"R_MAX={_PQ_R_MAX} (ADVICE r6): a fraction-of-corpus pool "
+        "grows linearly and would OOM the re-rank broadcast at lake "
+        "scale, so past 4*R_MAX vectors the pool is the constant R "
+        "production PQ uses and the broadcast stays bounded. 100 TB "
+        "posture: the codes "
         "relation is the stored 8-byte-per-vector compressed index "
         "(built once, reused per query); a search is one broadcast LUT "
         "join + vec-keyed integer agg + TakeOrdered shortlist + a "
@@ -673,7 +691,7 @@ def sim_ann_pq(spark, sf_dir):
     from odl_etl_spark.io.sources import cached_count
 
     n_corpus = cached_count(spark, sf_dir, "embeddings") - 1
-    r_pool = int(math.ceil(0.25 * n_corpus))
+    r_pool = min(int(math.ceil(0.25 * n_corpus)), _PQ_R_MAX)
     pool = (
         adc.orderBy(F.col("adcq").asc(), F.col("vec_id").asc())
         .limit(r_pool)
