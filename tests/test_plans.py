@@ -248,9 +248,10 @@ def test_pack_sequences_cumsum_is_distributed(spark, sf_dir):
 
 
 def test_maxsim_is_codegen_scan_no_shuffle(spark, sf_dir):
-    # Late-interaction MaxSim is 64 literal-probe dot products folded in
-    # one codegen'd projection + TakeOrdered: zero exchanges, no join —
-    # the corpus never shuffles (same contract as sim_topk).
+    # Late-interaction MaxSim is one nested higher-order expression
+    # (aggregate/array_max/transform over the literal probe array) in a
+    # single projection + TakeOrdered: zero exchanges, no join — the
+    # corpus never shuffles (same contract as sim_topk).
     df = build("sim_maxsim", spark, sf_dir)
     assert shuffle_count(df) == 0
     assert "TakeOrderedAndProject" in explain_str(df)
