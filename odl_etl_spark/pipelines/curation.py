@@ -43,7 +43,7 @@ _STOPS = ("the", "a", "of", "and", "is", "in", "to")
 def curate_corpus(
     spark: SparkSession,
     sf_dir: str,
-    out_path: str,
+    out_path: str | None,
     held_out_source: str = "src0",
     min_words: int = 20,
     near_threshold: float = 0.8,
@@ -52,7 +52,9 @@ def curate_corpus(
     """Run the curation funnel over ``documents``.
 
     Returns ``(kept, funnel)``: the curated corpus DataFrame (already
-    written to ``out_path`` partitioned by source) and the attrition
+    written to ``out_path`` partitioned by source — pass ``None`` to
+    skip the write, e.g. for the ``corpus_curation_funnel`` query key
+    where only the attrition table is the result) and the attrition
     table ``(stage, n_docs)`` where stage is the FIRST gate each
     document failed ('kept' for survivors).
     """
@@ -148,5 +150,6 @@ def curate_corpus(
         .agg(F.count("*").alias("n_docs"))
     )
 
-    partitioned_write(kept, out_path, partition_cols=("source",))
+    if out_path is not None:
+        partitioned_write(kept, out_path, partition_cols=("source",))
     return kept, funnel

@@ -15,6 +15,7 @@ def registry() -> dict[str, QuerySpec]:
     # import for tooling that only wants the names.
     from odl_etl_spark.queries import (
         aggs,
+        compose,
         events,
         extras,
         graph,
@@ -48,9 +49,10 @@ def registry() -> dict[str, QuerySpec]:
         ml,
         quality,
         extras,
-        # Appended last: round-5 additive keys live in the registry tail,
-        # outside (and after) the 50-key driver check window.
+        # Appended last: round-5+ additive keys live in the registry
+        # tail, outside (and after) the 50-key driver check window.
         tpch,
+        compose,
     ]
     out: dict[str, QuerySpec] = {}
     for mod in modules:

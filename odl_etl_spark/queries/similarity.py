@@ -381,6 +381,53 @@ _DOT = """
 """
 
 
+def hyperplane_candidates(spark, sf_dir, n_planes: int = 5, radius: int = 2):
+    """Shared hyperplane-LSH candidate stage: returns ``(cand, probe)``
+    where ``cand`` is the multi-probed candidate DataFrame (vec_id,
+    embedding — corpus rows whose sign-bit signature is within
+    ``radius`` sign flips of the probe's) and ``probe`` the probe
+    vector. Used by both `sim_ann_hyperplane` (exact-cosine re-rank)
+    and `sim_rerank_pipeline` (MaxSim re-rank)."""
+    from odl_etl_spark.functions.vectors import dot
+
+    e = load_table(spark, sf_dir, "embeddings")
+    hps = [
+        [float(x) for x in r["embedding"]]
+        for r in e.where(F.col("vec_id").between(1, n_planes))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    probe = _probe_vec(spark, sf_dir, 0)
+
+    # Probe bucket, computed driver-side with the same left-fold double
+    # accumulation as the Spark/DuckDB expressions (bit-identical).
+    def _fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    probe_bucket = sum(
+        (1 << h) for h, hp in enumerate(hps) if _fold_dot(probe, hp) >= 0
+    )
+
+    hp_lits = [F.array(*[F.lit(x) for x in hp]) for hp in hps]
+    bucket = None
+    for h, hp in enumerate(hp_lits):
+        bit = F.when(dot(F.col("embedding"), hp) >= 0, F.lit(1 << h)).otherwise(
+            F.lit(0)
+        )
+        bucket = bit if bucket is None else bucket + bit
+    cand = e.where(F.col("vec_id") != 0).where(
+        F.bit_count(
+            bucket.cast("bigint").bitwiseXOR(F.lit(probe_bucket))
+        )
+        <= radius
+    )
+    return cand, probe
+
+
 @spec(
     "sim_ann_hyperplane",
     f"""
@@ -430,44 +477,10 @@ _DOT = """
         "seeded Gaussian planes and banding)."
     ),
 )
+
+
 def sim_ann_hyperplane(spark, sf_dir):
-    from odl_etl_spark.functions.vectors import dot
-
-    e = load_table(spark, sf_dir, "embeddings")
-    hps = [
-        [float(x) for x in r["embedding"]]
-        for r in e.where(F.col("vec_id").between(1, 5))
-        .orderBy("vec_id")
-        .select("embedding")
-        .collect()
-    ]
-    probe = _probe_vec(spark, sf_dir, 0)
-
-    # Probe bucket, computed driver-side with the same left-fold double
-    # accumulation as the Spark/DuckDB expressions (bit-identical).
-    def _fold_dot(a, b):
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += float(x) * float(y)
-        return acc
-
-    probe_bucket = sum(
-        (1 << h) for h, hp in enumerate(hps) if _fold_dot(probe, hp) >= 0
-    )
-
-    hp_lits = [F.array(*[F.lit(x) for x in hp]) for hp in hps]
-    bucket = None
-    for h, hp in enumerate(hp_lits):
-        bit = F.when(dot(F.col("embedding"), hp) >= 0, F.lit(1 << h)).otherwise(
-            F.lit(0)
-        )
-        bucket = bit if bucket is None else bucket + bit
-    cand = e.where(F.col("vec_id") != 0).where(
-        F.bit_count(
-            bucket.cast("bigint").bitwiseXOR(F.lit(probe_bucket))
-        )
-        <= 2
-    )
+    cand, probe = hyperplane_candidates(spark, sf_dir)
     return topk_cosine(cand, probe, k=10, round_to=6)
 
 
