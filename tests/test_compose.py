@@ -1,0 +1,107 @@
+"""Composition-key contracts (queries/compose.py, round 7).
+
+Each composed pipeline must (a) keep the plan shape its component keys
+pinned, and (b) be consistent with those components' outputs — the
+stages really are the same operators, not lookalike reimplementations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from odl_etl_spark.plans import explain_str, shuffle_count
+from odl_etl_spark.queries import registry
+
+
+def build(name, spark, sf_dir):
+    return registry()[name].build(spark, sf_dir)
+
+
+def test_rerank_pipeline_is_pruned_scan_no_shuffle(spark, sf_dir):
+    # LSH candidate filter + MaxSim HOF scorer fuse into ONE filtered
+    # projection + TakeOrdered — the corpus never shuffles and the
+    # candidate stage never materializes (same contract as sim_maxsim,
+    # plus the bucket filter).
+    df = build("sim_rerank_pipeline", spark, sf_dir)
+    assert shuffle_count(df) == 0
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+
+
+def test_rerank_pipeline_results_are_hyperplane_candidates(spark, sf_dir):
+    # Every returned id must come from the shared candidate stage, and
+    # its score must equal sim_maxsim's exact score for that id — the
+    # composition reuses the components, bit for bit.
+    from odl_etl_spark.queries.similarity import hyperplane_candidates
+
+    got = {r.vec_id: r.maxsim for r in build("sim_rerank_pipeline", spark, sf_dir).collect()}
+    cand, _ = hyperplane_candidates(spark, sf_dir)
+    cand_ids = {r.vec_id for r in cand.select("vec_id").collect()}
+    assert set(got) <= cand_ids
+    full = {
+        r.vec_id: r.maxsim
+        for r in registry()["sim_maxsim"].build(spark, sf_dir).collect()
+    }
+    for vid, score in got.items():
+        if vid in full:
+            assert score == full[vid]
+
+
+def test_stream_ingest_batches_partition_the_day(spark, sf_dir):
+    rows = build("dedup_stream_ingest", spark, sf_dir).collect()
+    assert rows, "fixture must contain cross-batch near-duplicates"
+    src1 = {
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("source") == "src1")
+        .select("doc_id")
+        .collect()
+    }
+    for r in rows:
+        # new side is always the day's batch, with its scripted arrival slot
+        assert r.new_id in src1
+        assert r.batch == r.new_id % 3 + 1
+        # the matched index entry was committed strictly earlier
+        ex_batch = r.ex_id % 3 + 1 if r.ex_id in src1 else 0
+        assert ex_batch < r.batch
+
+
+def test_stream_ingest_agrees_with_one_shot_incremental(spark, sf_dir):
+    # Restricted to (src1 x corpus) pairs, the micro-batched replay must
+    # emit exactly dedup_incremental's one-shot probe result — batching
+    # changes WHEN a pair is found, never WHETHER.
+    inc = {
+        (r.new_id, r.ex_id, r.jaccard)
+        for r in registry()["dedup_incremental"].build(spark, sf_dir).collect()
+    }
+    stream = build("dedup_stream_ingest", spark, sf_dir)
+    src1 = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("source") == "src1"
+    ).select(F.col("doc_id").alias("ex_id"))
+    cross = {
+        (r.new_id, r.ex_id, r.jaccard)
+        for r in stream.join(src1, "ex_id", "anti").collect()
+    }
+    assert cross == inc
+
+
+def test_curation_funnel_key_matches_pipeline(spark, sf_dir, tmp_path):
+    # The query key (out_path=None) and the writing pipeline must emit
+    # the identical attrition table, and the funnel must partition the
+    # non-held-out corpus exactly.
+    from odl_etl_spark.pipelines.curation import curate_corpus
+
+    key = {(r.stage, r.n_docs) for r in build("corpus_curation_funnel", spark, sf_dir).collect()}
+    _, funnel = curate_corpus(spark, sf_dir, str(tmp_path / "curated"))
+    assert {(r.stage, r.n_docs) for r in funnel.collect()} == key
+    total = sum(n for _, n in key)
+    n_corpus = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("source") != "src0")
+        .count()
+    )
+    assert total == n_corpus
+    assert {s for s, _ in key} <= {
+        "quality", "language", "exact_dup", "near_dup", "contaminated", "kept"
+    }
