@@ -95,11 +95,16 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
     `set_except`, `stream_tumbling`, `stream_sliding`,
     `stream_session`, `text_pack_sequences`, `emb_covariance`,
     `text_ngram_containment`, `events_rfm`, `orders_backlog`), then
-    the round-7 additions (never driver-checked; see registry tail),
-    then any key whose plan changed in round 7 (`sim_maxsim` if the
-    higher-order-function rewrite ships), then the oldest r5-checked
-    keys in registry order to fill 50. Steady-state cadence (≈50
-    checked/round vs ≤5 added/round) keeps staleness ≤2 rounds."""
+    the 3 round-7 additions (never driver-checked: `sim_rerank_pipeline`,
+    `dedup_stream_ingest`, `corpus_curation_funnel` — all tri-scale
+    selfcheck-green, SELFCHECK_r07*.json), then `sim_maxsim` (plan
+    changed in round 7: higher-order-function scorer replacing the
+    unrolled dot products, re-verified hash-green tri-scale), then the
+    oldest r5-checked keys in registry order to fill 50 (20 of the 50,
+    starting `sink_orc_roundtrip`, `sink_upsert`, `sort_zorder`,
+    `scalar_null`, `scalar_map`, …). Steady-state
+    cadence (≈50 checked/round vs ≤5 added/round) keeps staleness ≤2
+    rounds."""
     first = [
         # --- round-7 window (VERDICT r6 Next-round #1): the 24 r3-stale
         # keys in registry order ---
