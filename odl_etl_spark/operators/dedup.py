@@ -279,6 +279,25 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    band_size: int = 4,
+) -> DataFrame:
+    """Build the persistable ``(_id, _band, _bh)`` LSH band index for a
+    corpus — the relation a production deployment stores (parquet,
+    partitioned by ``_band``) and GROWS as batches commit, instead of
+    re-banding raw text per probe. ``minhash_lsh_probe`` accepts it via
+    ``existing_index=`` / ``new_index=``; `dedup_stream_ingest` is the
+    composed ingest loop that commits one per micro-batch."""
+    return _minhash_signatures(
+        _shingle_hashes(df, id_col, text_col, n), num_hashes, band_size
+    )
+
+
 def minhash_lsh_probe(
     new: DataFrame,
     existing: DataFrame,
@@ -288,6 +307,8 @@ def minhash_lsh_probe(
     threshold: float = 0.8,
     num_hashes: int = 64,
     band_size: int = 4,
+    new_index: DataFrame | None = None,
+    existing_index: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dedup: probe a NEW batch against an EXISTING
     corpus — the daily-ingest posture (generalizes the reference's daily
@@ -298,14 +319,27 @@ def minhash_lsh_probe(
     across days: build once, probe every batch), but the candidate join
     is NEW x EXISTING instead of a self-join — candidate volume scales
     with the batch, not the corpus, and only the batch's band tuples
-    shuffle against the index. Returns (new_id, ex_id, jaccard >=
-    threshold) pairs; dropping ``new_id``s anti-joins the batch.
+    shuffle against the index. Pass ``existing_index`` (and optionally
+    ``new_index``) from ``minhash_band_index`` to probe against a
+    PREBUILT index instead of re-banding ``existing``'s raw text — the
+    stored-index path an ingest loop uses; when given, they must have
+    been built with the same (n, num_hashes, band_size). Returns
+    (new_id, ex_id, jaccard >= threshold) pairs; dropping ``new_id``s
+    anti-joins the batch.
     """
-    banded_new = _minhash_signatures(
-        _shingle_hashes(new, id_col, text_col, n), num_hashes, band_size
+    banded_new = (
+        new_index
+        if new_index is not None
+        else _minhash_signatures(
+            _shingle_hashes(new, id_col, text_col, n), num_hashes, band_size
+        )
     )
-    banded_ex = _minhash_signatures(
-        _shingle_hashes(existing, id_col, text_col, n), num_hashes, band_size
+    banded_ex = (
+        existing_index
+        if existing_index is not None
+        else _minhash_signatures(
+            _shingle_hashes(existing, id_col, text_col, n), num_hashes, band_size
+        )
     )
     a, b = banded_new.alias("a"), banded_ex.alias("b")
     candidates = (

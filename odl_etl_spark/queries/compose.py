@@ -165,7 +165,10 @@ _STREAM_INGEST_ORACLE = f"""
         "everything indexed BEFORE it: the standing corpus plus all "
         "earlier micro-batches. This is the foreachBatch posture of "
         "streaming/cdc.py applied to the dedup tier — the band index "
-        "grows monotonically as batches commit, per-batch cost scales "
+        "(minhash_band_index, materialized per commit) grows "
+        "monotonically as batches land: the corpus is banded once, "
+        "each batch is banded once on arrival, no raw text is ever "
+        "re-shingled for a later probe, per-batch cost scales "
         "with the batch (never the corpus), and the emitted pair set "
         "is exactly {(new, previously-indexed)} with batch provenance. "
         "Intra-batch duplicates are BY CONTRACT the in-batch "
@@ -178,15 +181,30 @@ _STREAM_INGEST_ORACLE = f"""
     ),
 )
 def dedup_stream_ingest(spark, sf_dir):
+    from odl_etl_spark.operators.materialize import materialize
+
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
     indexed = d.where(F.col("source") != "src1")
+    # The standing corpus is banded ONCE and committed; each micro-batch
+    # is banded once on arrival and its index rows appended — raw text
+    # is never re-shingled for a later batch's probe. materialize() is
+    # the local stand-in for the index table a deployment persists.
+    index = materialize(D.minhash_band_index(indexed, "doc_id", "text", n=3))
     out = None
     for bi in range(1, _N_MICRO_BATCHES + 1):
         batch = d.where(
             (F.col("source") == "src1") & (F.col("doc_id") % _N_MICRO_BATCHES == bi - 1)
         )
+        b_index = materialize(D.minhash_band_index(batch, "doc_id", "text", n=3))
         pairs = D.minhash_lsh_probe(
-            batch, indexed, "doc_id", "text", n=3, threshold=0.8
+            batch,
+            indexed,
+            "doc_id",
+            "text",
+            n=3,
+            threshold=0.8,
+            new_index=b_index,
+            existing_index=index,
         ).select(
             F.lit(bi).cast("bigint").alias("batch"),
             "new_id",
@@ -195,6 +213,7 @@ def dedup_stream_ingest(spark, sf_dir):
         )
         out = pairs if out is None else out.unionByName(pairs)
         indexed = indexed.unionByName(batch)
+        index = index.unionByName(b_index)
     return out
 
 
