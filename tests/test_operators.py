@@ -323,6 +323,39 @@ def test_minhash_lsh_probe_matches_cross_set_pairs(spark, sf_dir):
     assert len(probe) > 0  # fixtures plant cross-source near-dups
 
 
+def test_minhash_lsh_probe_prebuilt_index_identical(spark, sf_dir):
+    """The stored-index path (minhash_band_index + new_index/
+    existing_index params) must return the exact result of the
+    band-from-raw-text path — it is the same relation, committed
+    instead of recomputed. This is what lets an ingest loop grow the
+    index monotonically (dedup_stream_ingest) without re-shingling."""
+    from pyspark.sql import functions as F
+
+    from odl_etl_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_lsh_probe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("source") == "src1")
+    existing = docs.where(F.col("source") != "src1")
+    rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    direct = rows(minhash_lsh_probe(new, existing, "doc_id", "text", threshold=0.8))
+    indexed = rows(
+        minhash_lsh_probe(
+            new,
+            existing,
+            "doc_id",
+            "text",
+            threshold=0.8,
+            new_index=minhash_band_index(new, "doc_id", "text"),
+            existing_index=minhash_band_index(existing, "doc_id", "text"),
+        )
+    )
+    assert direct == indexed
+    assert len(direct) > 0
+
+
 def test_span_rewrite_crafted_corpus(spark, tmp_path):
     """dedup_span_rewrite on a hand-built corpus: the globally-first
     occurrence of a duplicated 8-token span survives, later cross-doc
