@@ -1,0 +1,148 @@
+"""Streaming ingest + incremental near-dedup: the true-streaming
+counterpart of the ``dedup_stream_ingest`` registry key
+(queries/compose.py), the way ``streaming/cdc.py`` is the true-streaming
+counterpart of ``stream_cdc_apply``.
+
+Each ``foreachBatch`` micro-batch of arriving documents is MinHash-LSH
+probed against everything indexed before it, then COMMITTED: its band
+tuples append to a persisted index table and its rows to a persisted
+docs store. Generalizes the reference's daily batch cadence
+(mitodl/odl-etl mitx_etl.py:16-17, date-suffixed batches) to continuous
+arrival with the LLM dedup tier attached.
+
+Scale + correctness posture:
+
+  * The band index is a REAL stored table (parquet, partitioned by
+    ``_batch_id``) — the corpus is banded once at bootstrap
+    (``_batch_id = -1``), each batch is banded once on arrival, and no
+    raw text is ever re-shingled for a later batch's probe
+    (``operators/dedup.minhash_band_index`` + the probe's
+    ``existing_index`` path). At 100 TB the index is ~16 small rows per
+    document, re-partitionable by ``_band`` for probe-side pruning.
+  * All three state writes (pairs, index, docs) are dynamic-partition
+    overwrites keyed by ``_batch_id``, so an at-least-once replay of a
+    micro-batch rewrites its own partitions in place — the loop is
+    replay-idempotent without a transaction log (same posture as
+    ``streaming/cdc.py`` / the lake sink).
+  * Emitted pairs are {(new, previously-indexed)} with batch
+    provenance; intra-batch duplicates are by contract the in-batch
+    ``dedup_near`` job's concern (see the ``dedup_stream_ingest``
+    docstring).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from odl_etl_spark.operators.dedup import minhash_band_index, minhash_lsh_probe
+
+_DOC_COLS = ["doc_id", "text", "source"]
+
+
+def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return None
+
+
+def bootstrap_corpus_index(
+    corpus: DataFrame, state_dir: str, n: int = 3
+) -> None:
+    """Band the standing corpus ONCE and commit it as ``_batch_id=-1``
+    of the index table (and the docs store). Idempotent: re-running
+    overwrites the same partitions with identical rows."""
+    index = minhash_band_index(corpus, "doc_id", "text", n=n).withColumn(
+        "_batch_id", F.lit(-1)
+    )
+    index.write.mode("overwrite").partitionBy("_batch_id").parquet(
+        os.path.join(state_dir, "index")
+    )
+    corpus.select(*_DOC_COLS).withColumn("_batch_id", F.lit(-1)).write.mode(
+        "overwrite"
+    ).partitionBy("_batch_id").parquet(os.path.join(state_dir, "docs"))
+
+
+def probe_and_commit_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> None:
+    """foreachBatch handler: probe one micro-batch against the stored
+    index, land its pairs, then commit its index rows and documents."""
+    spark = batch_df.sparkSession
+    batch = batch_df.select(*_DOC_COLS)
+    docs = _read_or_none(spark, os.path.join(state_dir, "docs"))
+    index = _read_or_none(spark, os.path.join(state_dir, "index"))
+    if docs is None or index is None:
+        raise RuntimeError(
+            "ingest_dedup state not bootstrapped - call "
+            "bootstrap_corpus_index(corpus, state_dir) first"
+        )
+    # A replay of batch_id must probe the same "before me" state: exclude
+    # this batch's own (possibly already-committed) partitions.
+    existing_docs = docs.where(F.col("_batch_id") != batch_id).drop("_batch_id")
+    existing_index = index.where(F.col("_batch_id") != batch_id).drop("_batch_id")
+    b_index = minhash_band_index(batch, "doc_id", "text", n=n)
+    pairs = minhash_lsh_probe(
+        batch,
+        existing_docs,
+        "doc_id",
+        "text",
+        n=n,
+        threshold=threshold,
+        new_index=b_index,
+        existing_index=existing_index,
+    ).withColumn("_batch_id", F.lit(batch_id))
+    pairs.write.mode("overwrite").partitionBy("_batch_id").parquet(
+        os.path.join(state_dir, "pairs")
+    )
+    b_index.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+        "overwrite"
+    ).partitionBy("_batch_id").parquet(os.path.join(state_dir, "index"))
+    batch.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+        "overwrite"
+    ).partitionBy("_batch_id").parquet(os.path.join(state_dir, "docs"))
+
+
+def ingest_dedup_stream(
+    arrivals: DataFrame,
+    corpus: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Run the ingest-dedup loop over a streaming DataFrame of arriving
+    documents. Bootstraps the corpus index if absent, then each
+    micro-batch probes + commits via ``probe_and_commit_batch``."""
+    if _read_or_none(arrivals.sparkSession, os.path.join(state_dir, "index")) is None:
+        bootstrap_corpus_index(corpus, state_dir, n=n)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        probe_and_commit_batch(
+            batch_df, batch_id, state_dir, n=n, threshold=threshold
+        )
+
+    writer = (
+        arrivals.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def emitted_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
+    """All pairs landed so far, with their micro-batch provenance."""
+    return spark.read.parquet(os.path.join(state_dir, "pairs"))

@@ -422,3 +422,79 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(
         .collect()
     }
     assert final == batch
+
+
+def test_stream_ingest_dedup_matches_batch_key(spark, sf_dir, tmp_path):
+    """Replaying the day's documents through the foreachBatch
+    ingest-dedup loop (persisted band index + docs store, dynamic
+    partition overwrite per batch) must emit exactly the
+    `dedup_stream_ingest` registry key's pair set, and replaying an
+    already-committed micro-batch must be a no-op (at-least-once
+    safety: the replay probes the same 'before me' state and
+    overwrites its own partitions in place)."""
+    import pyspark.sql.types as T
+
+    from odl_etl_spark.queries import registry
+    from odl_etl_spark.streaming.ingest_dedup import (
+        emitted_pairs,
+        ingest_dedup_stream,
+        probe_and_commit_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    corpus = docs.where(F.col("source") != "src1")
+    arrivals_dir = str(tmp_path / "arrivals")
+    os.makedirs(arrivals_dir)
+    # One file per scripted micro-batch (doc_id % 3), mtime-ordered so
+    # the file source delivers them as ordered batches 0, 1, 2.
+    for i in range(3):
+        stage = str(tmp_path / f"_stage{i}")
+        (
+            docs.where((F.col("source") == "src1") & (F.col("doc_id") % 3 == i))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(arrivals_dir, f"batch_{i}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        shutil.rmtree(stage)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    arrivals = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals_dir)
+    )
+    state = str(tmp_path / "state")
+    q = ingest_dedup_stream(
+        arrivals, corpus, state, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(300)
+
+    streamed = {
+        (r["_batch_id"] + 1, r["new_id"], r["ex_id"], round(r["jaccard"], 4))
+        for r in emitted_pairs(spark, state).collect()
+    }
+    batch = {
+        (r["batch"], r["new_id"], r["ex_id"], r["jaccard"])
+        for r in registry()["dedup_stream_ingest"].build(spark, sf_dir).collect()
+    }
+    assert streamed == batch
+    assert streamed  # fixtures plant cross-batch near-dups
+
+    # At-least-once replay of the final micro-batch: identical state.
+    last = spark.read.parquet(os.path.join(arrivals_dir, "batch_2.parquet"))
+    probe_and_commit_batch(last, 2, state)
+    replayed = {
+        (r["_batch_id"] + 1, r["new_id"], r["ex_id"], round(r["jaccard"], 4))
+        for r in emitted_pairs(spark, state).collect()
+    }
+    assert replayed == streamed
