@@ -105,3 +105,15 @@ def test_curation_funnel_key_matches_pipeline(spark, sf_dir, tmp_path):
     assert {s for s, _ in key} <= {
         "quality", "language", "exact_dup", "near_dup", "contaminated", "kept"
     }
+
+
+def test_curation_funnel_no_cartesian_all_joins_hashed(spark, sf_dir):
+    # The funnel's accounting joins (exact/near/kept id flags) and the
+    # decontamination semi-join must plan as (broadcast) hash joins —
+    # never a cartesian or nested-loop fallback. With the materialize()
+    # lineage cuts upstream, the final plan is the accounting segment.
+    df = build("corpus_curation_funnel", spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
