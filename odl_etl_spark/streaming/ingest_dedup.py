@@ -144,5 +144,22 @@ def ingest_dedup_stream(
 
 
 def emitted_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
-    """All pairs landed so far, with their micro-batch provenance."""
-    return spark.read.parquet(os.path.join(state_dir, "pairs"))
+    """All pairs landed so far, with their micro-batch provenance.
+
+    Schema-pinned read: a micro-batch with zero near-dups writes no
+    parquet files to its partition (dynamic overwrite of nothing), so
+    until the first non-empty batch lands the pairs store has no footer
+    to infer from — the explicit schema makes the empty state readable
+    (same posture as operators/upsert.py's schema-pinned partition
+    reads)."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("new_id", T.LongType()),
+            T.StructField("ex_id", T.LongType()),
+            T.StructField("jaccard", T.DoubleType()),
+            T.StructField("_batch_id", T.IntegerType()),
+        ]
+    )
+    return spark.read.schema(schema).parquet(os.path.join(state_dir, "pairs"))

@@ -498,3 +498,80 @@ def test_stream_ingest_dedup_matches_batch_key(spark, sf_dir, tmp_path):
         for r in emitted_pairs(spark, state).collect()
     }
     assert replayed == streamed
+
+
+def test_stream_ingest_dedup_resumes_across_restarts(spark, sf_dir, tmp_path):
+    """Daily-ingest reality: the stream STOPS between days. Drain days
+    0+1 with availableNow, stop, then land day 2's file and restart on
+    the same checkpoint — only the new file is processed (the committed
+    index and pairs for days 0/1 are untouched), and the final state
+    equals the all-at-once `dedup_stream_ingest` key."""
+    import pyspark.sql.types as T
+
+    from odl_etl_spark.queries import registry
+    from odl_etl_spark.streaming.ingest_dedup import (
+        emitted_pairs,
+        ingest_dedup_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    corpus = docs.where(F.col("source") != "src1")
+    arrivals_dir = str(tmp_path / "arrivals")
+    os.makedirs(arrivals_dir)
+
+    def land(i):
+        stage = str(tmp_path / f"_stage{i}")
+        (
+            docs.where((F.col("source") == "src1") & (F.col("doc_id") % 3 == i))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(arrivals_dir, f"batch_{i}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        shutil.rmtree(stage)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+
+    def run_drain():
+        arrivals = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(arrivals_dir)
+        )
+        q = ingest_dedup_stream(
+            arrivals, corpus, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination(300)
+
+    land(0)
+    land(1)
+    run_drain()  # days 0 and 1
+    day1 = {
+        (r["_batch_id"], r["new_id"], r["ex_id"])
+        for r in emitted_pairs(spark, str(tmp_path / "state")).collect()
+    }
+    assert {b for b, _, _ in day1} <= {0, 1}
+
+    land(2)
+    run_drain()  # restart on the same checkpoint: only day 2 is new
+    final = {
+        (r["_batch_id"] + 1, r["new_id"], r["ex_id"], round(r["jaccard"], 4))
+        for r in emitted_pairs(spark, str(tmp_path / "state")).collect()
+    }
+    # Days 0/1's landed pairs are byte-stable across the restart.
+    assert {(b, n, e) for b, n, e, _ in final if b - 1 in (0, 1)} == day1
+    batch = {
+        (r["batch"], r["new_id"], r["ex_id"], r["jaccard"])
+        for r in registry()["dedup_stream_ingest"].build(spark, sf_dir).collect()
+    }
+    assert final == batch
