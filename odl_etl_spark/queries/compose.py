@@ -88,7 +88,13 @@ def _maxsim_score_sql(n_tok: int = 8, dim: int = 8) -> str:
         "zero corpus shuffles, no intermediate materialization. The "
         "oracle composes the two component oracles verbatim, so the "
         "differential check proves the STAGES COMPOSE, not just that "
-        "each works alone."
+        "each works alone. Measured recall@10 vs EXACT MaxSim ranking "
+        "is 0.6/0.6/0.5 tri-scale (floor-pinned at 0.5): lower than "
+        "hyperplane-vs-cosine because the LSH tier indexes COSINE on "
+        "the pooled vector while the re-ranker scores late-interaction "
+        "MaxSim — the standard two-tower -> late-interaction retrieval "
+        "gap; production closes it by widening the candidate budget, "
+        "not by changing the shape."
     ),
 )
 def sim_rerank_pipeline(spark, sf_dir, n_tok: int = 8, dim: int = 8):

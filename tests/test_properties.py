@@ -314,6 +314,15 @@ def test_ann_recall_floors_on_fixture(duck):
         got = {r[0] for r in duck.execute(reg[key].oracle).fetchall()}
         recall = len(got & exact) / 10
         assert recall >= floor, f"{key}: recall@10 {recall} < {floor}"
+    # The rerank composition's reference ranking is exact MaxSim, not
+    # cosine: the cosine-built LSH tier retrieves for a different metric
+    # than the late-interaction re-ranker scores (the standard two-tower
+    # -> late-interaction gap), measured 0.6/0.6/0.5 tri-scale.
+    maxsim_exact = {
+        r[0] for r in duck.execute(reg["sim_maxsim"].oracle).fetchall()[:10]
+    }
+    rer = {r[0] for r in duck.execute(reg["sim_rerank_pipeline"].oracle).fetchall()}
+    assert len(rer & maxsim_exact) / 10 >= 0.5, "rerank recall@10 vs exact MaxSim"
 
 
 def test_pq_search_invariant_under_partitioning(spark, sf_dir):
