@@ -575,3 +575,52 @@ def test_stream_ingest_dedup_resumes_across_restarts(spark, sf_dir, tmp_path):
         for r in registry()["dedup_stream_ingest"].build(spark, sf_dir).collect()
     }
     assert final == batch
+
+
+def test_stream_ingest_dedup_survives_partial_commit(spark, sf_dir, tmp_path):
+    """Crash-recovery: the handler lands pairs BEFORE committing the
+    batch's index/docs partitions. A crash in that gap leaves pairs for
+    a batch whose index never committed; on replay the handler excludes
+    its own _batch_id from the 'before me' state, so it probes the same
+    pre-crash view, overwrites its pairs byte-identically, and then
+    commits — the loop converges to the clean-run state with no
+    transaction log."""
+    from odl_etl_spark.streaming.ingest_dedup import (
+        bootstrap_corpus_index,
+        emitted_pairs,
+        probe_and_commit_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    corpus = docs.where(F.col("source") != "src1")
+    batches = [
+        docs.where((F.col("source") == "src1") & (F.col("doc_id") % 3 == i))
+        for i in range(3)
+    ]
+
+    def run(state):
+        bootstrap_corpus_index(corpus, state)
+        for i, b in enumerate(batches):
+            probe_and_commit_batch(b, i, state)
+        return {
+            (r["_batch_id"], r["new_id"], r["ex_id"], round(r["jaccard"], 4))
+            for r in emitted_pairs(spark, state).collect()
+        }
+
+    clean = run(str(tmp_path / "clean"))
+
+    crashed = str(tmp_path / "crashed")
+    bootstrap_corpus_index(corpus, crashed)
+    probe_and_commit_batch(batches[0], 0, crashed)
+    # Simulate the crash window for batch 1: pairs landed, index/docs
+    # commit lost. Re-running the full handler must converge.
+    probe_and_commit_batch(batches[1], 1, crashed)
+    for sub in ("index", "docs"):
+        shutil.rmtree(os.path.join(crashed, sub, "_batch_id=1"))
+    probe_and_commit_batch(batches[1], 1, crashed)  # replay after crash
+    probe_and_commit_batch(batches[2], 2, crashed)
+    recovered = {
+        (r["_batch_id"], r["new_id"], r["ex_id"], round(r["jaccard"], 4))
+        for r in emitted_pairs(spark, crashed).collect()
+    }
+    assert recovered == clean
