@@ -292,10 +292,26 @@ def minhash_band_index(
     partitioned by ``_band``) and GROWS as batches commit, instead of
     re-banding raw text per probe. ``minhash_lsh_probe`` accepts it via
     ``existing_index=`` / ``new_index=``; `dedup_stream_ingest` is the
-    composed ingest loop that commits one per micro-batch."""
-    return _minhash_signatures(
+    composed ingest loop that commits one per micro-batch.
+
+    The build params (n, num_hashes, band_size) are stamped as
+    StructField metadata on ``_bh`` — metadata survives a parquet
+    write/read, so a probe against a stored index built with different
+    params fails loudly instead of silently dropping candidates."""
+    out = _minhash_signatures(
         _shingle_hashes(df, id_col, text_col, n), num_hashes, band_size
     )
+    meta = {"n": n, "num_hashes": num_hashes, "band_size": band_size}
+    return out.withColumn("_bh", F.col("_bh").alias("_bh", metadata=meta))
+
+
+def _index_params(index: DataFrame) -> dict | None:
+    """The (n, num_hashes, band_size) stamp from a band index's ``_bh``
+    field metadata, or None for an index predating the stamp."""
+    for f in index.schema.fields:
+        if f.name == "_bh" and f.metadata and "num_hashes" in f.metadata:
+            return {k: int(f.metadata[k]) for k in ("n", "num_hashes", "band_size")}
+    return None
 
 
 def minhash_lsh_probe(
@@ -323,10 +339,31 @@ def minhash_lsh_probe(
     ``new_index``) from ``minhash_band_index`` to probe against a
     PREBUILT index instead of re-banding ``existing``'s raw text — the
     stored-index path an ingest loop uses; when given, they must have
-    been built with the same (n, num_hashes, band_size). Returns
+    been built with the same (n, num_hashes, band_size) — indexes
+    carrying the ``minhash_band_index`` metadata stamp are verified and
+    a mismatch raises ``ValueError``. Returns
     (new_id, ex_id, jaccard >= threshold) pairs; dropping ``new_id``s
     anti-joins the batch.
+
+    Silent-drop semantics of the verify joins: the final exact-Jaccard
+    stage inner-joins candidates back to the RAW ``new``/``existing``
+    frames to fetch shingles. A candidate whose doc id is absent from
+    the raw frame (an index row with no backing document, e.g. an index
+    committed ahead of its docs store) is dropped without error — the
+    raw frames are the source of truth, the index is an accelerator.
+    Keep index and docs commits paired (as ``streaming/ingest_dedup``
+    does: docs first, index last) so this path never loses pairs.
     """
+    expected = {"n": n, "num_hashes": num_hashes, "band_size": band_size}
+    for label, idx in (("new_index", new_index), ("existing_index", existing_index)):
+        if idx is None:
+            continue
+        got = _index_params(idx)
+        if got is not None and got != expected:
+            raise ValueError(
+                f"{label} was built with {got} but probe called with "
+                f"{expected}; rebuild the index or match the probe params"
+            )
     banded_new = (
         new_index
         if new_index is not None

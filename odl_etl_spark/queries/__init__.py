@@ -68,99 +68,95 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
     the first 50 registry keys per round, so ordering is the verification
     budget.
 
-    Round-7 window (VERDICT.md r6, Next-round #1 — the scripted
-    rotation, applied verbatim): the 24 r3-stale keys in registry
-    order, then the 3 round-6 additions that have never had a driver
-    CORRECTNESS row (`dedup_incremental`, `sim_ann_pq`,
-    `dedup_span_rewrite` — all tri-scale selfcheck-green,
-    SELFCHECK_r06*.json), then changed-plan `graph_pagerank` (round-6
-    dead-join removal; changed-plan keys join the next window, the r5
-    `basket_pairs`/`sink_upsert` precedent), then the 22 oldest
-    r4-checked keys in registry order (`sink_partitioned` …
-    `agg_groupby`, skipping `graph_pagerank` which is already pulled
-    forward) — exactly 50. Keys whose plan changed THIS round and sit
-    in the window were re-verified hash-green tri-scale before the
-    rotation landed: `sim_ann_hyperplane` (recall raise: 8 planes +
-    Hamming≤2 multi-probe) and `sim_ann_pq` (ADVICE r6: constant
-    R_MAX shortlist cap replacing the unbounded fraction broadcast).
-    After this window lands green, every registry key has a driver row
-    and none is older than r4.
+    Round-8 window (VERDICT.md r7, Next-round #1 — the pre-written
+    rotation, applied verbatim): the 26 remaining r4-checked keys in
+    registry order (`agg_stats` … `orders_backlog`), then the 3 round-7
+    composition additions that have never had a driver CORRECTNESS row
+    (`sim_rerank_pipeline`, `dedup_stream_ingest`,
+    `corpus_curation_funnel` — tri-scale selfcheck-green,
+    SELFCHECK_r07*.json, independently re-verified by the r7 judge),
+    then changed-plan `sim_maxsim` (round-7 higher-order-function
+    scorer; changed-plan keys join the next window, the
+    `graph_pagerank` r7 precedent), then the 20 oldest r5-checked keys
+    in registry order (`sink_orc_roundtrip` … `text_token_count`) —
+    exactly 50. Keys whose plan changed THIS round and sit in the
+    window are re-verified hash-green tri-scale before the rotation
+    lands (`sim_rerank_pipeline` candidate-budget raise, ADVICE r7
+    #3). After this window lands green, every registry key has a
+    driver row and none is older than r5.
 
-    Round-8 rotation plan (do NOT apply before the r7 driver run
-    lands): the 26 remaining r4-checked keys in registry order
-    (`agg_stats`, `agg_collect`, `agg_distinct`, `agg_rollup`,
-    `agg_cube`, `agg_gsets`, `agg_having`, `win_rank`, `win_analytic`,
-    `win_frame`, `win_ntile`, `win_cume`, `win_range_frame`,
-    `sort_limit`, `topk_per_group`, `set_union`, `set_intersect`,
-    `set_except`, `stream_tumbling`, `stream_sliding`,
-    `stream_session`, `text_pack_sequences`, `emb_covariance`,
-    `text_ngram_containment`, `events_rfm`, `orders_backlog`), then
-    the 3 round-7 additions (never driver-checked: `sim_rerank_pipeline`,
-    `dedup_stream_ingest`, `corpus_curation_funnel` — all tri-scale
-    selfcheck-green, SELFCHECK_r07*.json), then `sim_maxsim` (plan
-    changed in round 7: higher-order-function scorer replacing the
-    unrolled dot products, re-verified hash-green tri-scale), then the
-    oldest r5-checked keys in registry order to fill 50 (20 of the 50,
-    starting `sink_orc_roundtrip`, `sink_upsert`, `sort_zorder`,
-    `scalar_null`, `scalar_map`, …). Steady-state
+    Round-9 rotation plan (do NOT apply before the r8 driver run
+    lands): the 30 remaining r5-checked keys in registry order
+    (`text_quality`, `text_langid`, `text_fingerprint`, `dedup_exact`,
+    `dedup_fingerprint`, `dedup_ngram_jaccard`, `dedup_near`,
+    `dedup_simhash`, `dedup_cluster`, `text_tfidf`, `text_pii_scrub`,
+    `text_winnow_fp`, `sample_stratified`, `text_bpe_count`,
+    `corpus_filter`, `text_chunk`, `sim_topk`, `sim_pairwise_label`,
+    `sim_ann_ivf`, `emb_centroid_dist`, `dedup_embedding`,
+    `sim_knn_join`, `multimodal_audio_features`, `emb_kmeans`,
+    `sketch_countmin`, `text_bm25`, `corpus_split`,
+    `text_unigram_ppl`, `dedup_span_coverage`, `basket_pairs`), then
+    any round-8 additions without a driver row (the persisted-ANN-index
+    probe keys), then any keys whose plan changed in round 8, then the
+    oldest r6-checked keys in registry order to fill 50. Steady-state
     cadence (≈50 checked/round vs ≤5 added/round) keeps staleness ≤2
     rounds."""
     first = [
-        # --- round-7 window (VERDICT r6 Next-round #1): the 24 r3-stale
+        # --- round-8 window (VERDICT r7 Next-round #1): the 26 r4-stale
         # keys in registry order ---
-        "text_repetition",
-        "dedup_decontaminate",
-        "corpus_mix",
-        "emb_quantize",
-        "sim_ann_hyperplane",
-        "multimodal_catalog",
-        "multimodal_image_features",
-        "multimodal_video_frames",
-        "sql_tpch_q1",
-        "sql_tpch_q5",
-        "sql_tpch_q18",
-        "quality_gopher",
-        "corpus_filter_c4",
-        "emb_norm_stats",
-        "join_interval_overlap",
-        "events_active_users",
-        "agg_weighted",
-        "win_mad_outlier",
-        "text_ngram_profile",
-        "agg_grouping_id",
-        "text_entropy",
-        "events_funnel_time",
-        "emb_pq_codebook",
-        "text_idf_stop",
-        # --- the 3 round-6 additions with no driver row yet ---
-        "dedup_incremental",
-        "sim_ann_pq",
-        "dedup_span_rewrite",
-        # --- changed-plan in round 6 (dead join removed) ---
-        "graph_pagerank",
-        # --- oldest r4-checked keys, registry order, fill to 50 ---
-        "sink_partitioned",
-        "sql_tpch_q3",
-        "project_hash_email",
-        "filter_pred",
-        "scalar_string",
-        "scalar_date",
-        "scalar_math",
-        "scalar_json",
-        "scalar_array",
-        "udf_scalar_pandas",
-        "join_inner_equi",
-        "join_full",
-        "subq_in",
-        "subq_scalar",
-        "join_broadcast",
-        "join_left",
-        "join_semi",
-        "join_anti",
-        "join_theta_range",
-        "join_multiway",
-        "join_asof",
-        "agg_groupby",
+        "agg_stats",
+        "agg_collect",
+        "agg_distinct",
+        "agg_rollup",
+        "agg_cube",
+        "agg_gsets",
+        "agg_having",
+        "win_rank",
+        "win_analytic",
+        "win_frame",
+        "win_ntile",
+        "win_cume",
+        "win_range_frame",
+        "sort_limit",
+        "topk_per_group",
+        "set_union",
+        "set_intersect",
+        "set_except",
+        "stream_tumbling",
+        "stream_sliding",
+        "stream_session",
+        "text_pack_sequences",
+        "emb_covariance",
+        "text_ngram_containment",
+        "events_rfm",
+        "orders_backlog",
+        # --- the 3 round-7 composition keys with no driver row yet ---
+        "sim_rerank_pipeline",
+        "dedup_stream_ingest",
+        "corpus_curation_funnel",
+        # --- changed-plan in round 7 (HOF MaxSim scorer) ---
+        "sim_maxsim",
+        # --- oldest r5-checked keys, registry order, fill to 50 ---
+        "sink_orc_roundtrip",
+        "sink_upsert",
+        "sort_zorder",
+        "scalar_null",
+        "scalar_map",
+        "agg_pivot",
+        "agg_approx_quantile",
+        "agg_approx_distinct",
+        "agg_decimal_exact",
+        "stream_dedup",
+        "stream_interval_join",
+        "scd2_build",
+        "timeseries_resample",
+        "events_anomaly",
+        "events_path_topk",
+        "timeseries_ewma",
+        "text_tokenize_tf",
+        "text_ngrams",
+        "text_lang_stats",
+        "text_token_count",
     ]
     assert len(first) == 50, len(first)
     assert all(k in out for k in first), sorted(set(first) - set(out))

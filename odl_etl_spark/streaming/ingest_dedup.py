@@ -61,12 +61,18 @@ def bootstrap_corpus_index(
     index = minhash_band_index(corpus, "doc_id", "text", n=n).withColumn(
         "_batch_id", F.lit(-1)
     )
-    index.write.mode("overwrite").partitionBy("_batch_id").parquet(
-        os.path.join(state_dir, "index")
-    )
+    # docs FIRST, index LAST: ingest_dedup_stream gates auto-bootstrap on
+    # the index artifact, so a crash between the two writes leaves a state
+    # that re-runs bootstrap on restart instead of wedging every batch on
+    # "not bootstrapped" (torn bootstrap is self-healing).
     corpus.select(*_DOC_COLS).withColumn("_batch_id", F.lit(-1)).write.mode(
         "overwrite"
-    ).partitionBy("_batch_id").parquet(os.path.join(state_dir, "docs"))
+    ).option("partitionOverwriteMode", "dynamic").partitionBy(
+        "_batch_id"
+    ).parquet(os.path.join(state_dir, "docs"))
+    index.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("_batch_id").parquet(os.path.join(state_dir, "index"))
 
 
 def probe_and_commit_batch(
@@ -102,15 +108,24 @@ def probe_and_commit_batch(
         new_index=b_index,
         existing_index=existing_index,
     ).withColumn("_batch_id", F.lit(batch_id))
-    pairs.write.mode("overwrite").partitionBy("_batch_id").parquet(
-        os.path.join(state_dir, "pairs")
-    )
+    # Per-write dynamic partitionOverwriteMode (Spark's session default is
+    # STATIC): without it, each commit would truncate the whole table to
+    # this batch's partition, destroying the standing corpus index
+    # (_batch_id=-1) and all prior batches. Matches io/sinks.py and
+    # operators/upsert.py rather than relying on session conf.
+    pairs.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("_batch_id").parquet(os.path.join(state_dir, "pairs"))
     b_index.withColumn("_batch_id", F.lit(batch_id)).write.mode(
         "overwrite"
-    ).partitionBy("_batch_id").parquet(os.path.join(state_dir, "index"))
+    ).option("partitionOverwriteMode", "dynamic").partitionBy(
+        "_batch_id"
+    ).parquet(os.path.join(state_dir, "index"))
     batch.withColumn("_batch_id", F.lit(batch_id)).write.mode(
         "overwrite"
-    ).partitionBy("_batch_id").parquet(os.path.join(state_dir, "docs"))
+    ).option("partitionOverwriteMode", "dynamic").partitionBy(
+        "_batch_id"
+    ).parquet(os.path.join(state_dir, "docs"))
 
 
 def ingest_dedup_stream(

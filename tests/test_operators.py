@@ -356,6 +356,36 @@ def test_minhash_lsh_probe_prebuilt_index_identical(spark, sf_dir):
     assert len(direct) > 0
 
 
+def test_minhash_lsh_probe_rejects_param_mismatched_index(spark, sf_dir, tmp_path):
+    """ADVICE r7: an index built with different (n, num_hashes,
+    band_size) must fail loudly at probe time, not silently drop
+    candidates. The stamp is StructField metadata on ``_bh`` and must
+    survive a parquet round-trip (the stored-index path)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from odl_etl_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_lsh_probe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("source") == "src1")
+    existing = docs.where(F.col("source") != "src1")
+    idx_path = str(tmp_path / "idx")
+    minhash_band_index(existing, "doc_id", "text", n=5).write.parquet(idx_path)
+    stored = spark.read.parquet(idx_path)
+    with pytest.raises(ValueError, match="existing_index was built with"):
+        minhash_lsh_probe(
+            new, existing, "doc_id", "text", n=3, existing_index=stored
+        )
+    # Matching params pass through the same round-tripped index.
+    ok = minhash_lsh_probe(
+        new, existing, "doc_id", "text", n=5, existing_index=stored
+    )
+    assert ok.columns == ["new_id", "ex_id", "jaccard"]
+
+
 def test_span_rewrite_crafted_corpus(spark, tmp_path):
     """dedup_span_rewrite on a hand-built corpus: the globally-first
     occurrence of a duplicated 8-token span survives, later cross-doc

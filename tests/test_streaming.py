@@ -19,6 +19,26 @@ from odl_etl_spark.streaming.stateful import running_user_totals
 from odl_etl_spark.streaming.windows import session_agg, sliding_agg, tumbling_agg
 
 
+def _emitted_set(spark, state_dir, batch_offset=0):
+    """Collected (batch, new_id, ex_id, jaccard4) set from the ingest-dedup
+    pairs store, with jaccard rounded ENGINE-side (F.round, half-up) so it
+    matches the `dedup_stream_ingest` key's roundn exactly — Python round()
+    is banker's and would flake on an exact .5 tie at the 4th decimal."""
+    from odl_etl_spark.streaming.ingest_dedup import emitted_pairs
+
+    rows = (
+        emitted_pairs(spark, state_dir)
+        .select(
+            (F.col("_batch_id") + batch_offset).alias("b"),
+            "new_id",
+            "ex_id",
+            F.round("jaccard", 4).alias("j"),
+        )
+        .collect()
+    )
+    return {(r["b"], r["new_id"], r["ex_id"], r["j"]) for r in rows}
+
+
 @pytest.fixture(scope="module")
 def events_dir(spark, sf_dir, tmp_path_factory):
     """Events replayed as 4 parquet files so maxFilesPerTrigger=1 yields
@@ -479,10 +499,7 @@ def test_stream_ingest_dedup_matches_batch_key(spark, sf_dir, tmp_path):
     )
     q.awaitTermination(300)
 
-    streamed = {
-        (r["_batch_id"] + 1, r["new_id"], r["ex_id"], round(r["jaccard"], 4))
-        for r in emitted_pairs(spark, state).collect()
-    }
+    streamed = _emitted_set(spark, state, batch_offset=1)
     batch = {
         (r["batch"], r["new_id"], r["ex_id"], r["jaccard"])
         for r in registry()["dedup_stream_ingest"].build(spark, sf_dir).collect()
@@ -493,10 +510,7 @@ def test_stream_ingest_dedup_matches_batch_key(spark, sf_dir, tmp_path):
     # At-least-once replay of the final micro-batch: identical state.
     last = spark.read.parquet(os.path.join(arrivals_dir, "batch_2.parquet"))
     probe_and_commit_batch(last, 2, state)
-    replayed = {
-        (r["_batch_id"] + 1, r["new_id"], r["ex_id"], round(r["jaccard"], 4))
-        for r in emitted_pairs(spark, state).collect()
-    }
+    replayed = _emitted_set(spark, state, batch_offset=1)
     assert replayed == streamed
 
 
@@ -564,10 +578,7 @@ def test_stream_ingest_dedup_resumes_across_restarts(spark, sf_dir, tmp_path):
 
     land(2)
     run_drain()  # restart on the same checkpoint: only day 2 is new
-    final = {
-        (r["_batch_id"] + 1, r["new_id"], r["ex_id"], round(r["jaccard"], 4))
-        for r in emitted_pairs(spark, str(tmp_path / "state")).collect()
-    }
+    final = _emitted_set(spark, str(tmp_path / "state"), batch_offset=1)
     # Days 0/1's landed pairs are byte-stable across the restart.
     assert {(b, n, e) for b, n, e, _ in final if b - 1 in (0, 1)} == day1
     batch = {
@@ -602,10 +613,7 @@ def test_stream_ingest_dedup_survives_partial_commit(spark, sf_dir, tmp_path):
         bootstrap_corpus_index(corpus, state)
         for i, b in enumerate(batches):
             probe_and_commit_batch(b, i, state)
-        return {
-            (r["_batch_id"], r["new_id"], r["ex_id"], round(r["jaccard"], 4))
-            for r in emitted_pairs(spark, state).collect()
-        }
+        return _emitted_set(spark, state)
 
     clean = run(str(tmp_path / "clean"))
 
@@ -619,8 +627,95 @@ def test_stream_ingest_dedup_survives_partial_commit(spark, sf_dir, tmp_path):
         shutil.rmtree(os.path.join(crashed, sub, "_batch_id=1"))
     probe_and_commit_batch(batches[1], 1, crashed)  # replay after crash
     probe_and_commit_batch(batches[2], 2, crashed)
-    recovered = {
-        (r["_batch_id"], r["new_id"], r["ex_id"], round(r["jaccard"], 4))
-        for r in emitted_pairs(spark, crashed).collect()
-    }
+    recovered = _emitted_set(spark, crashed)
     assert recovered == clean
+
+
+def test_stream_ingest_commits_are_dynamic_overwrite_not_truncate(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r7 (medium): every state commit must set
+    partitionOverwriteMode=dynamic PER WRITE. Under Spark's default
+    STATIC mode a batch commit would truncate the whole table to that
+    batch's partition — silently destroying the corpus index
+    (_batch_id=-1) and all prior batches. Pin it by forcing the session
+    conf to static and checking earlier partitions survive a commit."""
+    from odl_etl_spark.streaming.ingest_dedup import (
+        bootstrap_corpus_index,
+        probe_and_commit_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    corpus = docs.where(F.col("source") != "src1")
+    batches = [
+        docs.where((F.col("source") == "src1") & (F.col("doc_id") % 3 == i))
+        for i in range(2)
+    ]
+    state = str(tmp_path / "state")
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "static")
+    try:
+        bootstrap_corpus_index(corpus, state)
+        probe_and_commit_batch(batches[0], 0, state)
+        probe_and_commit_batch(batches[1], 1, state)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    index = spark.read.parquet(os.path.join(state, "index"))
+    got = {r["_batch_id"] for r in index.select("_batch_id").distinct().collect()}
+    assert got == {-1, 0, 1}  # corpus partition survived both commits
+    docs_store = spark.read.parquet(os.path.join(state, "docs"))
+    got_docs = {
+        r["_batch_id"] for r in docs_store.select("_batch_id").distinct().collect()
+    }
+    assert got_docs == {-1, 0, 1}
+
+
+def test_stream_ingest_torn_bootstrap_self_heals(spark, sf_dir, tmp_path):
+    """ADVICE r7: bootstrap writes docs FIRST, index LAST, and the
+    stream gates auto-bootstrap on the index artifact — so a crash
+    between the two writes (docs present, index absent) re-runs
+    bootstrap on restart instead of wedging every micro-batch on
+    'not bootstrapped'."""
+    import pyspark.sql.types as T
+
+    from odl_etl_spark.streaming.ingest_dedup import (
+        bootstrap_corpus_index,
+        ingest_dedup_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    corpus = docs.where(F.col("source") != "src1")
+    state = str(tmp_path / "state")
+    bootstrap_corpus_index(corpus, state)
+    # Simulate the torn-bootstrap crash window: the LAST artifact
+    # (index) never landed.
+    shutil.rmtree(os.path.join(state, "index"))
+
+    arrivals_dir = str(tmp_path / "arrivals")
+    os.makedirs(arrivals_dir)
+    stage = str(tmp_path / "_stage")
+    docs.where(F.col("source") == "src1").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    shutil.move(os.path.join(stage, part), os.path.join(arrivals_dir, "b0.parquet"))
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    arrivals = spark.readStream.schema(schema).parquet(arrivals_dir)
+    q = ingest_dedup_stream(
+        arrivals, corpus, state, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(300)  # re-bootstraps, then processes the batch
+    index = spark.read.parquet(os.path.join(state, "index"))
+    got = {r["_batch_id"] for r in index.select("_batch_id").distinct().collect()}
+    assert -1 in got and 0 in got
