@@ -66,7 +66,7 @@ def _maxsim_score_sql(n_tok: int = 8, dim: int = 8) -> str:
     p AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
     cand AS (
       SELECT s.vec_id, s.embedding FROM sig s, psig
-      WHERE bit_count(xor(s.bucket, psig.bucket)) <= 2 AND s.vec_id <> 0
+      WHERE bit_count(xor(s.bucket, psig.bucket)) <= 3 AND s.vec_id <> 0
     )
     SELECT e.vec_id,
            ROUND(({_maxsim_score_sql()}) * 1000000) / 1000000 AS maxsim
@@ -75,30 +75,35 @@ def _maxsim_score_sql(n_tok: int = 8, dim: int = 8) -> str:
     """,
     doc=(
         "Two-tier retrieval pipeline: hyperplane-LSH candidate "
-        "generation (5 sign-bit planes, Hamming<=2 multi-probe — the "
-        "exact candidate stage of `sim_ann_hyperplane`, shared via "
-        "hyperplane_candidates()) feeding a ColBERT-style MaxSim "
-        "re-rank (the exact scorer of `sim_maxsim`) over ONLY the "
-        "candidates. This is the 'coarse-quantize then late-interaction "
-        "re-rank' composition both component docstrings promise at "
-        "100 TB: the LSH tier prunes the corpus scan to nprobe "
-        "buckets, and the expensive 64-dot MaxSim expression runs on "
-        "the ~50% (fixture; far less on clustered data) surviving "
-        "candidates — still one codegen'd projection + TakeOrdered, "
-        "zero corpus shuffles, no intermediate materialization. The "
-        "oracle composes the two component oracles verbatim, so the "
-        "differential check proves the STAGES COMPOSE, not just that "
-        "each works alone. Measured recall@10 vs EXACT MaxSim ranking "
-        "is 0.6/0.6/0.5 tri-scale (floor-pinned at 0.5): lower than "
-        "hyperplane-vs-cosine because the LSH tier indexes COSINE on "
-        "the pooled vector while the re-ranker scores late-interaction "
-        "MaxSim — the standard two-tower -> late-interaction retrieval "
-        "gap; production closes it by widening the candidate budget, "
-        "not by changing the shape."
+        "generation (5 sign-bit planes, Hamming<=3 multi-probe — the "
+        "candidate stage of `sim_ann_hyperplane` with a WIDER budget, "
+        "shared via hyperplane_candidates()) feeding a ColBERT-style "
+        "MaxSim re-rank (the exact scorer of `sim_maxsim`) over ONLY "
+        "the candidates. This is the 'coarse-quantize then "
+        "late-interaction re-rank' composition both component "
+        "docstrings promise at 100 TB: the LSH tier prunes the corpus "
+        "scan to nprobe buckets, and the expensive 64-dot MaxSim "
+        "expression runs on the surviving candidates — still one "
+        "codegen'd projection + TakeOrdered, zero corpus shuffles, no "
+        "intermediate materialization. The oracle composes the two "
+        "component oracles verbatim, so the differential check proves "
+        "the STAGES COMPOSE, not just that each works alone. The LSH "
+        "tier indexes COSINE on the pooled vector while the re-ranker "
+        "scores late-interaction MaxSim (the standard two-tower -> "
+        "late-interaction retrieval gap), so the candidate budget must "
+        "be wider than `sim_ann_hyperplane`'s own H<=2: the round-8 "
+        "sweep (tools/rerank_sweep.py, table in SCALING.md) measured "
+        "recall@10 vs exact MaxSim of 0.6/0.6/0.5 tri-scale at H<=2 "
+        "(cand frac ~0.5) vs 0.9/0.8/0.9 at H<=3 (~0.83), while "
+        "6-plane/H<=3 (0.9/0.7/0.6) and 4-plane/H<=2 (0.7 flat) were "
+        "measured and rejected — on the near-orthogonal uniform "
+        "fixture, LSH's worst case; clustered production data prunes "
+        "far more at the same radius. Floor-pinned at 0.7 "
+        "(tests/test_properties.py)."
     ),
 )
 def sim_rerank_pipeline(spark, sf_dir, n_tok: int = 8, dim: int = 8):
-    cand, _ = hyperplane_candidates(spark, sf_dir)
+    cand, _ = hyperplane_candidates(spark, sf_dir, n_planes=5, radius=3)
     probe = _probe_vec(spark, sf_dir, 0)
     emb = F.col("embedding")
     parr = F.array(*[F.lit(float(v)) for v in probe])

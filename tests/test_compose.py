@@ -36,7 +36,7 @@ def test_rerank_pipeline_results_are_hyperplane_candidates(spark, sf_dir):
     from odl_etl_spark.queries.similarity import hyperplane_candidates
 
     got = {r.vec_id: r.maxsim for r in build("sim_rerank_pipeline", spark, sf_dir).collect()}
-    cand, _ = hyperplane_candidates(spark, sf_dir)
+    cand, _ = hyperplane_candidates(spark, sf_dir, n_planes=5, radius=3)
     cand_ids = {r.vec_id for r in cand.select("vec_id").collect()}
     assert set(got) <= cand_ids
     full = {

@@ -317,12 +317,14 @@ def test_ann_recall_floors_on_fixture(duck):
     # The rerank composition's reference ranking is exact MaxSim, not
     # cosine: the cosine-built LSH tier retrieves for a different metric
     # than the late-interaction re-ranker scores (the standard two-tower
-    # -> late-interaction gap), measured 0.6/0.6/0.5 tri-scale.
+    # -> late-interaction gap). Round-8 candidate-budget sweep
+    # (tools/rerank_sweep.py, SCALING.md): Hamming<=3 on 5 planes
+    # measured 0.9/0.8/0.9 tri-scale (was 0.6/0.6/0.5 at H<=2).
     maxsim_exact = {
         r[0] for r in duck.execute(reg["sim_maxsim"].oracle).fetchall()[:10]
     }
     rer = {r[0] for r in duck.execute(reg["sim_rerank_pipeline"].oracle).fetchall()}
-    assert len(rer & maxsim_exact) / 10 >= 0.5, "rerank recall@10 vs exact MaxSim"
+    assert len(rer & maxsim_exact) / 10 >= 0.7, "rerank recall@10 vs exact MaxSim"
 
 
 def test_pq_search_invariant_under_partitioning(spark, sf_dir):
