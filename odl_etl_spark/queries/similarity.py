@@ -388,8 +388,22 @@ def hyperplane_candidates(spark, sf_dir, n_planes: int = 5, radius: int = 2):
     ``radius`` sign flips of the probe's) and ``probe`` the probe
     vector. Used by both `sim_ann_hyperplane` (exact-cosine re-rank)
     and `sim_rerank_pipeline` (MaxSim re-rank)."""
-    from odl_etl_spark.functions.vectors import dot
+    from odl_etl_spark.operators.ann_index import hyperplane_bucket
 
+    e = load_table(spark, sf_dir, "embeddings")
+    hps, probe, probe_bucket = hyperplane_params(spark, sf_dir, n_planes)
+    bucket = hyperplane_bucket(F.col("embedding"), hps)
+    cand = e.where(F.col("vec_id") != 0).where(
+        F.bit_count(bucket.bitwiseXOR(F.lit(probe_bucket))) <= radius
+    )
+    return cand, probe
+
+
+def hyperplane_params(spark, sf_dir, n_planes: int = 5):
+    """Driver-side parameter derivation shared by the in-query and
+    stored-index hyperplane paths: ``(planes, probe, probe_bucket)``.
+    The probe bucket uses the same left-fold double accumulation as the
+    Spark/DuckDB expressions (bit-identical)."""
     e = load_table(spark, sf_dir, "embeddings")
     hps = [
         [float(x) for x in r["embedding"]]
@@ -400,8 +414,6 @@ def hyperplane_candidates(spark, sf_dir, n_planes: int = 5, radius: int = 2):
     ]
     probe = _probe_vec(spark, sf_dir, 0)
 
-    # Probe bucket, computed driver-side with the same left-fold double
-    # accumulation as the Spark/DuckDB expressions (bit-identical).
     def _fold_dot(a, b):
         acc = 0.0
         for x, y in zip(a, b):
@@ -411,26 +423,13 @@ def hyperplane_candidates(spark, sf_dir, n_planes: int = 5, radius: int = 2):
     probe_bucket = sum(
         (1 << h) for h, hp in enumerate(hps) if _fold_dot(probe, hp) >= 0
     )
-
-    hp_lits = [F.array(*[F.lit(x) for x in hp]) for hp in hps]
-    bucket = None
-    for h, hp in enumerate(hp_lits):
-        bit = F.when(dot(F.col("embedding"), hp) >= 0, F.lit(1 << h)).otherwise(
-            F.lit(0)
-        )
-        bucket = bit if bucket is None else bucket + bit
-    cand = e.where(F.col("vec_id") != 0).where(
-        F.bit_count(
-            bucket.cast("bigint").bitwiseXOR(F.lit(probe_bucket))
-        )
-        <= radius
-    )
-    return cand, probe
+    return hps, probe, probe_bucket
 
 
-@spec(
-    "sim_ann_hyperplane",
-    f"""
+# Shared by `sim_ann_hyperplane` (derive-in-query) and
+# `sim_ann_hyperplane_probe` (prebuilt stored index): the two paths must
+# return the identical relation, so they share one oracle.
+_HYPERPLANE_ORACLE = f"""
     WITH hp AS (
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS h,
              embedding AS hvec
@@ -449,7 +448,12 @@ def hyperplane_candidates(spark, sf_dir, n_planes: int = 5, radius: int = 2):
     FROM sig s, probe, psig
     WHERE bit_count(xor(s.bucket, psig.bucket)) <= 2 AND s.vec_id <> 0
     ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
-    """,
+    """
+
+
+@spec(
+    "sim_ann_hyperplane",
+    _HYPERPLANE_ORACLE,
     doc=(
         "Random-hyperplane (sign-bit) LSH ANN search with MULTI-PROBE "
         "(Lv et al. 2007): 5 data-derived hyperplanes (embeddings 1..5 "
@@ -578,9 +582,9 @@ _Q = 1000000000  # BIGINT quantization scale shared with emb_pq_codebook
 _PQ_R_MAX = 4096
 
 
-@spec(
-    "sim_ann_pq",
-    f"""
+# Shared by `sim_ann_pq` (derive-in-query) and `sim_ann_pq_probe`
+# (prebuilt stored codebook+codes): identical relation, one oracle.
+_PQ_ORACLE = f"""
     WITH ex AS (
       SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
              generate_subscripts(embedding, 1) AS i
@@ -636,7 +640,12 @@ _PQ_R_MAX = 4096
              / 1000000 AS l2_d
     FROM embeddings e JOIN pool USING (vec_id), pv
     ORDER BY l2_d ASC, vec_id ASC LIMIT 10
-    """,
+    """
+
+
+@spec(
+    "sim_ann_pq",
+    _PQ_ORACLE,
     doc=(
         "Product-quantization ANN search, ADC-shortlist + exact re-rank "
         "(Jegou et al. 2011, the search half of `emb_pq_codebook`): "
@@ -667,75 +676,107 @@ _PQ_R_MAX = 4096
     ),
 )
 def sim_ann_pq(spark, sf_dir):
+    # Index construction + probe are the shared operators/ann_index.py
+    # builders (pq_explode -> pq_codebook -> pq_encode -> pq_probe):
+    # this key derives the index in-query; `sim_ann_pq_probe` runs the
+    # same probe against the PREBUILT, materialized artifacts.
+    import math
+
+    from odl_etl_spark.io.sources import cached_count
+    from odl_etl_spark.operators.ann_index import (
+        pq_codebook,
+        pq_encode,
+        pq_explode,
+        pq_probe,
+    )
+
     probe = _probe_vec(spark, sf_dir, 0)
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    ex = spread(e).select(
-        "vec_id", F.posexplode("v").alias("i0", "x")
-    ).select(
-        "vec_id",
-        (F.col("i0") + 1).alias("i"),
-        "x",
-        F.floor(F.col("i0") / 8).alias("sub"),
-        (F.col("vec_id") % _PQ_CODES).alias("init_code"),
-    )
-    q = F.lit(float(_Q))
-    cent = ex.groupBy(F.col("init_code").alias("code"), "i", "sub").agg(
-        F.sum(F.round(F.col("x") * q).cast("bigint")).alias("sx"),
-        F.count("*").alias("n"),
-    )
-    cent = cent.select(
-        "code", "sub", F.col("i").alias("ci"),
-        (F.col("sx") / q / F.col("n")).alias("cx"),
-    )
-    # Encode: quantized squared distance per (vec, sub, code), then
-    # argmin as a lexicographic struct-MIN — a second map-side-combined
-    # agg instead of a window sort.
-    diff = F.col("x") - F.col("cx")
-    cent_enc = cent.drop("sub")  # sub is derivable from ex's side
-    dist = (
-        ex.where(F.col("vec_id") != 0)
-        .join(F.broadcast(cent_enc), ex.i == cent_enc.ci)
-        .groupBy("vec_id", "sub", "code")
-        .agg(F.sum(F.round(diff * diff * q).cast("bigint")).alias("d2q"))
-    )
-    codes = dist.groupBy("vec_id", "sub").agg(
-        F.min(F.struct("d2q", "code")).alias("_m")
-    ).select("vec_id", "sub", F.col("_m.code").alias("code"))
-    # Probe LUT: 128 (sub, code) entries computed from literals + the
-    # centroid relation — parameter data, broadcast to meet the codes.
-    parr = F.array(*[F.lit(float(v)) for v in probe])
-    pdiff = F.element_at(parr, F.col("ci").cast("int")) - F.col("cx")
-    lut = cent.groupBy("sub", "code").agg(
-        F.sum(F.round(pdiff * pdiff * q).cast("bigint")).alias("lq")
-    )
-    adc = (
-        codes.join(F.broadcast(lut), ["sub", "code"])
-        .groupBy("vec_id")
-        .agg(F.sum("lq").alias("adcq"))
-    )
-    # ADC shortlist (deterministic integer ordering), then exact re-rank
-    # of only the shortlisted vectors. R is parameter data (one cached
-    # metadata count), like the probe vector itself.
-    import math
-
-    from odl_etl_spark.functions.vectors import l2_distance
-    from odl_etl_spark.io.sources import cached_count
-
+    ex = pq_explode(spread(e))
+    cent = pq_codebook(ex)
+    codes = pq_encode(ex, cent)
+    # R is parameter data (one cached metadata count), like the probe
+    # vector itself; capped at _PQ_R_MAX (ADVICE r6).
     n_corpus = cached_count(spark, sf_dir, "embeddings") - 1
     r_pool = min(int(math.ceil(0.25 * n_corpus)), _PQ_R_MAX)
-    pool = (
-        adc.orderBy(F.col("adcq").asc(), F.col("vec_id").asc())
-        .limit(r_pool)
-        .select("vec_id")
+    return pq_probe(codes, cent, e, probe, r_pool, k=10)
+
+
+@spec(
+    "sim_ann_hyperplane_probe",
+    _HYPERPLANE_ORACLE,
+    doc=(
+        "Stored-index hyperplane ANN search (VERDICT r7 #4, the "
+        "`minhash_band_index`/`dedup_incremental` precedent applied to "
+        "the vector tier): the (vec_id, bucket) signature index is "
+        "built ONCE (operators/ann_index.hyperplane_index, materialize()"
+        " is the local stand-in for the parquet table a deployment "
+        "persists partitioned BY bucket) and the query is a PROBE "
+        "against it — Hamming<=2 filter on the stored signatures, "
+        "left-semi join back to the raw vectors, exact-cosine re-rank "
+        "of only the candidates (operators/ann_index.hyperplane_probe)."
+        " No signature is re-derived at query time: the probe plan "
+        "touches raw floats only for the candidate re-rank, and at "
+        "scale the bucket-partitioned layout prunes the index scan to "
+        "the ~sum(C(5,r)) matching partitions. Same oracle as "
+        "`sim_ann_hyperplane` because the two paths return the "
+        "identical relation — prebuilt == from-scratch is additionally "
+        "pinned (incl. a parquet round-trip of the index) in "
+        "tests/test_operators.py."
+    ),
+)
+def sim_ann_hyperplane_probe(spark, sf_dir):
+    from odl_etl_spark.operators.ann_index import (
+        hyperplane_index,
+        hyperplane_probe,
     )
-    return (
-        e.join(F.broadcast(pool), "vec_id")
-        .select("vec_id", roundn(l2_distance(F.col("v"), parr), 6).alias("l2_d"))
-        .orderBy(F.col("l2_d").asc(), F.col("vec_id").asc())
-        .limit(10)
+    from odl_etl_spark.operators.materialize import materialize
+
+    e = load_table(spark, sf_dir, "embeddings")
+    hps, probe, probe_bucket = hyperplane_params(spark, sf_dir, 5)
+    index = materialize(hyperplane_index(e.where(F.col("vec_id") != 0), hps))
+    return hyperplane_probe(
+        index, e, probe, probe_bucket, planes=hps, radius=2, k=10
     )
+
+
+@spec(
+    "sim_ann_pq_probe",
+    _PQ_ORACLE,
+    doc=(
+        "Stored-index PQ ANN search (VERDICT r7 #4): the trained "
+        "codebook and the 8-codes-per-vector codes relation — the "
+        "~8-byte/vector compressed index production PQ persists — are "
+        "built ONCE (operators/ann_index.pq_index; materialize() is "
+        "the local stand-in for the stored parquet) and the query is a "
+        "PROBE: broadcast 128-entry ADC LUT from the stored codebook + "
+        "probe literals, integer ADC scoring of the stored codes "
+        "(corpus floats untouched), R_MAX-capped shortlist, exact-L2 "
+        "re-rank of only the shortlist (operators/ann_index.pq_probe). "
+        "Codebook training and encoding — the expensive scan-the-corpus "
+        "stages — never run at query time. Same oracle as `sim_ann_pq` "
+        "(identical relation); prebuilt == from-scratch pinned incl. "
+        "parquet round-trip in tests/test_operators.py."
+    ),
+)
+def sim_ann_pq_probe(spark, sf_dir):
+    import math
+
+    from odl_etl_spark.io.sources import cached_count
+    from odl_etl_spark.operators.ann_index import pq_index, pq_probe
+    from odl_etl_spark.operators.materialize import materialize
+
+    probe = _probe_vec(spark, sf_dir, 0)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent, codes = pq_index(spread(e))
+    cent, codes = materialize(cent), materialize(codes)
+    n_corpus = cached_count(spark, sf_dir, "embeddings") - 1
+    r_pool = min(int(math.ceil(0.25 * n_corpus)), _PQ_R_MAX)
+    return pq_probe(codes, cent, e, probe, r_pool, k=10)
 
 
 SPECS = [
@@ -749,4 +790,6 @@ SPECS = [
     sim_ann_hyperplane,
     sim_maxsim,
     sim_ann_pq,
+    sim_ann_hyperplane_probe,
+    sim_ann_pq_probe,
 ]

@@ -458,3 +458,75 @@ def test_pq_adc_degenerates_to_exact_when_codes_cover_corpus(spark, tmp_path):
     d2 = ((vecs[1:].astype(np.float64) - vecs[0].astype(np.float64)) ** 2).sum(axis=1)
     want = [int(i) + 1 for i in np.argsort(d2, kind="stable")][:3]  # ceil(0.25*12)
     assert got == want
+
+
+def test_ann_index_prebuilt_identical_hyperplane(spark, sf_dir, tmp_path):
+    """VERDICT r7 #4: probing a PREBUILT hyperplane signature index —
+    including a parquet round-trip of the index, the artifact a
+    deployment actually stores — must return exactly the
+    derive-in-query `sim_ann_hyperplane` result."""
+    from pyspark.sql import functions as F
+
+    from odl_etl_spark.operators.ann_index import (
+        hyperplane_index,
+        hyperplane_probe,
+    )
+    from odl_etl_spark.queries import registry
+    from odl_etl_spark.queries.similarity import hyperplane_params
+
+    e = load_table(spark, sf_dir, "embeddings")
+    hps, probe, probe_bucket = hyperplane_params(spark, sf_dir, 5)
+    idx_path = str(tmp_path / "hp_index")
+    hyperplane_index(e.where(F.col("vec_id") != 0), hps).write.parquet(idx_path)
+    stored = spark.read.parquet(idx_path)
+    got = [
+        tuple(r)
+        for r in hyperplane_probe(
+            stored, e, probe, probe_bucket, planes=hps, radius=2, k=10
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in registry()["sim_ann_hyperplane"].build(spark, sf_dir).collect()
+    ]
+    assert got == want
+    # Param-mismatch on the round-tripped stamp fails loudly.
+    import pytest
+
+    with pytest.raises(ValueError, match="n_planes=5"):
+        hyperplane_probe(stored, e, probe, probe_bucket, planes=hps[:4])
+
+
+def test_ann_index_prebuilt_identical_pq(spark, sf_dir, tmp_path):
+    """VERDICT r7 #4: probing PREBUILT PQ artifacts (codebook + codes,
+    parquet round-tripped) must return exactly the derive-in-query
+    `sim_ann_pq` result — codebook training and encoding never run at
+    query time."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from odl_etl_spark.io.sources import cached_count, spread
+    from odl_etl_spark.operators.ann_index import pq_index, pq_probe
+    from odl_etl_spark.queries import registry
+    from odl_etl_spark.queries.similarity import _PQ_R_MAX, _probe_vec
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent, codes = pq_index(spread(e))
+    cent.write.parquet(str(tmp_path / "pq_codebook"))
+    codes.write.parquet(str(tmp_path / "pq_codes"))
+    cent_s = spark.read.parquet(str(tmp_path / "pq_codebook"))
+    codes_s = spark.read.parquet(str(tmp_path / "pq_codes"))
+    probe = _probe_vec(spark, sf_dir, 0)
+    n_corpus = cached_count(spark, sf_dir, "embeddings") - 1
+    r_pool = min(int(math.ceil(0.25 * n_corpus)), _PQ_R_MAX)
+    got = [
+        tuple(r)
+        for r in pq_probe(codes_s, cent_s, e, probe, r_pool, k=10).collect()
+    ]
+    want = [
+        tuple(r) for r in registry()["sim_ann_pq"].build(spark, sf_dir).collect()
+    ]
+    assert got == want
