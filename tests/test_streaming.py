@@ -719,3 +719,63 @@ def test_stream_ingest_torn_bootstrap_self_heals(spark, sf_dir, tmp_path):
     index = spark.read.parquet(os.path.join(state, "index"))
     got = {r["_batch_id"] for r in index.select("_batch_id").distinct().collect()}
     assert -1 in got and 0 in got
+
+
+def test_stream_ingest_compaction_preserves_probe_and_bounds_partitions(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r7 #5: compact_state folds fully-committed batches into
+    the _batch_id=-1 baseline (band-clustered), bounding the
+    one-partition-per-micro-batch growth. Post-compaction: (a) the
+    partition count is bounded, (b) a NEW batch's probe emits exactly
+    the pairs it would have against the uncompacted state, (c) replay
+    of the (uncompacted) tip still converges, and (d) folding the
+    replayable tip itself is refused."""
+    import pytest
+
+    from odl_etl_spark.streaming.ingest_dedup import (
+        bootstrap_corpus_index,
+        compact_state,
+        probe_and_commit_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    corpus = docs.where(F.col("source") != "src1")
+    batches = [
+        docs.where((F.col("source") == "src1") & (F.col("doc_id") % 3 == i))
+        for i in range(3)
+    ]
+
+    def ingest(state, upto):
+        bootstrap_corpus_index(corpus, state)
+        for i, b in enumerate(batches[:upto]):
+            probe_and_commit_batch(b, i, state)
+
+    plain = str(tmp_path / "plain")
+    ingest(plain, 3)
+    want = _emitted_set(spark, plain)
+
+    compacted = str(tmp_path / "compacted")
+    ingest(compacted, 2)  # batches 0,1 committed; tip is 1
+    with pytest.raises(ValueError, match="replayable tip"):
+        compact_state(spark, compacted, 1)
+    compact_state(spark, compacted, 0)  # fold corpus + batch 0
+    idx_parts = {
+        d
+        for d in os.listdir(os.path.join(compacted, "index"))
+        if d.startswith("_batch_id=")
+    }
+    assert idx_parts == {"_batch_id=-1", "_batch_id=1"}  # bounded
+    # Tip replay after compaction: batch 1 excludes its own partition,
+    # sees corpus+batch0 (now all in -1), converges byte-stable.
+    probe_and_commit_batch(batches[1], 1, compacted)
+    # New batch probes the compacted state: identical pair emission.
+    probe_and_commit_batch(batches[2], 2, compacted)
+    got = _emitted_set(spark, compacted)
+    assert got == want
+    docs_parts = {
+        d
+        for d in os.listdir(os.path.join(compacted, "docs"))
+        if d.startswith("_batch_id=")
+    }
+    assert docs_parts == {"_batch_id=-1", "_batch_id=1", "_batch_id=2"}
