@@ -28,7 +28,11 @@ Modes (per-call argument, else session conf ``MODE_CONF``, else local):
   inputs the recompute reuses the already-written shuffle output, so
   boundary consistency holds unless the shuffle data itself is lost).
   Use when no DFS checkpoint dir exists but executor loss must not
-  fail the job outright.
+  fail the job outright. NOT for iterative loops: because lineage is
+  kept, each iteration's plan nests every prior iteration's — analysis
+  cost grows superlinearly (round-8 measurement: `dedup_cluster`
+  >200s under persist vs 3.6s under local; PROFILE_ITERATIVE.json).
+  Iterative callers need a true lineage CUT (local/checkpoint).
 """
 
 from __future__ import annotations
