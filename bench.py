@@ -99,6 +99,11 @@ def main() -> None:
 
     signal.signal(signal.SIGTERM, _dump_partial)
 
+    # Adaptive reps (VERDICT r7 #8): sub-second keys are the noisiest
+    # relative to their medians as the registry grows, so they get 2
+    # extra reps — a 5-point median for cheap keys costs ~2s total while
+    # the heavy keys keep the 3-rep budget.
+    extra_reps_under = float(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_UNDER", "1.0"))
     for name, q in specs.items():
         q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
         runs = []
@@ -106,6 +111,11 @@ def main() -> None:
             t0 = time.perf_counter()
             q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
+        if statistics.median(runs) < extra_reps_under:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 3)
     wall = round(time.perf_counter() - t_suite, 3)
     total = round(sum(timings.values()), 3)
