@@ -621,3 +621,41 @@ def test_dedup_span_rewrite_antijoin_no_quadratics(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert has_partial_aggregate(df)
+
+
+def test_hyperplane_index_bucket_layout_partition_prunes(spark, sf_dir, tmp_path):
+    """The stored-index docstring claims that partitioning the
+    hyperplane index BY bucket turns the Hamming-radius probe filter
+    into partition pruning. Pin it: on a bucket-partitioned parquet
+    index, bit_count(bucket XOR probe) <= r must appear under
+    PartitionFilters (evaluated against directory values — only the
+    sum(C(n_planes, r)) matching partitions are read), with no residual
+    DataFilters on the row scan."""
+    import pyspark.sql.functions as F
+
+    from odl_etl_spark.io.sources import load_table
+    from odl_etl_spark.operators.ann_index import hyperplane_index
+    from odl_etl_spark.queries.similarity import hyperplane_params
+
+    e = load_table(spark, sf_dir, "embeddings")
+    hps, _, pb = hyperplane_params(spark, sf_dir, 5)
+    d = str(tmp_path / "idx")
+    hyperplane_index(e.where(F.col("vec_id") != 0), hps).write.partitionBy(
+        "bucket"
+    ).parquet(d)
+    flt = spark.read.parquet(d).where(
+        F.bit_count(F.col("bucket").bitwiseXOR(F.lit(pb))) <= 2
+    )
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if "FileScan" in l]
+    assert scan_lines, plan
+    assert "bit_count" in scan_lines[0].split("PartitionFilters:")[1].split(
+        "PushedFilters:"
+    )[0], scan_lines[0]
+    assert "DataFilters: []" in scan_lines[0], scan_lines[0]
+    # And the pruned read returns exactly the Hamming ball's buckets.
+    got_buckets = {
+        r["bucket"] for r in flt.select("bucket").distinct().collect()
+    }
+    want = {b for b in range(32) if bin(b ^ pb).count("1") <= 2}
+    assert got_buckets <= want
