@@ -124,9 +124,9 @@ def sim_pairwise_label(spark, sf_dir):
     )
 
 
-@spec(
-    "sim_ann_ivf",
-    f"""
+# Shared by `sim_ann_ivf` (derive-in-query) and `sim_ann_ivf_probe`
+# (prebuilt stored cell assignments): identical relation, one oracle.
+_IVF_ORACLE = f"""
     WITH cents AS (
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cell_id,
              embedding AS cvec
@@ -150,7 +150,12 @@ def sim_pairwise_label(spark, sf_dir):
     FROM asg a, probe
     WHERE a.cell_id IN (SELECT cell_id FROM pcells)
     ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
-    """,
+    """
+
+
+@spec(
+    "sim_ann_ivf",
+    _IVF_ORACLE,
     doc=(
         "IVF approximate NN: assign vectors to 8 deterministic centroid "
         "cells, probe the 2 nearest cells only — the partition-pruned scale "
@@ -743,6 +748,37 @@ def sim_ann_hyperplane_probe(spark, sf_dir):
 
 
 @spec(
+    "sim_ann_ivf_probe",
+    _IVF_ORACLE,
+    doc=(
+        "Stored-index IVF ANN search (VERDICT r7 #4 completed for the "
+        "third ANN family): the cell-assigned relation — the inverted "
+        "file a deployment writes ONCE partitionBy(cell_id) — is built "
+        "and materialized, and the query is a PROBE: nprobe nearest "
+        "cells ranked driver-side from the centroid parameters, then "
+        "cell_id IN (...) filter + exact-cosine TakeOrdered over only "
+        "the probed cells. Against the stored layout the cell filter "
+        "is partition pruning (no corpus scan, no assignment recompute "
+        "at query time). Same oracle as `sim_ann_ivf` (identical "
+        "relation); prebuilt == from-scratch pinned through a parquet "
+        "round-trip in tests/test_operators.py."
+    ),
+)
+def sim_ann_ivf_probe(spark, sf_dir):
+    from odl_etl_spark.operators.materialize import materialize
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probe = _probe_vec(spark, sf_dir, 0)
+    index = IvfIndex.build(e, n_cells=8)
+    # materialize() is the local stand-in for the stored parquet the
+    # deployment writes partitionBy("cell_id") — the probe's
+    # cell_id IN (...) filter is then partition pruning at the scan
+    # (pinned in tests/test_plans.py).
+    assigned = materialize(index.assign(e.where(F.col("vec_id") != 0)))
+    return index.search(assigned, probe, k=10, nprobe=2)
+
+
+@spec(
     "sim_ann_pq_probe",
     _PQ_ORACLE,
     doc=(
@@ -792,4 +828,5 @@ SPECS = [
     sim_ann_pq,
     sim_ann_hyperplane_probe,
     sim_ann_pq_probe,
+    sim_ann_ivf_probe,
 ]

@@ -530,3 +530,28 @@ def test_ann_index_prebuilt_identical_pq(spark, sf_dir, tmp_path):
         tuple(r) for r in registry()["sim_ann_pq"].build(spark, sf_dir).collect()
     ]
     assert got == want
+
+
+def test_ann_index_prebuilt_identical_ivf(spark, sf_dir, tmp_path):
+    """VERDICT r7 #4 (IVF): searching a PREBUILT, parquet-round-tripped
+    cell-assigned relation must return exactly the derive-in-query
+    `sim_ann_ivf` result — assignment never recomputes at query time."""
+    from pyspark.sql import functions as F
+
+    from odl_etl_spark.operators.similarity import IvfIndex
+    from odl_etl_spark.queries import registry
+    from odl_etl_spark.queries.similarity import _probe_vec
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probe = _probe_vec(spark, sf_dir, 0)
+    index = IvfIndex.build(e, n_cells=8)
+    d = str(tmp_path / "ivf")
+    index.assign(e.where(F.col("vec_id") != 0)).write.partitionBy(
+        "cell_id"
+    ).parquet(d)
+    stored = spark.read.parquet(d)
+    got = [tuple(r) for r in index.search(stored, probe, k=10, nprobe=2).collect()]
+    want = [
+        tuple(r) for r in registry()["sim_ann_ivf"].build(spark, sf_dir).collect()
+    ]
+    assert got == want

@@ -659,3 +659,35 @@ def test_hyperplane_index_bucket_layout_partition_prunes(spark, sf_dir, tmp_path
     }
     want = {b for b in range(32) if bin(b ^ pb).count("1") <= 2}
     assert got_buckets <= want
+
+
+def test_ivf_index_cell_layout_partition_prunes(spark, sf_dir, tmp_path):
+    """Same pin as the hyperplane layout test, for IVF: against a
+    cell_id-partitioned stored assignment table, the probe's
+    cell_id IN (...) filter must be partition pruning (PartitionFilters,
+    no residual DataFilters on cell_id)."""
+    import pyspark.sql.functions as F
+
+    from odl_etl_spark.io.sources import load_table
+    from odl_etl_spark.operators.similarity import IvfIndex
+    from odl_etl_spark.queries.similarity import _probe_vec
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probe = _probe_vec(spark, sf_dir, 0)
+    index = IvfIndex.build(e, n_cells=8)
+    d = str(tmp_path / "ivf")
+    index.assign(e.where(F.col("vec_id") != 0)).write.partitionBy(
+        "cell_id"
+    ).parquet(d)
+    cells = index.nearest_cells(probe, 2)
+    flt = spark.read.parquet(d).where(F.col("cell_id").isin(cells))
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if "FileScan" in l]
+    assert scan_lines, plan
+    part_filters = scan_lines[0].split("PartitionFilters:")[1].split(
+        "PushedFilters:"
+    )[0]
+    assert "cell_id" in part_filters, scan_lines[0]
+    assert "DataFilters: []" in scan_lines[0], scan_lines[0]
+    got_cells = {r["cell_id"] for r in flt.select("cell_id").distinct().collect()}
+    assert got_cells <= set(cells)
