@@ -69,15 +69,26 @@ def hyperplane_index(
     (band the batch, append its rows), instead of re-deriving signatures
     per query. At 100 TB: partition the stored parquet by ``bucket`` so
     a radius-R probe reads only the ~sum(C(n_planes,r)) matching
-    partitions. ``n_planes`` is stamped as field metadata on ``bucket``
-    (survives parquet) and validated at probe time."""
+    partitions. ``n_planes`` and a checksum of the plane VALUES are
+    stamped as field metadata on ``bucket`` (survives parquet) and
+    validated at probe time — same plane count with different planes
+    would silently bucket everything differently, the worst failure
+    mode for a stored index."""
     out = df.select(
         F.col(id_col).alias("_id"),
         hyperplane_bucket(vec_col, planes).alias("bucket"),
     )
-    return out.withColumn(
-        "bucket", F.col("bucket").alias("bucket", metadata={"n_planes": len(planes)})
-    )
+    meta = {"n_planes": len(planes), "planes_sum": _planes_checksum(planes)}
+    return out.withColumn("bucket", F.col("bucket").alias("bucket", metadata=meta))
+
+
+def _planes_checksum(planes: list[list[float]]) -> str:
+    """Order-sensitive digest of the plane values (repr of rounded
+    components — deterministic across sessions, no float-hash pitfalls)."""
+    import hashlib
+
+    payload = repr([[round(float(x), 9) for x in hp] for hp in planes])
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
 def _stamped(index: DataFrame, field: str, key: str) -> int | None:
@@ -111,6 +122,16 @@ def hyperplane_probe(
                 f"index was built with n_planes={stamped} but probe called "
                 f"with {len(planes)}; rebuild the index or match the params"
             )
+        for f in index.schema.fields:
+            if f.name == "bucket" and f.metadata and "planes_sum" in f.metadata:
+                want = _planes_checksum(planes)
+                if f.metadata["planes_sum"] != want:
+                    raise ValueError(
+                        "index was built with DIFFERENT plane values than the "
+                        "probe's (same count, mismatched checksum) — every "
+                        "bucket would be wrong; rebuild the index with these "
+                        "planes"
+                    )
     cand_ids = index.where(
         F.bit_count(F.col("bucket").bitwiseXOR(F.lit(probe_bucket))) <= radius
     ).select(F.col("_id").alias(id_col))

@@ -555,3 +555,28 @@ def test_ann_index_prebuilt_identical_ivf(spark, sf_dir, tmp_path):
         tuple(r) for r in registry()["sim_ann_ivf"].build(spark, sf_dir).collect()
     ]
     assert got == want
+
+
+def test_hyperplane_probe_rejects_different_plane_values(spark, sf_dir, tmp_path):
+    """Same plane COUNT but different plane VALUES must fail loudly at
+    probe time (checksum stamp) — silently mismatched planes would
+    bucket everything differently and return wrong neighbours."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from odl_etl_spark.operators.ann_index import (
+        hyperplane_index,
+        hyperplane_probe,
+    )
+    from odl_etl_spark.queries.similarity import hyperplane_params
+
+    e = load_table(spark, sf_dir, "embeddings")
+    hps, probe, pb = hyperplane_params(spark, sf_dir, 5)
+    d = str(tmp_path / "idx")
+    hyperplane_index(e.where(F.col("vec_id") != 0), hps).write.parquet(d)
+    stored = spark.read.parquet(d)
+    other = [[v + 0.25 for v in hp] for hp in hps]  # same count, other values
+    with pytest.raises(ValueError, match="DIFFERENT plane values"):
+        hyperplane_probe(stored, e, probe, pb, planes=other)
+    # The true planes still pass.
+    assert hyperplane_probe(stored, e, probe, pb, planes=hps, k=3).count() == 3
