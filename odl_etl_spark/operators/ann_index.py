@@ -39,9 +39,23 @@ from pyspark.sql import functions as F
 from odl_etl_spark.functions.vectors import dot, l2_distance
 from odl_etl_spark.operators.similarity import topk_cosine
 
-PQ_SUBS = 8  # 64-dim vectors -> 8 subspaces of 8 dims
+PQ_SUBS = 8  # number of subspaces
+PQ_SUB_DIM = 8  # dims per subspace (64-dim vectors / PQ_SUBS)
 PQ_CODES = 16
 PQ_Q = 1000000000  # BIGINT quantization scale shared with emb_pq_codebook
+# Shortlist contract (ADVICE r6): re-rank pool = min(ceil(frac*n), R_MAX).
+PQ_POOL_FRAC = 0.25
+PQ_R_MAX = 4096
+
+
+def pq_r_pool(n_corpus: int) -> int:
+    """The single source of the ADC-shortlist size used by `sim_ann_pq`,
+    `sim_ann_pq_probe`, and the prebuilt-identical test — the fraction
+    keeps the toy fixture discriminative, the R_MAX cap keeps the
+    re-rank broadcast constant-bounded at lake scale."""
+    import math
+
+    return min(int(math.ceil(PQ_POOL_FRAC * n_corpus)), PQ_R_MAX)
 
 
 def hyperplane_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
@@ -147,7 +161,9 @@ def pq_explode(e: DataFrame) -> DataFrame:
         "vec_id",
         (F.col("i0") + 1).alias("i"),
         "x",
-        F.floor(F.col("i0") / PQ_SUBS).alias("sub"),
+        # Divisor is the subspace WIDTH (dims per sub), not the subspace
+        # count — they coincide at 64/8 but diverge for any other dim.
+        F.floor(F.col("i0") / PQ_SUB_DIM).alias("sub"),
         (F.col("vec_id") % PQ_CODES).alias("init_code"),
     )
 

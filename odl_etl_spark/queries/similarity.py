@@ -584,7 +584,7 @@ _Q = 1000000000  # BIGINT quantization scale shared with emb_pq_codebook
 # lake scale; production PQ shortlists a CONSTANT R (Jegou et al. use
 # R in the 1e3-1e4 range), so the cap is what makes the broadcast-hint
 # re-rank join legitimate at 100 TB. Both engines apply the same LEAST().
-_PQ_R_MAX = 4096
+from odl_etl_spark.operators.ann_index import PQ_R_MAX as _PQ_R_MAX  # noqa: E402
 
 
 # Shared by `sim_ann_pq` (derive-in-query) and `sim_ann_pq_probe`
@@ -685,14 +685,13 @@ def sim_ann_pq(spark, sf_dir):
     # builders (pq_explode -> pq_codebook -> pq_encode -> pq_probe):
     # this key derives the index in-query; `sim_ann_pq_probe` runs the
     # same probe against the PREBUILT, materialized artifacts.
-    import math
-
     from odl_etl_spark.io.sources import cached_count
     from odl_etl_spark.operators.ann_index import (
         pq_codebook,
         pq_encode,
         pq_explode,
         pq_probe,
+        pq_r_pool,
     )
 
     probe = _probe_vec(spark, sf_dir, 0)
@@ -703,10 +702,10 @@ def sim_ann_pq(spark, sf_dir):
     cent = pq_codebook(ex)
     codes = pq_encode(ex, cent)
     # R is parameter data (one cached metadata count), like the probe
-    # vector itself; capped at _PQ_R_MAX (ADVICE r6).
+    # vector itself; pq_r_pool is the single source of the
+    # fraction-with-R_MAX-cap contract (ADVICE r6).
     n_corpus = cached_count(spark, sf_dir, "embeddings") - 1
-    r_pool = min(int(math.ceil(0.25 * n_corpus)), _PQ_R_MAX)
-    return pq_probe(codes, cent, e, probe, r_pool, k=10)
+    return pq_probe(codes, cent, e, probe, pq_r_pool(n_corpus), k=10)
 
 
 @spec(
@@ -798,10 +797,8 @@ def sim_ann_ivf_probe(spark, sf_dir):
     ),
 )
 def sim_ann_pq_probe(spark, sf_dir):
-    import math
-
     from odl_etl_spark.io.sources import cached_count
-    from odl_etl_spark.operators.ann_index import pq_index, pq_probe
+    from odl_etl_spark.operators.ann_index import pq_index, pq_probe, pq_r_pool
     from odl_etl_spark.operators.materialize import materialize
 
     probe = _probe_vec(spark, sf_dir, 0)
@@ -811,8 +808,7 @@ def sim_ann_pq_probe(spark, sf_dir):
     cent, codes = pq_index(spread(e))
     cent, codes = materialize(cent), materialize(codes)
     n_corpus = cached_count(spark, sf_dir, "embeddings") - 1
-    r_pool = min(int(math.ceil(0.25 * n_corpus)), _PQ_R_MAX)
-    return pq_probe(codes, cent, e, probe, r_pool, k=10)
+    return pq_probe(codes, cent, e, probe, pq_r_pool(n_corpus), k=10)
 
 
 SPECS = [

@@ -116,16 +116,21 @@ def probe_and_commit_batch(
     pairs.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("_batch_id").parquet(os.path.join(state_dir, "pairs"))
-    b_index.withColumn("_batch_id", F.lit(batch_id)).write.mode(
-        "overwrite"
-    ).option("partitionOverwriteMode", "dynamic").partitionBy(
-        "_batch_id"
-    ).parquet(os.path.join(state_dir, "index"))
+    # Docs BEFORE index (the invariant operators/dedup.py's probe
+    # assumes: every index row has a backing doc). A torn commit then
+    # leaves "docs without index rows" — equivalent to the batch not yet
+    # committed, fixed by replay — instead of "index rows without docs",
+    # which the probe's verify joins would silently drop forever.
     batch.withColumn("_batch_id", F.lit(batch_id)).write.mode(
         "overwrite"
     ).option("partitionOverwriteMode", "dynamic").partitionBy(
         "_batch_id"
     ).parquet(os.path.join(state_dir, "docs"))
+    b_index.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy(
+        "_batch_id"
+    ).parquet(os.path.join(state_dir, "index"))
 
 
 def ingest_dedup_stream(
@@ -181,24 +186,32 @@ def compact_state(
     because compaction only relabels ``_batch_id`` (the probe's
     exclusion filter matches no compacted row, exactly as before).
 
-    The rewrite goes through a staging directory and swaps in with a
-    rename after the merged data is fully written, so a crash mid-
-    compaction leaves the original state readable; the rename itself is
-    the non-atomic step on an object store — a deployment fronts the
-    swap with a table format (Delta/Iceberg) or a manifest, same caveat
-    as every directory-swap in this repo."""
+    The rewrite goes through a staging directory and swaps in with two
+    renames (live -> _old, staged -> live) before the old copy is
+    deleted, so a crash at ANY point leaves a complete copy of the data
+    on disk (mid-swap it may sit at the _old path, a manual rename to
+    recover — never a silent partial state). The renames are the
+    non-atomic step on an object store — a deployment fronts the swap
+    with a table format (Delta/Iceberg) or a manifest, same caveat as
+    every directory-swap in this repo. Stop the ingest stream before
+    compacting: a concurrently running probe may race the swap window.
+
+    Both subdirectories are validated against the replayable-tip guard
+    BEFORE either is mutated, so a rejected call mutates nothing even
+    when a torn commit left index/docs at different latest batches."""
     import shutil
 
-    for sub in ("index", "docs"):
-        path = os.path.join(state_dir, sub)
-        df = spark.read.parquet(path)
-        latest = df.agg(F.max("_batch_id")).head()[0]
+    paths = {sub: os.path.join(state_dir, sub) for sub in ("index", "docs")}
+    for sub, path in paths.items():
+        latest = spark.read.parquet(path).agg(F.max("_batch_id")).head()[0]
         if latest is not None and upto_batch_id >= latest:
             raise ValueError(
                 f"compact_state(upto_batch_id={upto_batch_id}) would fold the "
-                f"replayable tip (latest committed batch {latest}); pass "
-                "upto_batch_id < latest"
+                f"replayable tip of {sub} (latest committed batch {latest}); "
+                "pass upto_batch_id < latest"
             )
+    for sub, path in paths.items():
+        df = spark.read.parquet(path)
         old = df.where(F.col("_batch_id") <= upto_batch_id).withColumn(
             "_batch_id", F.lit(-1)
         )
@@ -206,11 +219,15 @@ def compact_state(
             old = old.repartition(F.col("_band"))
         tip = df.where(F.col("_batch_id") > upto_batch_id)
         tmp = path + "_compacting"
+        shutil.rmtree(tmp, ignore_errors=True)
         old.unionByName(tip).write.mode("overwrite").partitionBy(
             "_batch_id"
         ).parquet(tmp)
-        shutil.rmtree(path)
+        prev = path + "_old"
+        shutil.rmtree(prev, ignore_errors=True)
+        os.rename(path, prev)
         os.rename(tmp, path)
+        shutil.rmtree(prev)
 
 
 def emitted_pairs(spark: SparkSession, state_dir: str) -> DataFrame:

@@ -502,14 +502,12 @@ def test_ann_index_prebuilt_identical_pq(spark, sf_dir, tmp_path):
     parquet round-tripped) must return exactly the derive-in-query
     `sim_ann_pq` result — codebook training and encoding never run at
     query time."""
-    import math
-
     from pyspark.sql import functions as F
 
     from odl_etl_spark.io.sources import cached_count, spread
-    from odl_etl_spark.operators.ann_index import pq_index, pq_probe
+    from odl_etl_spark.operators.ann_index import pq_index, pq_probe, pq_r_pool
     from odl_etl_spark.queries import registry
-    from odl_etl_spark.queries.similarity import _PQ_R_MAX, _probe_vec
+    from odl_etl_spark.queries.similarity import _probe_vec
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -521,10 +519,11 @@ def test_ann_index_prebuilt_identical_pq(spark, sf_dir, tmp_path):
     codes_s = spark.read.parquet(str(tmp_path / "pq_codes"))
     probe = _probe_vec(spark, sf_dir, 0)
     n_corpus = cached_count(spark, sf_dir, "embeddings") - 1
-    r_pool = min(int(math.ceil(0.25 * n_corpus)), _PQ_R_MAX)
     got = [
         tuple(r)
-        for r in pq_probe(codes_s, cent_s, e, probe, r_pool, k=10).collect()
+        for r in pq_probe(
+            codes_s, cent_s, e, probe, pq_r_pool(n_corpus), k=10
+        ).collect()
     ]
     want = [
         tuple(r) for r in registry()["sim_ann_pq"].build(spark, sf_dir).collect()

@@ -22,7 +22,12 @@ from odl_etl_spark.queries.compose import _maxsim_score_sql
 from odl_etl_spark.queries.similarity import _DOT
 
 SCALES = ["sf0.001", "sf0.01", "sf0.1"]
-ROOT = "/root/testdata"
+# Fixture root: honor the same env convention as bench.py — the sweep
+# must be reproducible wherever the fixtures live. SPARK_GRAFT_SF_DIR
+# points AT a scale dir (e.g. .../sf0.1); its parent is the root.
+ROOT = os.path.dirname(
+    os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/")
+)
 
 
 def rerank_sql(n_planes: int, radius: int) -> str:
