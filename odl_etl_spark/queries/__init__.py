@@ -96,11 +96,16 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
     `sim_knn_join`, `multimodal_audio_features`, `emb_kmeans`,
     `sketch_countmin`, `text_bm25`, `corpus_split`,
     `text_unigram_ppl`, `dedup_span_coverage`, `basket_pairs`), then
-    any round-8 additions without a driver row (the persisted-ANN-index
-    probe keys), then any keys whose plan changed in round 8, then the
-    oldest r6-checked keys in registry order to fill 50. Steady-state
-    cadence (≈50 checked/round vs ≤5 added/round) keeps staleness ≤2
-    rounds."""
+    the 3 round-8 additions without a driver row
+    (`sim_ann_hyperplane_probe`, `sim_ann_pq_probe`,
+    `sim_ann_ivf_probe` — tri-scale selfcheck-green,
+    SELFCHECK_r08*.json), then the round-8 builder-refactored keys
+    whose composed-builder rewrite touched their construction
+    (`sim_ann_hyperplane`, `sim_ann_pq`, `sim_ann_ivf` — re-verified
+    hash-green tri-scale after the refactor, but the driver row is the
+    hard signal), then the oldest r6-checked keys in registry order to
+    fill 50. Steady-state cadence (≈50 checked/round vs ≤5 added/round)
+    keeps staleness ≤2 rounds."""
     first = [
         # --- round-8 window (VERDICT r7 Next-round #1): the 26 r4-stale
         # keys in registry order ---
