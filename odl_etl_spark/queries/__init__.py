@@ -68,100 +68,93 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
     the first 50 registry keys per round, so ordering is the verification
     budget.
 
-    Round-8 window (VERDICT.md r7, Next-round #1 — the pre-written
-    rotation, applied verbatim): the 26 remaining r4-checked keys in
-    registry order (`agg_stats` … `orders_backlog`), then the 3 round-7
-    composition additions that have never had a driver CORRECTNESS row
-    (`sim_rerank_pipeline`, `dedup_stream_ingest`,
-    `corpus_curation_funnel` — tri-scale selfcheck-green,
-    SELFCHECK_r07*.json, independently re-verified by the r7 judge),
-    then changed-plan `sim_maxsim` (round-7 higher-order-function
-    scorer; changed-plan keys join the next window, the
-    `graph_pagerank` r7 precedent), then the 20 oldest r5-checked keys
-    in registry order (`sink_orc_roundtrip` … `text_token_count`) —
-    exactly 50. Keys whose plan changed THIS round and sit in the
-    window are re-verified hash-green tri-scale before the rotation
-    lands (`sim_rerank_pipeline` candidate-budget raise, ADVICE r7
-    #3). After this window lands green, every registry key has a
-    driver row and none is older than r5.
-
-    Round-9 rotation plan (do NOT apply before the r8 driver run
-    lands): the 30 remaining r5-checked keys in registry order
-    (`text_quality`, `text_langid`, `text_fingerprint`, `dedup_exact`,
-    `dedup_fingerprint`, `dedup_ngram_jaccard`, `dedup_near`,
-    `dedup_simhash`, `dedup_cluster`, `text_tfidf`, `text_pii_scrub`,
-    `text_winnow_fp`, `sample_stratified`, `text_bpe_count`,
-    `corpus_filter`, `text_chunk`, `sim_topk`, `sim_pairwise_label`,
-    `sim_ann_ivf`, `emb_centroid_dist`, `dedup_embedding`,
-    `sim_knn_join`, `multimodal_audio_features`, `emb_kmeans`,
-    `sketch_countmin`, `text_bm25`, `corpus_split`,
-    `text_unigram_ppl`, `dedup_span_coverage`, `basket_pairs`), then
-    the 3 round-8 additions without a driver row
+    Round-9 window (VERDICT.md r8, Next-round #1 — the pre-written
+    rotation, applied verbatim): the 30 remaining r5-checked keys in
+    registry order (`text_quality` … `basket_pairs`), then the 3
+    round-8 additions that have never had a driver CORRECTNESS row
     (`sim_ann_hyperplane_probe`, `sim_ann_pq_probe`,
-    `sim_ann_ivf_probe` — tri-scale selfcheck-green,
-    SELFCHECK_r08*.json), then the round-8 builder-refactored keys
-    whose composed-builder rewrite touched their construction
-    (`sim_ann_hyperplane`, `sim_ann_pq`, `sim_ann_ivf` — re-verified
-    hash-green tri-scale after the refactor, but the driver row is the
-    hard signal), then the oldest r6-checked keys in registry order to
-    fill 50. Steady-state cadence (≈50 checked/round vs ≤5 added/round)
-    keeps staleness ≤2 rounds."""
+    `sim_ann_ivf_probe` — tri-scale selfcheck-green, SELFCHECK_r08*,
+    and independently re-verified hash-green by the r8 judge), then
+    the round-8 composed-builder-refactored keys `sim_ann_hyperplane`
+    and `sim_ann_pq` (`sim_ann_ivf` already sits in the r5-stale set
+    above; changed-plan keys join the next window, the `sim_maxsim`
+    r8 precedent), then the 15 oldest r6-checked keys in registry
+    order (`scan_parquet` … `agg_mode`) — exactly 50. After this
+    window lands green, every registry key has a driver row and the
+    oldest check is r6 (34 keys), meeting the ≤2-round staleness
+    cadence at the next rotation.
+
+    Round-10 rotation plan (do NOT apply before the r9 driver run
+    lands): the 34 r6-checked keys that survive the round-9 window,
+    in registry order (`unpivot_long`, `agg_corr`,
+    `timeseries_gapfill`, `win_first_last`, `stream_cdc_apply`,
+    `events_funnel`, `events_retention`, `events_transitions`,
+    `events_sessionize`, `events_attribution`, `scd2_point_in_time`,
+    `dedup_url`, `text_keywords`, `graph_triangles`, `sketch_bloom`,
+    `sql_tpch_q10`, `sql_recursive_cte`, then `sql_tpch_q2`,
+    `sql_tpch_q4`, `sql_tpch_q6` … `sql_tpch_q22` — the 17
+    TPC-H/recursive keys), then any round-9 additions without a
+    driver row (`ann_index_ingest_probe`, `stream_tws_totals` if
+    landed), then any keys whose plan changed in round 9, then the
+    oldest r7-checked keys in registry order to fill 50. Steady-state
+    cadence (≈50 checked/round vs ≤5 added/round) keeps staleness
+    ≤2 rounds."""
     first = [
-        # --- round-8 window (VERDICT r7 Next-round #1): the 26 r4-stale
+        # --- round-9 window (VERDICT r8 Next-round #1): the 30 r5-stale
         # keys in registry order ---
-        "agg_stats",
-        "agg_collect",
-        "agg_distinct",
-        "agg_rollup",
-        "agg_cube",
-        "agg_gsets",
-        "agg_having",
-        "win_rank",
-        "win_analytic",
-        "win_frame",
-        "win_ntile",
-        "win_cume",
-        "win_range_frame",
-        "sort_limit",
-        "topk_per_group",
-        "set_union",
-        "set_intersect",
-        "set_except",
-        "stream_tumbling",
-        "stream_sliding",
-        "stream_session",
-        "text_pack_sequences",
-        "emb_covariance",
-        "text_ngram_containment",
-        "events_rfm",
-        "orders_backlog",
-        # --- the 3 round-7 composition keys with no driver row yet ---
-        "sim_rerank_pipeline",
-        "dedup_stream_ingest",
-        "corpus_curation_funnel",
-        # --- changed-plan in round 7 (HOF MaxSim scorer) ---
-        "sim_maxsim",
-        # --- oldest r5-checked keys, registry order, fill to 50 ---
-        "sink_orc_roundtrip",
-        "sink_upsert",
-        "sort_zorder",
-        "scalar_null",
-        "scalar_map",
-        "agg_pivot",
-        "agg_approx_quantile",
-        "agg_approx_distinct",
-        "agg_decimal_exact",
-        "stream_dedup",
-        "stream_interval_join",
-        "scd2_build",
-        "timeseries_resample",
-        "events_anomaly",
-        "events_path_topk",
-        "timeseries_ewma",
-        "text_tokenize_tf",
-        "text_ngrams",
-        "text_lang_stats",
-        "text_token_count",
+        "text_quality",
+        "text_langid",
+        "text_fingerprint",
+        "dedup_exact",
+        "dedup_fingerprint",
+        "dedup_ngram_jaccard",
+        "dedup_near",
+        "dedup_simhash",
+        "dedup_cluster",
+        "text_tfidf",
+        "text_pii_scrub",
+        "text_winnow_fp",
+        "sample_stratified",
+        "text_bpe_count",
+        "corpus_filter",
+        "text_chunk",
+        "sim_topk",
+        "sim_pairwise_label",
+        "sim_ann_ivf",
+        "emb_centroid_dist",
+        "dedup_embedding",
+        "sim_knn_join",
+        "multimodal_audio_features",
+        "emb_kmeans",
+        "sketch_countmin",
+        "text_bm25",
+        "corpus_split",
+        "text_unigram_ppl",
+        "dedup_span_coverage",
+        "basket_pairs",
+        # --- the 3 round-8 stored-index probe keys with no driver row ---
+        "sim_ann_hyperplane_probe",
+        "sim_ann_pq_probe",
+        "sim_ann_ivf_probe",
+        # --- round-8 composed-builder-refactored ANN keys (ivf above) ---
+        "sim_ann_hyperplane",
+        "sim_ann_pq",
+        # --- oldest r6-checked keys, registry order, fill to 50 ---
+        "scan_parquet",
+        "scan_pruned",
+        "sink_csv_roundtrip",
+        "sink_jsonl_roundtrip",
+        "udaf_regression",
+        "explode_posexplode",
+        "scalar_variant",
+        "join_skew_salted",
+        "join_bucketed",
+        "join_fuzzy_match",
+        "join_lateral_topk",
+        "agg_sketch_partial",
+        "agg_exact_median",
+        "agg_histogram",
+        "agg_mode",
     ]
     assert len(first) == 50, len(first)
     assert all(k in out for k in first), sorted(set(first) - set(out))
