@@ -75,6 +75,7 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    query_reps: dict[str, int] = {}
     t_suite = time.perf_counter()
 
     # If the harness times the suite out (SIGTERM), emit the partial
@@ -91,6 +92,7 @@ def main() -> None:
             "sf": sf,
             "n_queries": len(timings),
             "reps": reps,
+            "query_reps": query_reps,
             "wall_seconds": round(time.perf_counter() - t_suite, 3),
             "partial": True,
         }
@@ -103,6 +105,12 @@ def main() -> None:
     # relative to their medians as the registry grows, so they get 2
     # extra reps — a 5-point median for cheap keys costs ~2s total while
     # the heavy keys keep the 3-rep budget.
+    # ADVICE r8 #3: the adaptive-rep decision keys off the CURRENT run's
+    # 3-rep median, so a key oscillating around the threshold can be a
+    # 3-rep median one round and a 5-rep median the next; `query_reps`
+    # records the per-key rep count in the artifact so cross-round
+    # comparisons can detect (and discount) a cadence change instead of
+    # misreading it as drift.
     extra_reps_under = float(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_UNDER", "1.0"))
     for name, q in specs.items():
         q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
@@ -117,6 +125,7 @@ def main() -> None:
                 q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 3)
+        query_reps[name] = len(runs)
     wall = round(time.perf_counter() - t_suite, 3)
     total = round(sum(timings.values()), 3)
 
@@ -128,6 +137,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "reps": reps,
+        "query_reps": query_reps,
         "wall_seconds": wall,
     }
     # The driver records a size-capped stdout *tail*; at 122+ queries the

@@ -84,16 +84,20 @@ def hyperplane_index(
     per query. At 100 TB: partition the stored parquet by ``bucket`` so
     a radius-R probe reads only the ~sum(C(n_planes,r)) matching
     partitions. ``n_planes`` and a checksum of the plane VALUES are
-    stamped as field metadata on ``bucket`` (survives parquet) and
-    validated at probe time — same plane count with different planes
-    would silently bucket everything differently, the worst failure
-    mode for a stored index."""
-    out = df.select(
-        F.col(id_col).alias("_id"),
-        hyperplane_bucket(vec_col, planes).alias("bucket"),
-    )
+    stamped as field metadata and validated at probe time — same plane
+    count with different planes would silently bucket everything
+    differently, the worst failure mode for a stored index. The stamp
+    lives on BOTH columns: ``bucket`` (the natural home) and ``_id`` —
+    because in the recommended ``partitionBy("bucket")`` layout the
+    partition column's schema is rebuilt from directory names on read
+    and its metadata is dropped (ADVICE r8 #1); the ``_id`` data column
+    survives that round-trip, so fail-loud validation still fires in
+    exactly the layout the docstring recommends."""
     meta = {"n_planes": len(planes), "planes_sum": _planes_checksum(planes)}
-    return out.withColumn("bucket", F.col("bucket").alias("bucket", metadata=meta))
+    return df.select(
+        F.col(id_col).alias("_id", metadata=meta),
+        hyperplane_bucket(vec_col, planes).alias("bucket", metadata=meta),
+    )
 
 
 def _planes_checksum(planes: list[list[float]]) -> str:
@@ -109,6 +113,17 @@ def _stamped(index: DataFrame, field: str, key: str) -> int | None:
     for f in index.schema.fields:
         if f.name == field and f.metadata and key in f.metadata:
             return int(f.metadata[key])
+    return None
+
+
+def _stamped_any(index: DataFrame, key: str):
+    """First occurrence of ``key`` in ANY field's metadata — the probe
+    validators use this so the stamp is found whether it survived on
+    ``bucket`` (unpartitioned store) or only on ``_id`` (bucket-
+    partitioned store, where the partition column loses metadata)."""
+    for f in index.schema.fields:
+        if f.metadata and key in f.metadata:
+            return f.metadata[key]
     return None
 
 
@@ -130,22 +145,20 @@ def hyperplane_probe(
     identical to the derive-in-query path (`sim_ann_hyperplane`) —
     pinned by test_ann_index_prebuilt_identical."""
     if planes is not None:
-        stamped = _stamped(index, "bucket", "n_planes")
-        if stamped is not None and stamped != len(planes):
+        stamped = _stamped_any(index, "n_planes")
+        if stamped is not None and int(stamped) != len(planes):
             raise ValueError(
                 f"index was built with n_planes={stamped} but probe called "
                 f"with {len(planes)}; rebuild the index or match the params"
             )
-        for f in index.schema.fields:
-            if f.name == "bucket" and f.metadata and "planes_sum" in f.metadata:
-                want = _planes_checksum(planes)
-                if f.metadata["planes_sum"] != want:
-                    raise ValueError(
-                        "index was built with DIFFERENT plane values than the "
-                        "probe's (same count, mismatched checksum) — every "
-                        "bucket would be wrong; rebuild the index with these "
-                        "planes"
-                    )
+        have_sum = _stamped_any(index, "planes_sum")
+        if have_sum is not None and have_sum != _planes_checksum(planes):
+            raise ValueError(
+                "index was built with DIFFERENT plane values than the "
+                "probe's (same count, mismatched checksum) — every "
+                "bucket would be wrong; rebuild the index with these "
+                "planes"
+            )
     cand_ids = index.where(
         F.bit_count(F.col("bucket").bitwiseXOR(F.lit(probe_bucket))) <= radius
     ).select(F.col("_id").alias(id_col))

@@ -133,6 +133,42 @@ def probe_and_commit_batch(
     ).parquet(os.path.join(state_dir, "index"))
 
 
+def recover_torn_swap(state_dir: str) -> None:
+    """Crash recovery for ``compact_state``'s directory swap (ADVICE r8
+    #2). The swap window — between ``os.rename(path, prev)`` and
+    ``os.rename(tmp, path)`` — leaves the live dir ABSENT with the data
+    intact at ``<sub>_old`` (and a complete staged copy at
+    ``<sub>_compacting``: the staging write finishes before the live dir
+    is ever renamed away). Without recovery, a stream restart would
+    mistake that for a fresh state and re-bootstrap a corpus-only index,
+    silently discarding every committed batch's index rows. Roll the
+    swap FORWARD when the staged copy exists, BACK to the ``_old``
+    backup otherwise; when the live dir is present, leftovers from
+    either side of the window are just stale and are removed."""
+    import shutil
+
+    for sub in ("docs", "index"):
+        path = os.path.join(state_dir, sub)
+        staged = path + "_compacting"
+        prev = path + "_old"
+        if os.path.exists(path):
+            # Live dir present: a leftover staged copy is pre-swap, a
+            # leftover backup is post-swap; the live dir is
+            # authoritative in both cases.
+            shutil.rmtree(staged, ignore_errors=True)
+            shutil.rmtree(prev, ignore_errors=True)
+        elif os.path.exists(staged):
+            # Mid-swap crash: the staged copy is complete — finish the
+            # swap it was about to make.
+            os.rename(staged, path)
+            shutil.rmtree(prev, ignore_errors=True)
+        elif os.path.exists(prev):
+            # Backup only (staged copy gone — outside compact_state's
+            # own crash window, e.g. partial manual cleanup): restore
+            # the pre-compaction copy rather than losing it.
+            os.rename(prev, path)
+
+
 def ingest_dedup_stream(
     arrivals: DataFrame,
     corpus: DataFrame,
@@ -144,8 +180,28 @@ def ingest_dedup_stream(
 ) -> StreamingQuery:
     """Run the ingest-dedup loop over a streaming DataFrame of arriving
     documents. Bootstraps the corpus index if absent, then each
-    micro-batch probes + commits via ``probe_and_commit_batch``."""
-    if _read_or_none(arrivals.sparkSession, os.path.join(state_dir, "index")) is None:
+    micro-batch probes + commits via ``probe_and_commit_batch``.
+
+    A missing index dir is only treated as a torn BOOTSTRAP (safe to
+    rebuild) after ``recover_torn_swap`` has ruled out a torn compaction
+    swap AND the docs store holds nothing beyond the corpus partition —
+    docs with committed batch partitions but no index is an inconsistent
+    state a corpus-only re-bootstrap would silently paper over (every
+    probe would miss duplicates against those batches), so it raises."""
+    spark = arrivals.sparkSession
+    recover_torn_swap(state_dir)
+    if _read_or_none(spark, os.path.join(state_dir, "index")) is None:
+        docs = _read_or_none(spark, os.path.join(state_dir, "docs"))
+        if docs is not None:
+            latest = docs.agg(F.max("_batch_id")).head()[0]
+            if latest is not None and latest > -1:
+                raise RuntimeError(
+                    f"ingest_dedup state at {state_dir!r} has committed docs "
+                    f"through _batch_id={latest} but no index artifact; "
+                    "re-bootstrapping would silently drop those batches from "
+                    "every future probe. Restore the index (or delete the "
+                    "docs store to intentionally start over)."
+                )
         bootstrap_corpus_index(corpus, state_dir, n=n)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -189,8 +245,10 @@ def compact_state(
     The rewrite goes through a staging directory and swaps in with two
     renames (live -> _old, staged -> live) before the old copy is
     deleted, so a crash at ANY point leaves a complete copy of the data
-    on disk (mid-swap it may sit at the _old path, a manual rename to
-    recover — never a silent partial state). The renames are the
+    on disk (mid-swap it sits at the _old/_compacting paths;
+    ``recover_torn_swap`` — run here on entry and by
+    ``ingest_dedup_stream`` on startup — completes or rolls back the
+    swap, never a silent partial state). The renames are the
     non-atomic step on an object store — a deployment fronts the swap
     with a table format (Delta/Iceberg) or a manifest, same caveat as
     every directory-swap in this repo. Stop the ingest stream before
@@ -201,7 +259,14 @@ def compact_state(
     when a torn commit left index/docs at different latest batches."""
     import shutil
 
-    paths = {sub: os.path.join(state_dir, sub) for sub in ("index", "docs")}
+    recover_torn_swap(state_dir)
+    # docs first, index last — same ordering as the commit path. The
+    # convention is immaterial HERE (compaction only relabels _batch_id,
+    # which the probe's exclusion filter ignores for fully-committed
+    # batches), but a mid-loop crash still leaves the two stores at
+    # different compaction states, and keeping one ordering everywhere
+    # means there is exactly one invariant to reason about (ADVICE r8 #4).
+    paths = {sub: os.path.join(state_dir, sub) for sub in ("docs", "index")}
     for sub, path in paths.items():
         latest = spark.read.parquet(path).agg(F.max("_batch_id")).head()[0]
         if latest is not None and upto_batch_id >= latest:

@@ -579,3 +579,51 @@ def test_hyperplane_probe_rejects_different_plane_values(spark, sf_dir, tmp_path
         hyperplane_probe(stored, e, probe, pb, planes=other)
     # The true planes still pass.
     assert hyperplane_probe(stored, e, probe, pb, planes=hps, k=3).count() == 3
+
+
+def test_hyperplane_stamp_survives_bucket_partitioned_layout(spark, sf_dir, tmp_path):
+    """ADVICE r8 #1: the RECOMMENDED storage layout is
+    partitionBy('bucket'), but a partition column's schema is rebuilt
+    from directory names on read and its field metadata is dropped — so
+    the param stamp must also live on the `_id` data column, and the
+    probe's fail-loud validation must still fire on that layout."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from odl_etl_spark.operators.ann_index import (
+        hyperplane_index,
+        hyperplane_probe,
+    )
+    from odl_etl_spark.queries import registry
+    from odl_etl_spark.queries.similarity import hyperplane_params
+
+    e = load_table(spark, sf_dir, "embeddings")
+    hps, probe, pb = hyperplane_params(spark, sf_dir, 5)
+    d = str(tmp_path / "hp_bucketed")
+    hyperplane_index(e.where(F.col("vec_id") != 0), hps).write.partitionBy(
+        "bucket"
+    ).parquet(d)
+    stored = spark.read.parquet(d)
+    # The partition column really does lose its metadata (the failure
+    # mode this test guards), but `_id` keeps the stamp.
+    meta = {f.name: dict(f.metadata or {}) for f in stored.schema.fields}
+    assert "planes_sum" not in meta.get("bucket", {})
+    assert "planes_sum" in meta["_id"] and "n_planes" in meta["_id"]
+    # Fail-loud validation fires on the partitioned layout...
+    with pytest.raises(ValueError, match="n_planes=5"):
+        hyperplane_probe(stored, e, probe, pb, planes=hps[:4])
+    other = [[v + 0.25 for v in hp] for hp in hps]
+    with pytest.raises(ValueError, match="DIFFERENT plane values"):
+        hyperplane_probe(stored, e, probe, pb, planes=other)
+    # ...and a correct probe is identical to the derive-in-query key.
+    got = [
+        tuple(r)
+        for r in hyperplane_probe(
+            stored, e, probe, pb, planes=hps, radius=2, k=10
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in registry()["sim_ann_hyperplane"].build(spark, sf_dir).collect()
+    ]
+    assert got == want

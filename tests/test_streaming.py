@@ -779,3 +779,138 @@ def test_stream_ingest_compaction_preserves_probe_and_bounds_partitions(
         if d.startswith("_batch_id=")
     }
     assert docs_parts == {"_batch_id=-1", "_batch_id=1", "_batch_id=2"}
+
+
+def test_stream_ingest_torn_compaction_swap_recovers_not_rebootstraps(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ADVICE r8 #2: compact_state's crash window (live dir renamed to
+    _old, staged copy not yet renamed in) leaves the index dir ABSENT
+    with all committed data intact next to it. A stream restart must
+    COMPLETE the swap — not mistake the state for a fresh bootstrap and
+    rebuild a corpus-only index, which would silently drop every
+    committed batch's rows from all future probes."""
+    import pyspark.sql.types as T
+
+    from odl_etl_spark.streaming.ingest_dedup import (
+        bootstrap_corpus_index,
+        compact_state,
+        ingest_dedup_stream,
+        probe_and_commit_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    corpus = docs.where(F.col("source") != "src1")
+    batches = [
+        docs.where((F.col("source") == "src1") & (F.col("doc_id") % 3 == i))
+        for i in range(3)
+    ]
+
+    # Pre-crash commits use batch ids 10/11 so the RESTARTED stream's
+    # fresh checkpoint (foreachBatch ids restart at 0) cannot collide
+    # with — and replay-overwrite — an already-committed partition.
+    def ingest(state):
+        bootstrap_corpus_index(corpus, state)
+        for i, b in zip((10, 11), batches[:2]):
+            probe_and_commit_batch(b, i, state)
+
+    # Clean reference: compaction succeeds, then batch 2 arrives (id 0,
+    # matching the restarted stream's first batch id).
+    clean = str(tmp_path / "clean")
+    ingest(clean)
+    compact_state(spark, clean, 10)
+    probe_and_commit_batch(batches[2], 0, clean)
+    want = _emitted_set(spark, clean)
+
+    # Crashed run: kill compact_state mid-swap on the SECOND store
+    # (docs fully swapped; index renamed away but staged copy not yet
+    # renamed in — renames go path->_old, _compacting->path per store).
+    crashed = str(tmp_path / "crashed")
+    ingest(crashed)
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def crashing_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 4:  # index's _compacting -> live rename
+            raise OSError("simulated crash mid-swap")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    with pytest.raises(OSError, match="simulated crash"):
+        compact_state(spark, crashed, 10)
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert not os.path.exists(os.path.join(crashed, "index"))
+    assert os.path.exists(os.path.join(crashed, "index_old"))
+    assert os.path.exists(os.path.join(crashed, "index_compacting"))
+
+    # Restart the stream on the crashed state with batch 2 arriving.
+    arrivals_dir = str(tmp_path / "arrivals")
+    os.makedirs(arrivals_dir)
+    stage = str(tmp_path / "_stage")
+    batches[2].coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    shutil.move(os.path.join(stage, part), os.path.join(arrivals_dir, "b2.parquet"))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    arrivals = spark.readStream.schema(schema).parquet(arrivals_dir)
+    q = ingest_dedup_stream(
+        arrivals, corpus, crashed, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(300)
+    # The restarted stream's first batch id is 0 in both runs, so the
+    # full provenance-carrying pair sets must match exactly.
+    assert _emitted_set(spark, crashed) == want
+    # The recovered index kept the compacted layout + the uncompacted
+    # tip (corpus-only would mean the swap was NOT recovered).
+    index = spark.read.parquet(os.path.join(crashed, "index"))
+    got_parts = {
+        r["_batch_id"] for r in index.select("_batch_id").distinct().collect()
+    }
+    assert {-1, 11} <= got_parts
+    assert not os.path.exists(os.path.join(crashed, "index_old"))
+    assert not os.path.exists(os.path.join(crashed, "index_compacting"))
+
+
+def test_stream_ingest_refuses_rebootstrap_over_committed_docs(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r8 #2 (second clause): docs holding committed batch
+    partitions with NO index artifact (and no torn-swap leftovers to
+    recover from) is an inconsistent state; auto-bootstrap would
+    silently paper over it with a corpus-only index, so the stream must
+    refuse loudly instead."""
+    import pyspark.sql.types as T
+
+    from odl_etl_spark.streaming.ingest_dedup import (
+        bootstrap_corpus_index,
+        ingest_dedup_stream,
+        probe_and_commit_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    corpus = docs.where(F.col("source") != "src1")
+    state = str(tmp_path / "state")
+    bootstrap_corpus_index(corpus, state)
+    probe_and_commit_batch(docs.where(F.col("source") == "src1"), 0, state)
+    shutil.rmtree(os.path.join(state, "index"))  # index lost outright
+
+    arrivals_dir = str(tmp_path / "arrivals")
+    os.makedirs(arrivals_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    arrivals = spark.readStream.schema(schema).parquet(arrivals_dir)
+    with pytest.raises(RuntimeError, match="committed docs"):
+        ingest_dedup_stream(
+            arrivals, corpus, state, str(tmp_path / "ckpt"), available_now=True
+        )
