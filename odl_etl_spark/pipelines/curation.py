@@ -82,6 +82,13 @@ def curate_corpus(
         F.coalesce(quality_ok, F.lit(False)).alias("_q"),
         F.coalesce(lang_ok, F.lit(False)).alias("_l"),
     )
+    # base is read twice — the survivor pipeline below and the funnel
+    # accounting join at the end; without a cut the second reader re-runs
+    # the full scan + gate expressions (isolated profile, round 9:
+    # ~1.3s/pass at sf0.1, the whole-corpus pass at 100 TB). One
+    # corpus-sized materialization in exchange, the same trade
+    # exact_kept already makes.
+    base = materialize(base)
     survivors = base.where(F.col("_q") & F.col("_l")).select(
         "doc_id", "text", "lang", "source"
     )
