@@ -166,6 +166,50 @@ def hyperplane_probe(
     return topk_cosine(cand, probe_vec, k=k, round_to=6)
 
 
+def hyperplane_index_append(
+    index: DataFrame,
+    new_df: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental maintenance for a stored hyperplane index (VERDICT r8
+    #4 — the ``minhash_band_index`` → ingest/compaction precedent applied
+    to the vector tier): encode ONLY the newly arrived vectors against
+    the STAMPED plane set and return their (``_id``, ``bucket``) rows,
+    ready to append to the stored relation (at scale:
+    ``write.mode("append").partitionBy("bucket")`` — dynamic overwrite is
+    not needed because signature rows are immutable). Because the planes
+    are fixed parameters, append ≡ rebuild EXACTLY — pinned by
+    test_hyperplane_index_append_equals_rebuild and driver-oracled end to
+    end by the `ann_index_ingest_probe` key.
+
+    Fail-loud contract: appending is exactly the operation where silently
+    mismatched params corrupt a store for every future probe, so a
+    missing stamp REFUSES (unlike the probe, which tolerates legacy
+    unstamped indexes read-only)."""
+    stamped_n = _stamped_any(index, "n_planes")
+    stamped_sum = _stamped_any(index, "planes_sum")
+    if stamped_n is None or stamped_sum is None:
+        raise ValueError(
+            "refusing to append to an unstamped hyperplane index — cannot "
+            "verify it was built with these planes; rebuild via "
+            "hyperplane_index() (which stamps n_planes/planes_sum)"
+        )
+    if int(stamped_n) != len(planes):
+        raise ValueError(
+            f"index was built with n_planes={stamped_n} but append called "
+            f"with {len(planes)}; appending would corrupt the store"
+        )
+    if stamped_sum != _planes_checksum(planes):
+        raise ValueError(
+            "index was built with DIFFERENT plane values than the append's "
+            "(same count, mismatched checksum); appending would corrupt "
+            "the store"
+        )
+    return hyperplane_index(new_df, planes, id_col=id_col, vec_col=vec_col)
+
+
 def pq_explode(e: DataFrame) -> DataFrame:
     """(vec_id, i, x, sub, init_code) element view of an embeddings
     frame with columns (vec_id, v: array<double>) — the shared input of
@@ -225,13 +269,86 @@ def pq_encode(ex: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-def pq_index(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+def pq_index(
+    e: DataFrame, train_stamp: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """Build both PQ artifacts for an embeddings frame with (vec_id, v):
     ``(codebook, codes)``. Persist both; a probe needs only these two
-    relations plus the raw vectors of its final shortlist."""
+    relations plus the raw vectors of its final shortlist.
+
+    ``train_stamp=True`` additionally stamps ``pq_train_n`` (the number
+    of vectors the codebook was trained on) as field metadata on the
+    codebook's ``code`` column — one extra count job at build time, and
+    the prerequisite for ``pq_index_append``'s staleness contract. Off
+    by default so the derive-in-query keys' plans are unchanged; a
+    deployment building the stored artifact should pass True."""
     ex = pq_explode(e)
     cent = pq_codebook(ex)
+    if train_stamp:
+        n_train = e.where(F.col("vec_id") != 0).select("vec_id").distinct().count()
+        cent = cent.withColumn(
+            "code",
+            F.col("code").alias(
+                "code", metadata={"pq_subs": PQ_SUBS, "pq_train_n": n_train}
+            ),
+        )
     return cent, pq_encode(ex, cent)
+
+
+# pq_index_append staleness contract: refuse once the post-append corpus
+# exceeds the training set by this fraction — the codebook's centroids
+# no longer describe the data distribution it quantizes, and ADC
+# shortlists silently degrade (the exact re-rank hides it for the
+# shortlist that IS found, not for the neighbours it misses).
+PQ_MAX_TRAIN_DRIFT = 0.5
+
+
+def pq_index_append(
+    cent: DataFrame,
+    codes: DataFrame,
+    new_e: DataFrame,
+    max_drift: float = PQ_MAX_TRAIN_DRIFT,
+) -> DataFrame:
+    """Incremental maintenance for a stored PQ index (VERDICT r8 #4):
+    encode ONLY the newly arrived vectors (``(vec_id, v)`` frame) against
+    the STORED codebook and return their (vec_id, sub, code) rows, ready
+    to append to the stored codes relation. ``pq_encode`` is
+    deterministic given a codebook, so append ≡ re-encoding the enlarged
+    corpus against the SAME codebook, exactly — pinned by
+    test_pq_index_append_equals_reencode. What appending canNOT fix is
+    codebook staleness: the centroids were trained on the original
+    corpus, so this refuses (ValueError) once the post-append corpus
+    drifts past ``max_drift`` of the stamped training size — retrain via
+    ``pq_index(all_vectors, train_stamp=True)`` at that point (the
+    ``compact_state`` analogue for the vector tier)."""
+    stamped_subs = _stamped_any(cent, "pq_subs")
+    if stamped_subs is not None and int(stamped_subs) != PQ_SUBS:
+        raise ValueError(
+            f"PQ codebook was built with pq_subs={stamped_subs}, engine "
+            f"expects {PQ_SUBS}; rebuild the index"
+        )
+    n_train = _stamped_any(cent, "pq_train_n")
+    if n_train is None:
+        raise ValueError(
+            "refusing to append to a PQ index whose codebook lacks the "
+            "pq_train_n training stamp — staleness cannot be enforced; "
+            "rebuild via pq_index(e, train_stamp=True)"
+        )
+    n_train = int(n_train)
+    # Parameter-data counts (index-cardinality aggregates, not corpus
+    # scans): the stored codes hold PQ_SUBS rows per encoded vector.
+    n_existing = codes.select("vec_id").distinct().count()
+    n_new = new_e.where(F.col("vec_id") != 0).select("vec_id").distinct().count()
+    drift = (n_existing + n_new - n_train) / max(n_train, 1)
+    if drift > max_drift:
+        raise ValueError(
+            f"PQ codebook staleness: post-append corpus would be "
+            f"{n_existing + n_new} vectors vs {n_train} trained on "
+            f"({drift:.0%} drift > {max_drift:.0%} threshold) — retrain "
+            "the codebook (pq_index(all_vectors, train_stamp=True)) "
+            "instead of appending"
+        )
+    return pq_encode(pq_explode(new_e), cent)
 
 
 def pq_probe(

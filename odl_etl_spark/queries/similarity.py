@@ -811,6 +811,54 @@ def sim_ann_pq_probe(spark, sf_dir):
     return pq_probe(codes, cent, e, probe, pq_r_pool(n_corpus), k=10)
 
 
+@spec(
+    "ann_index_ingest_probe",
+    _HYPERPLANE_ORACLE,
+    doc=(
+        "Daily-ingest maintenance for the stored vector index (VERDICT "
+        "r8 #4/#5, the `dedup_incremental` posture applied to the ANN "
+        "tier): the hyperplane signature index is built ONCE over the "
+        "standing corpus (vec_id % 5 != 4), then a 'daily batch' (the "
+        "remaining vectors) arrives and is append-encoded against the "
+        "STAMPED plane set via operators/ann_index."
+        "hyperplane_index_append — which validates the n_planes + "
+        "plane-values checksum stamps and refuses to append to an "
+        "unstamped or param-mismatched store. The probe then searches "
+        "the unioned (stored ∪ appended) index. Because the planes are "
+        "fixed parameters, append ≡ rebuild EXACTLY, so this key "
+        "shares `sim_ann_hyperplane`'s oracle: the driver's hash "
+        "compare IS the append≡rebuild proof at every scale. At 100 TB "
+        "the append rows land `mode('append').partitionBy('bucket')` "
+        "into the stored layout — signature rows are immutable, no "
+        "dynamic overwrite needed — and only the new batch is ever "
+        "re-encoded (the PQ analogue, pq_index_append, additionally "
+        "enforces a codebook-staleness threshold; unit-pinned in "
+        "tests/test_operators.py since its append is "
+        "codebook-stale-by-design and not rebuild-identical)."
+    ),
+)
+def ann_index_ingest_probe(spark, sf_dir):
+    from odl_etl_spark.operators.ann_index import (
+        hyperplane_index,
+        hyperplane_index_append,
+        hyperplane_probe,
+    )
+    from odl_etl_spark.operators.materialize import materialize
+
+    e = load_table(spark, sf_dir, "embeddings")
+    hps, probe, probe_bucket = hyperplane_params(spark, sf_dir, 5)
+    standing = e.where((F.col("vec_id") != 0) & (F.col("vec_id") % 5 != 4))
+    arriving = e.where((F.col("vec_id") != 0) & (F.col("vec_id") % 5 == 4))
+    # The stored artifact: built once, materialize() standing in for the
+    # bucket-partitioned parquet (same convention as the *_probe keys).
+    stored = materialize(hyperplane_index(standing, hps))
+    appended = hyperplane_index_append(stored, arriving, hps)
+    index = stored.unionByName(appended)
+    return hyperplane_probe(
+        index, e, probe, probe_bucket, planes=hps, radius=2, k=10
+    )
+
+
 SPECS = [
     sim_topk,
     sim_pairwise_label,
@@ -825,4 +873,5 @@ SPECS = [
     sim_ann_hyperplane_probe,
     sim_ann_pq_probe,
     sim_ann_ivf_probe,
+    ann_index_ingest_probe,
 ]

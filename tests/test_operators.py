@@ -581,6 +581,110 @@ def test_hyperplane_probe_rejects_different_plane_values(spark, sf_dir, tmp_path
     assert hyperplane_probe(stored, e, probe, pb, planes=hps, k=3).count() == 3
 
 
+def test_hyperplane_index_append_equals_rebuild(spark, sf_dir, tmp_path):
+    """VERDICT r8 #4: append-encoding a daily batch against the stamped
+    plane set, unioned with the stored rows, must equal a full rebuild
+    bit-for-bit (planes are fixed parameters) — including through the
+    bucket-partitioned parquet layout a deployment appends into. An
+    unstamped or param-mismatched store refuses the append."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from odl_etl_spark.operators.ann_index import (
+        hyperplane_index,
+        hyperplane_index_append,
+    )
+    from odl_etl_spark.queries.similarity import hyperplane_params
+
+    e = load_table(spark, sf_dir, "embeddings")
+    hps, _, _ = hyperplane_params(spark, sf_dir, 5)
+    standing = e.where((F.col("vec_id") != 0) & (F.col("vec_id") % 5 != 4))
+    arriving = e.where((F.col("vec_id") != 0) & (F.col("vec_id") % 5 == 4))
+    d = str(tmp_path / "hp_store")
+    hyperplane_index(standing, hps).write.partitionBy("bucket").parquet(d)
+    stored = spark.read.parquet(d)
+    # Append through the stored layout (mode=append, same partitioning).
+    hyperplane_index_append(stored, arriving, hps).write.mode(
+        "append"
+    ).partitionBy("bucket").parquet(d)
+    got = {
+        (r["_id"], r["bucket"]) for r in spark.read.parquet(d).collect()
+    }
+    want = {
+        (r["_id"], r["bucket"])
+        for r in hyperplane_index(
+            e.where(F.col("vec_id") != 0), hps
+        ).collect()
+    }
+    assert got == want
+    # Param-mismatch and unstamped stores refuse.
+    with pytest.raises(ValueError, match="n_planes=5"):
+        hyperplane_index_append(stored, arriving, hps[:4])
+    other = [[v + 0.25 for v in hp] for hp in hps]
+    with pytest.raises(ValueError, match="DIFFERENT plane values"):
+        hyperplane_index_append(stored, arriving, other)
+    unstamped = stored.select(
+        F.col("_id").cast("long").alias("_id"), "bucket"
+    )
+    with pytest.raises(ValueError, match="unstamped"):
+        hyperplane_index_append(unstamped, arriving, hps)
+
+
+def test_pq_index_append_equals_reencode_and_enforces_staleness(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r8 #4 (PQ): appending encodes ONLY the new vectors
+    against the STORED codebook, and must equal re-encoding the enlarged
+    corpus against that same codebook (pq_encode is deterministic given
+    a codebook). Appending past the stamped training size's drift
+    threshold refuses — the codebook no longer describes the corpus —
+    as does appending to a codebook without the training stamp."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from odl_etl_spark.operators.ann_index import (
+        pq_index,
+        pq_index_append,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    standing = e.where((F.col("vec_id") == 0) | (F.col("vec_id") % 5 != 4))
+    arriving = e.where((F.col("vec_id") != 0) & (F.col("vec_id") % 5 == 4))
+    cent, codes = pq_index(standing, train_stamp=True)
+    # Parquet round-trip: the staleness contract must survive the store.
+    cent.write.parquet(str(tmp_path / "cb"))
+    codes.write.parquet(str(tmp_path / "codes"))
+    cent_s = spark.read.parquet(str(tmp_path / "cb"))
+    codes_s = spark.read.parquet(str(tmp_path / "codes"))
+    appended = pq_index_append(cent_s, codes_s, arriving)
+    got = {
+        (r["vec_id"], r["sub"], r["code"])
+        for r in codes_s.unionByName(appended).collect()
+    }
+    # Re-encode the enlarged corpus against the SAME (stored) codebook.
+    from odl_etl_spark.operators.ann_index import pq_encode, pq_explode
+
+    want = {
+        (r["vec_id"], r["sub"], r["code"])
+        for r in pq_encode(pq_explode(e), cent_s).collect()
+    }
+    assert got == want
+    # Staleness: an append that would blow past the drift threshold
+    # refuses with the retrain instruction.
+    replicas = e.where(F.col("vec_id") != 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "v"
+    )
+    big_batch = arriving.unionByName(replicas)
+    with pytest.raises(ValueError, match="staleness"):
+        pq_index_append(cent_s, codes_s, big_batch)
+    # No training stamp -> refuse (staleness unenforceable).
+    cent_plain, codes_plain = pq_index(standing)
+    with pytest.raises(ValueError, match="pq_train_n"):
+        pq_index_append(cent_plain, codes_plain, arriving)
+
+
 def test_hyperplane_stamp_survives_bucket_partitioned_layout(spark, sf_dir, tmp_path):
     """ADVICE r8 #1: the RECOMMENDED storage layout is
     partitionBy('bucket'), but a partition column's schema is rebuilt
