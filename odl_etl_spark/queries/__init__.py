@@ -93,9 +93,10 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
     `dedup_url`, `text_keywords`, `graph_triangles`, `sketch_bloom`,
     `sql_tpch_q10`, `sql_recursive_cte`, then `sql_tpch_q2`,
     `sql_tpch_q4`, `sql_tpch_q6` … `sql_tpch_q22` — the 17
-    TPC-H/recursive keys), then any round-9 additions without a
-    driver row (`ann_index_ingest_probe`, `stream_tws_totals` if
-    landed), then any keys whose plan changed in round 9, then the
+    TPC-H/recursive keys), then the round-9 additions without a
+    driver row (`ann_index_ingest_probe`, `stream_running_totals`),
+    then the keys whose plan changed in round 9
+    (`corpus_curation_funnel` — the materialize(base) cut), then the
     oldest r7-checked keys in registry order to fill 50. Steady-state
     cadence (≈50 checked/round vs ≤5 added/round) keeps staleness
     ≤2 rounds."""

@@ -229,6 +229,65 @@ def stream_cdc_apply(spark, sf_dir):
     )
 
 
+@spec(
+    "stream_running_totals",
+    """
+    WITH b AS (
+      SELECT user_id, value,
+             NTILE(4) OVER (ORDER BY ts, event_id) AS batch
+      FROM events
+    ), per AS (
+      SELECT batch, user_id, COUNT(*) AS n, SUM(value) AS v
+      FROM b GROUP BY batch, user_id
+    )
+    SELECT batch, user_id,
+           SUM(n) OVER (PARTITION BY user_id ORDER BY batch) AS n_events,
+           ROUND(SUM(v) OVER (PARTITION BY user_id ORDER BY batch) * 100)
+             / 100 AS total_value
+    FROM per
+    """,
+    doc=(
+        "Batch-equivalent of the custom stateful operator "
+        "streaming/stateful.running_user_totals (applyInPandasWithState "
+        "per-user running count/sum): events replayed as 4 deterministic "
+        "arrival slices (exact NTILE over (ts, event_id) via "
+        "operators/ranking.ntile_exact — range-shuffle + partition "
+        "offsets, no single-task global window), and the result is the "
+        "operator's full UPDATE-MODE EMISSION HISTORY — one row per "
+        "(batch, user present in it) carrying the post-batch cumulative "
+        "state — not just the final totals. The true readStream version "
+        "is pinned row-identical to this key in tests/test_streaming.py "
+        "(memory-sink updates == key rows on the same slicing), which "
+        "closes the loop: the driver's DuckDB hash check oracles the "
+        "batch form, and the tie test carries that guarantee onto the "
+        "stateful streaming path. (transformWithStateInPandas runs the "
+        "same processor on Spark 4, but its state-server protocol needs "
+        "protobuf, absent in this harness — running_user_totals_tws "
+        "stays unit-covered with a documented skip.) At 100 TB: "
+        "per-(batch,user) partial aggs map-side combine; the cumulative "
+        "window partitions by user — state-store semantics without "
+        "state-store scans in the replay form."
+    ),
+)
+def stream_running_totals(spark, sf_dir):
+    from odl_etl_spark.operators.ranking import ntile_exact
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "value", "ts", "event_id"
+    )
+    batched = ntile_exact(e, ["ts", "event_id"], 4, tile_col="batch")
+    per = batched.groupBy("batch", "user_id").agg(
+        F.count("*").alias("_n"), F.sum("value").alias("_v")
+    )
+    w = Window.partitionBy("user_id").orderBy("batch")
+    return per.select(
+        "batch",
+        "user_id",
+        F.sum("_n").over(w).alias("n_events"),
+        roundn(F.sum("_v").over(w), 2).alias("total_value"),
+    )
+
+
 SPECS = [
     stream_tumbling,
     stream_sliding,
@@ -236,4 +295,5 @@ SPECS = [
     stream_dedup,
     stream_interval_join,
     stream_cdc_apply,
+    stream_running_totals,
 ]

@@ -139,6 +139,60 @@ def test_stream_dedup_drops_cross_batch_duplicates(spark, events_dir, tmp_path):
     assert n_rows == n_out == src.select("event_id").distinct().count()
 
 
+def test_stateful_running_totals_matches_batch_key(spark, sf_dir, tmp_path):
+    """The true applyInPandasWithState stream, replayed over the SAME
+    4-slice arrival order the `stream_running_totals` key simulates
+    (exact NTILE over (ts, event_id)), must emit EXACTLY the key's rows:
+    the memory sink's update history is the per-batch cumulative state.
+    This ties the driver-oracled batch form to the stateful streaming
+    path — the oracle hash check covers the replay, this pin carries it
+    onto the state-store operator."""
+    from pyspark.sql import Window as W
+
+    from odl_etl_spark.queries import registry
+    from odl_etl_spark.streaming.stateful import running_user_totals
+
+    ev = load_table(spark, sf_dir, "events")
+    sliced = ev.select(
+        "*", F.ntile(4).over(W.orderBy("ts", "event_id")).alias("_slice")
+    )
+    out = str(tmp_path / "slices")
+    os.makedirs(out)
+    for i in range(1, 5):
+        stage = str(tmp_path / f"_stage{i}")
+        (
+            sliced.where(F.col("_slice") == i)
+            .drop("_slice")
+            .withColumn("ts", F.unix_micros("ts") * 1000)  # ns longs
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(out, f"batch_{i}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        shutil.rmtree(stage)
+    stream = events_stream(spark, out, max_files_per_trigger=1)
+    _run_stream(running_user_totals(stream), "t_srt_tie", mode="update")
+    from odl_etl_spark.functions.numeric import roundn
+
+    # Engine-side rounding (same roundn the key uses) — Python round()
+    # is banker's and would flake on an exact .5 tie (ADVICE r7 #4).
+    streamed = {
+        (r["user_id"], r["n_events"], r["tv"])
+        for r in spark.table("t_srt_tie")
+        .select("user_id", "n_events", roundn(F.col("total_value"), 2).alias("tv"))
+        .collect()
+    }
+    key_rows = {
+        (r["user_id"], r["n_events"], r["total_value"])
+        for r in registry()["stream_running_totals"].build(spark, sf_dir).collect()
+    }
+    assert streamed == key_rows
+    assert streamed  # every batch emits rows
+
+
 def test_stateful_running_totals_accumulate(spark, events_dir):
     stream = events_stream(spark, events_dir, max_files_per_trigger=1)
     _run_stream(running_user_totals(stream), "t_state", mode="update")
