@@ -691,3 +691,43 @@ def test_ivf_index_cell_layout_partition_prunes(spark, sf_dir, tmp_path):
     assert "DataFilters: []" in scan_lines[0], scan_lines[0]
     got_cells = {r["cell_id"] for r in flt.select("cell_id").distinct().collect()}
     assert got_cells <= set(cells)
+
+
+def test_stream_running_totals_partial_aggs_one_user_window(spark, sf_dir):
+    """`stream_running_totals` pin: both aggregations show map-side
+    partial functions before their exchange, the cumulative state window
+    partitions by user (parallel sorts — never an unpartitioned window
+    over the events), and the only SinglePartition exchange is the
+    ntile machinery's O(#partitions)-row offset table."""
+    from odl_etl_spark.queries import registry
+
+    df = registry()["stream_running_totals"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan and "partial_sum" in plan, plan
+    assert "windowspecdefinition(user_id" in plan, plan
+    # ntile's offset table is the lone single-partition stage; the
+    # events-level relations never collapse to one partition.
+    single = [l for l in plan.splitlines() if "SinglePartition" in l]
+    assert len(single) <= 1, plan
+
+
+def test_ann_index_ingest_probe_appends_batch_only_no_corpus_shuffle(
+    spark, sf_dir
+):
+    """`ann_index_ingest_probe` pin: the appended batch's signature scan
+    pushes the arrival predicate into the parquet reader (only the new
+    vectors are re-encoded — the daily-ingest contract), the candidate
+    set reaches the raw vectors as a broadcast semi-join, and the final
+    top-k is TakeOrderedAndProject (no global sort, no corpus-wide
+    exchange)."""
+    from odl_etl_spark.queries import registry
+
+    df = registry()["ann_index_ingest_probe"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "LeftSemi" in plan and "BroadcastExchange" in plan, plan
+    # The appended-batch scan carries the arrival filter pushed down.
+    assert "PushedFilters: [IsNotNull(vec_id), Not(EqualTo(vec_id,0))]" in plan or (
+        "Not(EqualTo(vec_id,0))" in plan
+    ), plan
+    assert "SortMergeJoin" not in plan, plan
