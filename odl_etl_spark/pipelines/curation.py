@@ -135,6 +135,16 @@ def curate_corpus(
     )
     # contaminated_ids is also corpus-sized — same no-hint posture as
     # near_drops (the bench-shingle broadcast above is the bounded one).
+    if out_path is not None:
+        # With a lake write, `kept` is evaluated twice (the write below
+        # and the funnel's kept_ids join) — cut the contamination
+        # subtree (corpus-wide shingle explode + semi-join) so the
+        # second evaluation reads the id list instead of re-mining it.
+        # near_drops needs no cut: connected_components already returns
+        # a materialized relation. The funnel-key path (out_path=None)
+        # evaluates `kept` once, so the eager barrier would only add
+        # latency there.
+        contaminated_ids = materialize(contaminated_ids)
     kept = near_kept.join(contaminated_ids, "doc_id", "anti")
 
     # --- single-pass funnel accounting --------------------------------
