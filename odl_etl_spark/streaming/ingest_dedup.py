@@ -133,7 +133,7 @@ def probe_and_commit_batch(
     ).parquet(os.path.join(state_dir, "index"))
 
 
-def recover_torn_swap(state_dir: str) -> None:
+def recover_torn_swap(state_dir: str, subs: tuple[str, ...] = ("docs", "index")) -> None:
     """Crash recovery for ``compact_state``'s directory swap (ADVICE r8
     #2). The swap window — between ``os.rename(path, prev)`` and
     ``os.rename(tmp, path)`` — leaves the live dir ABSENT with the data
@@ -144,10 +144,12 @@ def recover_torn_swap(state_dir: str) -> None:
     silently discarding every committed batch's index rows. Roll the
     swap FORWARD when the staged copy exists, BACK to the ``_old``
     backup otherwise; when the live dir is present, leftovers from
-    either side of the window are just stale and are removed."""
+    either side of the window are just stale and are removed.
+    ``subs`` names the state subdirectories (the ANN ingest loop,
+    streaming/ingest_ann.py, reuses this with its single store)."""
     import shutil
 
-    for sub in ("docs", "index"):
+    for sub in subs:
         path = os.path.join(state_dir, sub)
         staged = path + "_compacting"
         prev = path + "_old"

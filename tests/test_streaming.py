@@ -139,6 +139,107 @@ def test_stream_dedup_drops_cross_batch_duplicates(spark, events_dir, tmp_path):
     assert n_rows == n_out == src.select("event_id").distinct().count()
 
 
+def test_ann_ingest_stream_equals_rebuild_and_compacts(spark, sf_dir, tmp_path):
+    """The vector-tier ingest loop (streaming/ingest_ann.py): bootstrap
+    the corpus signatures, stream two arrival files through foreachBatch
+    append-encode, and the committed store must equal a full rebuild
+    bit-for-bit (fixed planes). Replaying a committed batch is a no-op;
+    probing the ingested store returns the derive-in-query
+    `sim_ann_hyperplane` result; compaction bounds partitions without
+    changing the probe; the replayable tip refuses to fold."""
+    import pyspark.sql.types as T
+
+    from odl_etl_spark.operators.ann_index import hyperplane_index
+    from odl_etl_spark.queries import registry
+    from odl_etl_spark.queries.similarity import hyperplane_params
+    from odl_etl_spark.streaming.ingest_ann import (
+        append_and_commit_batch,
+        compact_ann_state,
+        ingest_ann_stream,
+        probe_state,
+        stored_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    hps, probe, pb = hyperplane_params(spark, sf_dir, 5)
+    body = e.where(F.col("vec_id") != 0)
+    corpus = body.where(F.col("vec_id") % 5 != 4)
+    arrivals_dir = str(tmp_path / "arrivals")
+    os.makedirs(arrivals_dir)
+    for i, remmod in enumerate(((4, 10), (9, 10))):
+        rem, mod = remmod
+        stage = str(tmp_path / f"_stage{i}")
+        (
+            body.where(F.col("vec_id") % mod == rem)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(arrivals_dir, f"batch_{i}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        shutil.rmtree(stage)
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    arrivals = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals_dir)
+    )
+    state = str(tmp_path / "state")
+    q = ingest_ann_stream(
+        arrivals, corpus, state, str(tmp_path / "ckpt"), hps, available_now=True
+    )
+    q.awaitTermination(300)
+
+    def index_set():
+        return {
+            (r["_id"], r["bucket"]) for r in stored_index(spark, state).collect()
+        }
+
+    want = {
+        (r["_id"], r["bucket"]) for r in hyperplane_index(body, hps).collect()
+    }
+    assert index_set() == want
+    # At-least-once replay of batch 0: byte-identical state.
+    b0 = spark.read.parquet(os.path.join(arrivals_dir, "batch_0.parquet"))
+    append_and_commit_batch(b0, 0, state, hps)
+    assert index_set() == want
+    # Probe the ingested store == derive-in-query key.
+    got = [
+        tuple(r)
+        for r in probe_state(spark, state, e, probe, pb, hps, radius=2, k=10).collect()
+    ]
+    key = [
+        tuple(r)
+        for r in registry()["sim_ann_hyperplane"].build(spark, sf_dir).collect()
+    ]
+    assert got == key
+    # Compaction: tip refuses; folding batch 0 bounds partitions and
+    # leaves the probe unchanged.
+    with pytest.raises(ValueError, match="replayable tip"):
+        compact_ann_state(spark, state, 1)
+    compact_ann_state(spark, state, 0)
+    parts = {
+        d
+        for d in os.listdir(os.path.join(state, "index"))
+        if d.startswith("_batch_id=")
+    }
+    assert parts == {"_batch_id=-1", "_batch_id=1"}
+    assert index_set() == want
+    got2 = [
+        tuple(r)
+        for r in probe_state(spark, state, e, probe, pb, hps, radius=2, k=10).collect()
+    ]
+    assert got2 == key
+
+
 def test_stateful_running_totals_matches_batch_key(spark, sf_dir, tmp_path):
     """The true applyInPandasWithState stream, replayed over the SAME
     4-slice arrival order the `stream_running_totals` key simulates
