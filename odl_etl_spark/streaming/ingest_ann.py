@@ -1,15 +1,26 @@
-"""Streaming ingest for the persisted vector index: the
+"""Streaming ingest for the persisted vector indexes: the
 ``ingest_dedup`` posture applied to the ANN tier (VERDICT r8
 What's-missing #3 — the stored hyperplane/PQ/IVF indexes were
 build-once; a daily-ingest lake needs the arriving vectors
-append-encoded into the stored relation).
+append-encoded into the stored relation). All THREE index families get
+the full loop — bootstrap / validated per-batch append / probe /
+compaction / torn-swap recovery:
+
+  * hyperplane (``ingest_ann_stream``): signatures appended against the
+    STAMPED plane set via ``hyperplane_index_append``;
+  * IVF (``ingest_ivf_stream``): cell assignments appended via
+    ``IvfIndex.append`` under the centroid count+checksum stamps;
+  * PQ (``ingest_pq_stream``): codes appended against the STORED
+    trained codebook via ``pq_index_append``, whose ``pq_train_n``
+    staleness contract fails the stream loudly once the corpus drifts
+    past the retrain threshold — ``retrain_pq_state`` is the remedy
+    (the PQ analogue of compaction).
 
 Each ``foreachBatch`` micro-batch of arriving ``(vec_id, embedding)``
-rows is encoded against the STAMPED plane set via
-``operators/ann_index.hyperplane_index_append`` — which refuses
-unstamped or param-mismatched stores, so a drifted deployment fails
-loudly instead of silently mis-bucketing — and committed to the index
-store under its ``_batch_id`` partition.
+rows is encoded against the stored parameters — every append path
+refuses unstamped or param-mismatched stores, so a drifted deployment
+fails loudly instead of silently mis-bucketing — and committed to the
+index store under its ``_batch_id`` partition.
 
 Scale + correctness posture (inherited from streaming/ingest_dedup.py):
 
@@ -149,38 +160,307 @@ def probe_state(
     )
 
 
-def compact_ann_state(
-    spark: SparkSession, state_dir: str, upto_batch_id: int
+def _compact_batches(
+    spark: SparkSession,
+    state_dir: str,
+    sub: str,
+    upto_batch_id: int,
+    cluster_col: str,
 ) -> None:
-    """Fold committed batches ``<= upto_batch_id`` into the baseline
-    partition, re-clustered by ``bucket`` — the probe-pruning layout.
+    """Shared staged-swap compaction for a single ``_batch_id``-partitioned
+    store: fold committed batches ``<= upto_batch_id`` into the baseline
+    partition, re-clustered by ``cluster_col`` — the probe-pruning layout.
     Same replay-safety contract and crash-safe staged swap as
     ``ingest_dedup.compact_state``: ``upto_batch_id`` must be strictly
     older than the newest committed batch (ValueError otherwise), the
-    rewrite lands in ``index_compacting`` and swaps in with two renames,
+    rewrite lands in ``<sub>_compacting`` and swaps in with two renames,
     and ``recover_torn_swap`` (run here and at stream startup) completes
     or rolls back a torn swap."""
     import shutil
 
-    recover_torn_swap(state_dir, subs=(_SUB,))
-    path = _index_path(state_dir)
+    recover_torn_swap(state_dir, subs=(sub,))
+    path = os.path.join(state_dir, sub)
     latest = spark.read.parquet(path).agg(F.max("_batch_id")).head()[0]
     if latest is not None and upto_batch_id >= latest:
         raise ValueError(
-            f"compact_ann_state(upto_batch_id={upto_batch_id}) would fold "
-            f"the replayable tip (latest committed batch {latest}); pass "
+            f"compact(upto_batch_id={upto_batch_id}) would fold the "
+            f"replayable tip (latest committed batch {latest}); pass "
             "upto_batch_id < latest"
         )
     df = spark.read.parquet(path)
     old = (
         df.where(F.col("_batch_id") <= upto_batch_id)
         .withColumn("_batch_id", F.lit(-1))
-        .repartition(F.col("bucket"))
+        .repartition(F.col(cluster_col))
     )
     tip = df.where(F.col("_batch_id") > upto_batch_id)
     tmp = path + "_compacting"
     shutil.rmtree(tmp, ignore_errors=True)
     old.unionByName(tip).write.mode("overwrite").partitionBy("_batch_id").parquet(tmp)
+    prev = path + "_old"
+    shutil.rmtree(prev, ignore_errors=True)
+    os.rename(path, prev)
+    os.rename(tmp, path)
+    shutil.rmtree(prev)
+
+
+def compact_ann_state(
+    spark: SparkSession, state_dir: str, upto_batch_id: int
+) -> None:
+    """Hyperplane-store compaction: fold committed batches into the
+    baseline, re-clustered by ``bucket`` (see ``_compact_batches``)."""
+    _compact_batches(spark, state_dir, _SUB, upto_batch_id, "bucket")
+
+
+# ---------------------------------------------------------------------------
+# IVF family: the same single-store loop with cell assignments. The
+# centroids are fixed parameters (an ``IvfIndex``), so append ≡ rebuild
+# exactly — the stored relation after any bootstrap+batches sequence is
+# bit-identical to assigning the whole corpus at once.
+# ---------------------------------------------------------------------------
+
+_IVF_SUB = "cells"
+
+
+def _cells_path(state_dir: str) -> str:
+    return os.path.join(state_dir, _IVF_SUB)
+
+
+def bootstrap_ivf_cells(corpus: DataFrame, state_dir: str, index) -> None:
+    """Assign the standing corpus ONCE (``IvfIndex.assign`` — stamps
+    ivf_cells/ivf_checksum on the data columns) and commit as
+    ``_batch_id=-1``. Idempotent under replay (fixed centroids)."""
+    index.assign(corpus).withColumn("_batch_id", F.lit(-1)).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy(
+        "_batch_id"
+    ).parquet(_cells_path(state_dir))
+
+
+def ivf_append_and_commit(
+    batch_df: DataFrame, batch_id: int, state_dir: str, index
+) -> None:
+    """foreachBatch handler: ``IvfIndex.append`` validates the stored
+    relation's centroid stamps (count + value checksum — refuses
+    unstamped or drifted stores), assigns ONLY this batch's vectors, and
+    commits under ``_batch_id`` (replay overwrites its own partition
+    byte-identically)."""
+    spark = batch_df.sparkSession
+    stored = _read_or_none(spark, _cells_path(state_dir))
+    if stored is None:
+        raise RuntimeError(
+            "ivf ingest state not bootstrapped - call "
+            "bootstrap_ivf_cells(corpus, state_dir, index) first"
+        )
+    rows = index.append(stored.drop("_batch_id"), batch_df)
+    rows.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy(
+        "_batch_id"
+    ).parquet(_cells_path(state_dir))
+
+
+def ingest_ivf_stream(
+    arrivals: DataFrame,
+    corpus: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    index,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """The vector-ingest loop for the IVF family: torn-swap recovery,
+    bootstrap-if-absent, then per-batch validated append-assign."""
+    recover_torn_swap(state_dir, subs=(_IVF_SUB,))
+    if _read_or_none(arrivals.sparkSession, _cells_path(state_dir)) is None:
+        bootstrap_ivf_cells(corpus, state_dir, index)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        ivf_append_and_commit(batch_df, batch_id, state_dir, index)
+
+    writer = (
+        arrivals.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stored_cells(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The full committed cell-assignment relation (all batches)."""
+    return spark.read.parquet(_cells_path(state_dir)).drop("_batch_id")
+
+
+def probe_ivf_state(
+    spark: SparkSession,
+    state_dir: str,
+    index,
+    probe_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Probe the ingested store — identical to probing a fresh full
+    assignment (append ≡ rebuild under fixed centroids)."""
+    return index.search(stored_cells(spark, state_dir), probe_vec, k=k, nprobe=nprobe)
+
+
+def compact_ivf_state(
+    spark: SparkSession, state_dir: str, upto_batch_id: int
+) -> None:
+    """IVF-store compaction: fold committed batches into the baseline,
+    re-clustered by ``cell_id`` — the layout whose ``cell_id IN (...)``
+    probe filter partition-prunes (see ``_compact_batches``)."""
+    _compact_batches(spark, state_dir, _IVF_SUB, upto_batch_id, "cell_id")
+
+
+# ---------------------------------------------------------------------------
+# PQ family. Unlike hyperplane/IVF, the PQ state is a PAIR of relations
+# (trained codebook + codes) whose consistency is cross-dependent: codes
+# are only meaningful against the codebook that encoded them. A retrain
+# therefore rewrites BOTH — so the swap unit is the PARENT directory
+# (``pq/`` holding ``pq/codebook`` + ``pq/codes``), staged fully before
+# the live dir is ever renamed away. ``recover_torn_swap`` on the parent
+# then can never resurrect a new-codebook/old-codes mix: either the whole
+# staged pair rolls forward or the whole old pair rolls back.
+# ---------------------------------------------------------------------------
+
+_PQ_SUB = "pq"
+
+
+def _pq_paths(state_dir: str) -> tuple[str, str]:
+    root = os.path.join(state_dir, _PQ_SUB)
+    return os.path.join(root, "codebook"), os.path.join(root, "codes")
+
+
+def bootstrap_pq_state(corpus_v: DataFrame, state_dir: str) -> None:
+    """Train the codebook on the standing corpus (``train_stamp=True`` —
+    the staleness contract's prerequisite) and commit both artifacts:
+    the codebook (unpartitioned) and the corpus codes as ``_batch_id=-1``.
+    ``corpus_v`` carries (vec_id, v: array<double>)."""
+    from odl_etl_spark.operators.ann_index import pq_index
+
+    cent_path, codes_path = _pq_paths(state_dir)
+    cent, codes = pq_index(corpus_v, train_stamp=True)
+    cent.write.mode("overwrite").parquet(cent_path)
+    codes.withColumn("_batch_id", F.lit(-1)).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("_batch_id").parquet(codes_path)
+
+
+def pq_append_and_commit(
+    batch_df: DataFrame, batch_id: int, state_dir: str
+) -> None:
+    """foreachBatch handler: encode ONLY this batch's vectors against the
+    STORED codebook via ``pq_index_append`` — which enforces the
+    ``pq_train_n`` staleness contract, so a corpus that has drifted past
+    the retrain threshold fails the stream loudly (the operator's
+    ValueError names ``retrain``) instead of silently degrading ADC
+    shortlists. Prior rows of THIS batch's partition are excluded from
+    the staleness count, so an at-least-once replay neither double-counts
+    nor can it flip a previously successful commit into a refusal."""
+    from odl_etl_spark.operators.ann_index import pq_index_append
+
+    spark = batch_df.sparkSession
+    cent_path, codes_path = _pq_paths(state_dir)
+    cent = _read_or_none(spark, cent_path)
+    codes = _read_or_none(spark, codes_path)
+    if cent is None or codes is None:
+        raise RuntimeError(
+            "pq ingest state not bootstrapped - call "
+            "bootstrap_pq_state(corpus_v, state_dir) first"
+        )
+    committed = codes.where(F.col("_batch_id") != batch_id).drop("_batch_id")
+    rows = pq_index_append(cent, committed, batch_df)
+    rows.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy(
+        "_batch_id"
+    ).parquet(codes_path)
+
+
+def ingest_pq_stream(
+    arrivals: DataFrame,
+    corpus_v: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """The vector-ingest loop for the PQ family. Bootstrap-if-absent is
+    safe here by construction: both artifacts live inside the single
+    ``pq/`` swap unit, so after ``recover_torn_swap`` a missing ``pq/``
+    dir proves nothing was ever committed."""
+    recover_torn_swap(state_dir, subs=(_PQ_SUB,))
+    _, codes_path = _pq_paths(state_dir)
+    if _read_or_none(arrivals.sparkSession, codes_path) is None:
+        bootstrap_pq_state(corpus_v, state_dir)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        pq_append_and_commit(batch_df, batch_id, state_dir)
+
+    writer = (
+        arrivals.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stored_pq(
+    spark: SparkSession, state_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(codebook, codes-across-all-batches) — the pair ``pq_probe``
+    searches."""
+    cent_path, codes_path = _pq_paths(state_dir)
+    return (
+        spark.read.parquet(cent_path),
+        spark.read.parquet(codes_path).drop("_batch_id"),
+    )
+
+
+def probe_pq_state(
+    spark: SparkSession,
+    state_dir: str,
+    e: DataFrame,
+    probe_vec: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """ADC-shortlist + exact-L2 re-rank against the ingested store. The
+    shortlist size follows the engine-wide ``pq_r_pool`` contract
+    (fraction of the CURRENT corpus, R_MAX-capped)."""
+    from odl_etl_spark.operators.ann_index import pq_probe, pq_r_pool
+
+    cent, codes = stored_pq(spark, state_dir)
+    n_corpus = codes.select("vec_id").distinct().count()
+    return pq_probe(codes, cent, e, probe_vec, pq_r_pool(n_corpus), k=k)
+
+
+def retrain_pq_state(
+    spark: SparkSession, state_dir: str, full_corpus_v: DataFrame
+) -> None:
+    """The PQ analogue of compaction — and the remedy
+    ``pq_index_append``'s staleness refusal prescribes: retrain the
+    codebook on the CURRENT corpus and re-encode everything, folding all
+    batches into ``_batch_id=-1``. Both artifacts are staged fully under
+    ``pq_compacting/`` BEFORE the live dir is renamed away, so the swap
+    window never exposes (and a crash never persists) a mixed
+    new-codebook/old-codes state; ``recover_torn_swap`` on the parent
+    completes or rolls back the whole pair."""
+    import shutil
+
+    from odl_etl_spark.operators.ann_index import pq_index
+
+    recover_torn_swap(state_dir, subs=(_PQ_SUB,))
+    path = os.path.join(state_dir, _PQ_SUB)
+    tmp = path + "_compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    cent, codes = pq_index(full_corpus_v, train_stamp=True)
+    cent.write.mode("overwrite").parquet(os.path.join(tmp, "codebook"))
+    codes.withColumn("_batch_id", F.lit(-1)).write.mode("overwrite").partitionBy(
+        "_batch_id"
+    ).parquet(os.path.join(tmp, "codes"))
     prev = path + "_old"
     shutil.rmtree(prev, ignore_errors=True)
     os.rename(path, prev)

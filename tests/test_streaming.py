@@ -240,6 +240,286 @@ def test_ann_ingest_stream_equals_rebuild_and_compacts(spark, sf_dir, tmp_path):
     assert got2 == key
 
 
+def _write_arrival_batches(tmp_path, arrivals_dir, batch_dfs):
+    """Materialize each DataFrame as ONE parquet file in arrival order
+    (mtime-staggered so maxFilesPerTrigger=1 replays them as batches
+    0..n-1 deterministically)."""
+    os.makedirs(arrivals_dir)
+    for i, bdf in enumerate(batch_dfs):
+        stage = str(tmp_path / f"_stage_arr{i}")
+        bdf.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(arrivals_dir, f"batch_{i}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        shutil.rmtree(stage)
+
+
+def test_ivf_ingest_stream_equals_rebuild_and_compacts(spark, sf_dir, tmp_path):
+    """The IVF family through the vector-ingest loop: bootstrap the
+    corpus cell assignments, stream two arrival files, and the committed
+    store must equal a full-rebuild assignment (fixed centroids ⇒
+    append ≡ rebuild). Replay is a no-op; probing the ingested store
+    returns the derive-in-query `sim_ann_ivf` result; compaction
+    re-clusters by cell_id without changing the probe; a store built
+    under different centroids refuses the append."""
+    import pyspark.sql.types as T
+
+    from odl_etl_spark.operators.similarity import IvfIndex
+    from odl_etl_spark.queries import registry
+    from odl_etl_spark.streaming.ingest_ann import (
+        compact_ivf_state,
+        ingest_ivf_stream,
+        ivf_append_and_commit,
+        probe_ivf_state,
+        stored_cells,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probe = [float(x) for x in e.where(F.col("vec_id") == 0).head()["embedding"]]
+    index = IvfIndex.build(e, n_cells=8)
+    body = e.where(F.col("vec_id") != 0).select("vec_id", "embedding")
+    corpus = body.where(F.col("vec_id") % 5 != 4)
+    arrivals_dir = str(tmp_path / "arrivals")
+    _write_arrival_batches(
+        tmp_path,
+        arrivals_dir,
+        [
+            body.where(F.col("vec_id") % 10 == 4),
+            body.where(F.col("vec_id") % 10 == 9),
+        ],
+    )
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    arrivals = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals_dir)
+    )
+    state = str(tmp_path / "state")
+    q = ingest_ivf_stream(
+        arrivals, corpus, state, str(tmp_path / "ckpt"), index, available_now=True
+    )
+    q.awaitTermination(300)
+
+    def cell_set():
+        return {
+            (r["vec_id"], r["cell_id"])
+            for r in stored_cells(spark, state).collect()
+        }
+
+    want = {
+        (r["vec_id"], r["cell_id"]) for r in index.assign(body).collect()
+    }
+    assert cell_set() == want
+    # At-least-once replay of batch 0: byte-identical state.
+    b0 = spark.read.parquet(os.path.join(arrivals_dir, "batch_0.parquet"))
+    ivf_append_and_commit(b0, 0, state, index)
+    assert cell_set() == want
+    # Probe the ingested store == derive-in-query key.
+    key = [
+        tuple(r) for r in registry()["sim_ann_ivf"].build(spark, sf_dir).collect()
+    ]
+    got = [
+        tuple(r)
+        for r in probe_ivf_state(spark, state, index, probe, k=10, nprobe=2).collect()
+    ]
+    assert got == key
+    # Appending under DIFFERENT centroids refuses (the stamp survives
+    # the parquet round-trip).
+    drifted = IvfIndex(
+        [(cid, [v + 0.25 for v in cv]) for cid, cv in index.centroids]
+    )
+    with pytest.raises(ValueError, match="DIFFERENT centroid"):
+        ivf_append_and_commit(b0, 0, state, drifted)
+    # Compaction: tip refuses; folding batch 0 leaves the probe unchanged.
+    with pytest.raises(ValueError, match="replayable tip"):
+        compact_ivf_state(spark, state, 1)
+    compact_ivf_state(spark, state, 0)
+    parts = {
+        d
+        for d in os.listdir(os.path.join(state, "cells"))
+        if d.startswith("_batch_id=")
+    }
+    assert parts == {"_batch_id=-1", "_batch_id=1"}
+    assert cell_set() == want
+    got2 = [
+        tuple(r)
+        for r in probe_ivf_state(spark, state, index, probe, k=10, nprobe=2).collect()
+    ]
+    assert got2 == key
+
+
+def test_pq_ingest_stream_appends_refuses_stale_and_retrains(
+    spark, sf_dir, tmp_path
+):
+    """The PQ family through the vector-ingest loop: bootstrap trains the
+    codebook (train-stamped) on the standing corpus, two arrival batches
+    append-encode against the STORED codebook, and the committed codes
+    must equal re-encoding the enlarged corpus against that same codebook
+    (append ≡ re-encode). Replay is a no-op; a batch that would drift the
+    corpus past the staleness threshold refuses with the retrain
+    instruction; `retrain_pq_state` then re-trains on the full corpus,
+    after which the probe equals the derive-in-query `sim_ann_pq` key."""
+    import pyspark.sql.types as T
+
+    from odl_etl_spark.operators.ann_index import pq_encode, pq_explode
+    from odl_etl_spark.queries import registry
+    from odl_etl_spark.streaming.ingest_ann import (
+        ingest_pq_stream,
+        pq_append_and_commit,
+        probe_pq_state,
+        retrain_pq_state,
+        stored_pq,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probe = [float(x) for x in e.where(F.col("vec_id") == 0).head()["embedding"]]
+    e_v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    body = e_v.where(F.col("vec_id") != 0)
+    corpus = body.where(F.col("vec_id") % 5 != 4)
+    arrivals_dir = str(tmp_path / "arrivals")
+    _write_arrival_batches(
+        tmp_path,
+        arrivals_dir,
+        [
+            body.where(F.col("vec_id") % 10 == 4),
+            body.where(F.col("vec_id") % 10 == 9),
+        ],
+    )
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("v", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    arrivals = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals_dir)
+    )
+    state = str(tmp_path / "state")
+    q = ingest_pq_stream(
+        arrivals, corpus, state, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(300)
+
+    cent, codes = stored_pq(spark, state)
+
+    def code_set():
+        return {
+            (r["vec_id"], r["sub"], r["code"])
+            for r in stored_pq(spark, state)[1].collect()
+        }
+
+    # append ≡ re-encoding the ENLARGED corpus against the SAME (stored)
+    # codebook — the codebook is the bootstrap-trained one, by design.
+    want = {
+        (r["vec_id"], r["sub"], r["code"])
+        for r in pq_encode(pq_explode(body), cent).collect()
+    }
+    assert code_set() == want
+    # At-least-once replay of batch 0: byte-identical state (and the
+    # staleness count must not double-count the replayed partition).
+    b0 = spark.read.parquet(os.path.join(arrivals_dir, "batch_0.parquet"))
+    pq_append_and_commit(b0, 0, state)
+    assert code_set() == want
+    # A batch that would drift the corpus past 50% of the stamped
+    # training size refuses the stream's commit path loudly.
+    huge = body.select((F.col("vec_id") + 2_000_000).alias("vec_id"), "v")
+    with pytest.raises(ValueError, match="staleness"):
+        pq_append_and_commit(huge, 2, state)
+    # The remedy: retrain on the CURRENT corpus. Trained on the full
+    # embeddings frame (probe row included — the `sim_ann_pq` training
+    # convention), the stored pair now matches the derive-in-query key.
+    retrain_pq_state(spark, state, e_v)
+    parts = {
+        d
+        for d in os.listdir(os.path.join(state, "pq", "codes"))
+        if d.startswith("_batch_id=")
+    }
+    assert parts == {"_batch_id=-1"}
+    key = [
+        tuple(r) for r in registry()["sim_ann_pq"].build(spark, sf_dir).collect()
+    ]
+    got = [
+        tuple(r) for r in probe_pq_state(spark, state, e_v, probe, k=10).collect()
+    ]
+    assert got == key
+
+
+def test_pq_torn_retrain_swap_never_mixes_codebook_and_codes(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """`retrain_pq_state` rewrites BOTH cross-dependent artifacts
+    (codebook + codes), so its swap unit is the parent `pq/` dir: a
+    crash inside the two-rename window must recover to the WHOLE staged
+    pair (or the whole old pair) — never a new-codebook/old-codes mix,
+    which would silently corrupt every ADC score."""
+    from odl_etl_spark.streaming.ingest_dedup import recover_torn_swap
+    from odl_etl_spark.streaming.ingest_ann import (
+        bootstrap_pq_state,
+        pq_append_and_commit,
+        retrain_pq_state,
+        stored_pq,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    e_v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    body = e_v.where(F.col("vec_id") != 0)
+    corpus = body.where(F.col("vec_id") % 5 != 4)
+    batch = body.where(F.col("vec_id") % 5 == 4)
+
+    def pair_set(state):
+        cent, codes = stored_pq(spark, state)
+        return (
+            {tuple(r) for r in cent.collect()},
+            {(r["vec_id"], r["sub"], r["code"]) for r in codes.collect()},
+        )
+
+    # Clean reference: bootstrap, commit a batch, retrain on the full
+    # corpus.
+    clean = str(tmp_path / "clean")
+    bootstrap_pq_state(corpus, clean)
+    pq_append_and_commit(batch, 0, clean)
+    retrain_pq_state(spark, clean, e_v)
+    want = pair_set(clean)
+
+    # Crashed run: same history, but the retrain dies between
+    # rename(pq, pq_old) and rename(pq_compacting, pq) — the window
+    # where the live dir is absent and the complete staged pair exists.
+    crashed = str(tmp_path / "crashed")
+    bootstrap_pq_state(corpus, crashed)
+    pq_append_and_commit(batch, 0, crashed)
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def crashing_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("simulated crash mid-swap")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    with pytest.raises(OSError, match="simulated crash"):
+        retrain_pq_state(spark, crashed, e_v)
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert not os.path.exists(os.path.join(crashed, "pq"))
+    assert os.path.exists(os.path.join(crashed, "pq_old"))
+    assert os.path.exists(os.path.join(crashed, "pq_compacting"))
+
+    # Stream-startup recovery (the ingest loop's first call) rolls the
+    # WHOLE pair forward to the staged retrain — codebook AND codes.
+    recover_torn_swap(crashed, subs=("pq",))
+    assert pair_set(crashed) == want
+    assert not os.path.exists(os.path.join(crashed, "pq_old"))
+    assert not os.path.exists(os.path.join(crashed, "pq_compacting"))
+
+
 def test_stateful_running_totals_matches_batch_key(spark, sf_dir, tmp_path):
     """The true applyInPandasWithState stream, replayed over the SAME
     4-slice arrival order the `stream_running_totals` key simulates
