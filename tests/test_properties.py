@@ -374,3 +374,63 @@ def test_hyperplane_append_equals_rebuild_any_split(spark, sf_dir, mod, rem):
     }
     want = {(r["_id"], r["bucket"]) for r in hyperplane_index(e, hps).collect()}
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(min_value=2, max_value=7), st.integers(min_value=0, max_value=6))
+def test_ivf_append_equals_rebuild_any_split(spark, sf_dir, mod, rem):
+    """Property (the hyperplane split-invariance applied to the IVF
+    family): for ANY corpus/daily-batch split, the stored cell
+    assignments plus the append-assigned batch equal assigning the full
+    corpus at once — the centroids are fixed parameters."""
+    from odl_etl_spark.operators.similarity import IvfIndex
+
+    rem = rem % mod
+    e = load_table(spark, sf_dir, "embeddings")
+    body = e.where(F.col("vec_id") != 0).select("vec_id", "embedding")
+    index = IvfIndex.build(e, n_cells=8)
+    standing = body.where(F.col("vec_id") % mod != rem)
+    arriving = body.where(F.col("vec_id") % mod == rem)
+    stored = index.assign(standing)
+    appended = index.append(stored, arriving)
+    got = {
+        (r["vec_id"], r["cell_id"])
+        for r in stored.unionByName(appended).collect()
+    }
+    want = {(r["vec_id"], r["cell_id"]) for r in index.assign(body).collect()}
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(min_value=3, max_value=7), st.integers(min_value=0, max_value=6))
+def test_pq_append_equals_reencode_any_split(spark, sf_dir, mod, rem):
+    """Property (the split-invariance applied to the PQ family): for ANY
+    corpus/daily-batch split within the staleness threshold (mod >= 3
+    keeps post-append drift <= 50% of the stamped training size), the
+    stored codes plus the append-encoded batch equal re-encoding the full
+    corpus against the SAME (standing-trained) codebook."""
+    from odl_etl_spark.operators.ann_index import (
+        pq_encode,
+        pq_explode,
+        pq_index,
+        pq_index_append,
+    )
+
+    rem = rem % mod
+    e = load_table(spark, sf_dir, "embeddings")
+    body = e.where(F.col("vec_id") != 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    standing = body.where(F.col("vec_id") % mod != rem)
+    arriving = body.where(F.col("vec_id") % mod == rem)
+    cent, codes = pq_index(standing, train_stamp=True)
+    appended = pq_index_append(cent, codes, arriving)
+    got = {
+        (r["vec_id"], r["sub"], r["code"])
+        for r in codes.unionByName(appended).collect()
+    }
+    want = {
+        (r["vec_id"], r["sub"], r["code"])
+        for r in pq_encode(pq_explode(body), cent).collect()
+    }
+    assert got == want
