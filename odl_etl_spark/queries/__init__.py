@@ -96,7 +96,9 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
     TPC-H/recursive keys), then the round-9 additions without a
     driver row (`ann_index_ingest_probe`, `stream_running_totals`),
     then the keys whose plan changed in round 9
-    (`corpus_curation_funnel` — the materialize(base) cut), then the
+    (`corpus_curation_funnel` — the materialize(base) cut;
+    `dedup_near` — the LSH self-join shuffle_hash hint, which also
+    re-plans `corpus_curation_funnel`'s near-dedup stage), then the
     oldest r7-checked keys in registry order to fill 50. Steady-state
     cadence (≈50 checked/round vs ≤5 added/round) keeps staleness
     ≤2 rounds."""
