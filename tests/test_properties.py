@@ -402,13 +402,15 @@ def test_ivf_append_equals_rebuild_any_split(spark, sf_dir, mod, rem):
 
 
 @settings(max_examples=5, deadline=None)
-@given(st.integers(min_value=3, max_value=7), st.integers(min_value=0, max_value=6))
+@given(st.integers(min_value=4, max_value=7), st.integers(min_value=0, max_value=6))
 def test_pq_append_equals_reencode_any_split(spark, sf_dir, mod, rem):
     """Property (the split-invariance applied to the PQ family): for ANY
-    corpus/daily-batch split within the staleness threshold (mod >= 3
-    keeps post-append drift <= 50% of the stamped training size), the
-    stored codes plus the append-encoded batch equal re-encoding the full
-    corpus against the SAME (standing-trained) codebook."""
+    corpus/daily-batch split within the staleness threshold (mod >= 4
+    keeps post-append drift <= 1/3 of the stamped training size; mod=3
+    can exceed the 50% refusal on uneven residue classes — that refusal
+    path is pinned separately in test_streaming.py), the stored codes
+    plus the append-encoded batch equal re-encoding the full corpus
+    against the SAME (standing-trained) codebook."""
     from odl_etl_spark.operators.ann_index import (
         pq_encode,
         pq_explode,
