@@ -89,7 +89,11 @@ def jaccard_pairs(
     """
     sh = _shingle_postings(df, id_col, text_col, n, max_df)
     cnt = sh.groupBy("_id").agg(F.count("*").alias("_n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # Postings are O(total shingles) — never a broadcast candidate; the
+    # hint makes the intended hash exchange explicit (the planner's size
+    # estimate broadcasts one side at small sf — see SCALING.md, LSH
+    # self-join re-plan).
+    a, b = sh.alias("a"), sh.alias("b").hint("shuffle_hash")
     inter = (
         a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
@@ -534,7 +538,9 @@ def simhash_pairs(
             )
         ).alias("_chunk", "_ch"),
     )
-    a, b = chunks.alias("a"), chunks.alias("b")
+    # Chunk rows are O(4N) — same shuffle-not-broadcast posture as the
+    # minhash banded self-join (SCALING.md).
+    a, b = chunks.alias("a"), chunks.alias("b").hint("shuffle_hash")
     ham = F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig")))
     return (
         a.join(

@@ -167,15 +167,16 @@ def cosine_lsh_pairs(
 
     band_codes = pandas_udf(_band_codes, "array<long>")
 
-    # Both sides of the candidate self-join shuffle this identically, so
-    # ReuseExchange runs the projection UDF over the corpus once — no
-    # checkpoint needed (measured: adding one is net slower).
     banded = (
         spread(df)
         .select(F.col(id_col).alias("_id"), band_codes(F.col(vec_col)).alias("_c"))
         .select("_id", F.posexplode("_c").alias("_band", "_bh"))
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    # Band rows are O(N·bands) — hash-partition both sides rather than
+    # let the planner broadcast one (it does at small sf; the broadcast
+    # grows with the corpus). Same posture as the minhash banded
+    # self-join (SCALING.md); a localCheckpoint here measured net-slower.
+    a, b = banded.alias("a"), banded.alias("b").hint("shuffle_hash")
     candidates = (
         a.join(
             b,

@@ -98,7 +98,10 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
     then the keys whose plan changed in round 9
     (`corpus_curation_funnel` — the materialize(base) cut;
     `dedup_near` — the LSH self-join shuffle_hash hint, which also
-    re-plans `corpus_curation_funnel`'s near-dedup stage), then the
+    re-plans `corpus_curation_funnel`'s near-dedup stage;
+    `dedup_ngram_jaccard`, `dedup_cluster`, `dedup_simhash`,
+    `dedup_embedding` — the same shuffle-not-broadcast hint applied
+    to the postings/chunk/SRP-band self-joins), then the
     oldest r7-checked keys in registry order to fill 50. Steady-state
     cadence (≈50 checked/round vs ≤5 added/round) keeps staleness
     ≤2 rounds."""
