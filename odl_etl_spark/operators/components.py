@@ -64,3 +64,78 @@ def connected_components(
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
     return stepped.select(F.col("_u").alias("node"), F.col("_new").alias("component"))
+
+
+def connected_components_incremental(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Maintain a ``connected_components`` labeling under newly arrived
+    edges WITHOUT re-running the iteration over the full graph — the
+    cluster-maintenance step the ingest-dedup loop's emitted pairs feed
+    (``streaming/ingest_dedup`` commits (new_id, ex_id) pairs per batch;
+    this folds them into the standing duplicate clusters).
+
+    Contraction argument: every existing component is collapsed to its
+    representative (which, by the ``connected_components`` contract, IS
+    the minimum node id of that component), each new edge is projected
+    onto representatives (or raw ids for first-seen nodes), and the
+    iterative closure runs over that CONTRACTED graph only — its size
+    scales with the BATCH (touched components + new nodes), not the
+    corpus. The merged group's minimum over representatives equals the
+    minimum over all member nodes (each representative is already its
+    component's minimum), so the result is bit-identical to a full
+    rebuild over (old ∪ new) edges — pinned by an any-split property
+    test.
+
+    Scale shape: the standing ``labels`` table is scanned twice (one
+    batch-sized semi-join to resolve endpoints, one remap join against
+    the merge map — both broadcast-able, both keyed), and the only
+    iteration is over the contracted edges. No full-graph pass.
+
+    Returns the complete updated (node, component) relation.
+    """
+    e = materialize(
+        new_edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+    )
+    ends = (
+        e.select(F.col("_a").alias("_n"))
+        .unionByName(e.select(F.col("_b").alias("_n")))
+        .distinct()
+    )
+    # Resolve each touched endpoint to its standing representative;
+    # first-seen nodes resolve to themselves.
+    resolver = materialize(
+        ends.join(labels, ends["_n"] == labels["node"], "left").select(
+            "_n", F.coalesce("component", "_n").alias("_r")
+        )
+    )
+    ra = resolver.select(F.col("_n").alias("_a"), F.col("_r").alias("_ra"))
+    rb = resolver.select(F.col("_n").alias("_b"), F.col("_r").alias("_rb"))
+    contracted = (
+        e.join(F.broadcast(ra), "_a")
+        .join(F.broadcast(rb), "_b")
+        .where(F.col("_ra") != F.col("_rb"))
+        .select(F.col("_ra").alias("src"), F.col("_rb").alias("dst"))
+        .distinct()
+    )
+    # Closure over the contracted graph: (old representative or new
+    # node id) -> merged representative. Batch-sized by construction.
+    merge_map = connected_components(contracted, max_iter=max_iter).select(
+        F.col("node").alias("_old"), F.col("component").alias("_merged")
+    )
+    updated = labels.join(
+        F.broadcast(merge_map), labels["component"] == F.col("_old"), "left"
+    ).select("node", F.coalesce("_merged", "component").alias("component"))
+    fresh = (
+        resolver.join(labels, resolver["_n"] == labels["node"], "left_anti")
+        .join(F.broadcast(merge_map), resolver["_r"] == F.col("_old"), "left")
+        .select(
+            F.col("_n").alias("node"),
+            F.coalesce("_merged", "_r").alias("component"),
+        )
+    )
+    return updated.unionByName(fresh)

@@ -776,3 +776,48 @@ def test_hyperplane_stamp_survives_bucket_partitioned_layout(spark, sf_dir, tmp_
         for r in registry()["sim_ann_hyperplane"].build(spark, sf_dir).collect()
     ]
     assert got == want
+
+
+def _cc_set(df):
+    return {(r["node"], r["component"]) for r in df.collect()}
+
+
+def test_incremental_components_bridge_and_fresh_nodes(spark):
+    """connected_components_incremental: a new edge whose endpoint is a
+    first-seen node can transitively merge two standing components, and
+    isolated-but-new nodes get their own labels."""
+    from odl_etl_spark.operators.components import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src bigint, dst bigint"
+    )
+    labels = connected_components(old)
+    assert _cc_set(labels) == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    # New node 20 bridges component 1 and component 10; node 30 arrives
+    # attached only to 31 (both fresh).
+    new = spark.createDataFrame(
+        [(3, 20), (20, 10), (30, 31)], "src bigint, dst bigint"
+    )
+    got = _cc_set(connected_components_incremental(labels, new))
+    want = _cc_set(
+        connected_components(old.unionByName(new))
+    )
+    assert got == want
+    assert (20, 1) in got and (30, 30) in got and (31, 30) in got
+
+
+def test_incremental_components_same_component_edge_is_noop(spark):
+    from odl_etl_spark.operators.components import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    old = spark.createDataFrame([(1, 2), (2, 3)], "src bigint, dst bigint")
+    labels = connected_components(old)
+    new = spark.createDataFrame([(1, 3)], "src bigint, dst bigint")
+    assert _cc_set(connected_components_incremental(labels, new)) == _cc_set(
+        labels
+    )

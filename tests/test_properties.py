@@ -436,3 +436,45 @@ def test_pq_append_equals_reencode_any_split(spark, sf_dir, mod, rem):
         for r in pq_encode(pq_explode(body), cent).collect()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=30,
+    ).filter(lambda es: any(a != b for a, b in es)),
+    st.integers(min_value=0, max_value=29),
+)
+def test_incremental_components_equal_rebuild_any_graph_any_split(
+    spark, edges, cut
+):
+    """Property: for ANY undirected graph and ANY old/new edge split,
+    folding the new edges into the old labeling via
+    connected_components_incremental is bit-identical to rebuilding the
+    closure over the union — the contraction argument (every standing
+    representative is already its component's minimum) holds on
+    arbitrary topologies, not just near-dup-shaped ones."""
+    from odl_etl_spark.operators.components import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    es = [(a, b) for a, b in edges if a != b]
+    cut = min(cut, len(es) - 1)
+    old_es, new_es = es[: cut + 1], es[cut + 1 :]
+    old = spark.createDataFrame(old_es, "src bigint, dst bigint")
+    labels = connected_components(old)
+    if new_es:
+        new = spark.createDataFrame(new_es, "src bigint, dst bigint")
+        got = connected_components_incremental(labels, new)
+        want = connected_components(old.unionByName(new))
+    else:
+        got, want = labels, connected_components(old)
+    assert {(r["node"], r["component"]) for r in got.collect()} == {
+        (r["node"], r["component"]) for r in want.collect()
+    }
