@@ -1349,3 +1349,164 @@ def test_stream_ingest_refuses_rebootstrap_over_committed_docs(
         ingest_dedup_stream(
             arrivals, corpus, state, str(tmp_path / "ckpt"), available_now=True
         )
+
+
+def _write_pairs_batch(spark, state_dir, batch_id, edges):
+    """Fabricate one committed pairs micro-batch in the documented
+    ingest-dedup layout (streaming/ingest_dedup.emitted_pairs schema)."""
+    rows = [(int(a), int(b), 1.0) for a, b in edges]
+    df = spark.createDataFrame(
+        rows, "new_id bigint, ex_id bigint, jaccard double"
+    ).withColumn("_batch_id", F.lit(batch_id).cast("int"))
+    df.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("_batch_id").parquet(os.path.join(state_dir, "pairs"))
+
+
+def test_fold_pairs_into_clusters_matches_full_cc_on_real_ingest_state(
+    spark, sf_dir, tmp_path
+):
+    """Integration: fold the REAL ingest-dedup pairs store and the
+    clusters must equal one full connected-components pass over every
+    emitted pair; refolding with nothing new is a no-op; a shard-count
+    mismatch refuses even when there is nothing to fold."""
+    from odl_etl_spark.operators.components import connected_components
+    from odl_etl_spark.streaming.ingest_clusters import (
+        clusters,
+        fold_pairs_into_clusters,
+        folded_upto,
+    )
+    from odl_etl_spark.streaming.ingest_dedup import (
+        bootstrap_corpus_index,
+        emitted_pairs,
+        probe_and_commit_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    corpus = docs.where(F.col("source") != "src1")
+    state = str(tmp_path / "state")
+    bootstrap_corpus_index(corpus, state)
+    for i in range(3):
+        probe_and_commit_batch(
+            docs.where((F.col("source") == "src1") & (F.col("doc_id") % 3 == i)),
+            i,
+            state,
+        )
+    assert emitted_pairs(spark, state).count() > 0
+
+    def cset():
+        return {(r["node"], r["component"]) for r in clusters(spark, state).collect()}
+
+    assert fold_pairs_into_clusters(spark, state, n_shards=8) == 2
+    assert folded_upto(spark, state) == 2
+    want = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            emitted_pairs(spark, state).select(
+                F.col("new_id").alias("src"), F.col("ex_id").alias("dst")
+            )
+        ).collect()
+    }
+    assert cset() == want
+    assert fold_pairs_into_clusters(spark, state, n_shards=8) == 2
+    assert cset() == want
+    with pytest.raises(ValueError, match="n_shards=8"):
+        fold_pairs_into_clusters(spark, state, n_shards=16)
+
+
+def test_fold_pairs_incremental_merges_and_heals_torn_commit(
+    spark, tmp_path, monkeypatch
+):
+    """Batch-by-batch folding over a fabricated pairs history (the
+    documented store layout) with real cross-batch merges: incremental
+    folds equal the one-shot full CC at every watermark; a crash inside
+    the atomic swap (between the two renames) recovers on the next fold;
+    and a crash between the swap and the watermark write replays the
+    fold convergently.
+
+    Negative-design record: the first implementation committed only the
+    CHANGED shards via dynamic partition overwrite, and THIS test's
+    changed-shard revert killed it — with some shards committed and some
+    not, the replayed edges resolve through the already-merged
+    representatives (e.g. the stale (21, 20) row survived while 20's own
+    row already said (20, 10)), the stale component never re-enters the
+    contracted graph, and no amount of replay heals it. Hence the
+    whole-store staged swap."""
+    from odl_etl_spark.operators.components import connected_components
+    from odl_etl_spark.streaming.ingest_clusters import (
+        clusters,
+        fold_pairs_into_clusters,
+        folded_upto,
+    )
+    from odl_etl_spark.streaming.ingest_dedup import emitted_pairs
+
+    history = {
+        0: [(1, 2), (3, 4), (10, 11)],
+        # merges {1,2} with {3,4} via a bridge node, plus a fresh pair
+        1: [(2, 5), (5, 3), (20, 21)],
+        # merges {10,11} with {20,21}; touches an old node again
+        2: [(11, 20), (1, 30)],
+    }
+    state = str(tmp_path / "state")
+    for b, edges in history.items():
+        _write_pairs_batch(spark, state, b, edges)
+
+    def full_cc_upto(b):
+        return {
+            (r["node"], r["component"])
+            for r in connected_components(
+                emitted_pairs(spark, state)
+                .where(F.col("_batch_id") <= b)
+                .select(F.col("new_id").alias("src"), F.col("ex_id").alias("dst"))
+            ).collect()
+        }
+
+    def cset(st):
+        return {(r["node"], r["component"]) for r in clusters(spark, st).collect()}
+
+    for b in range(3):
+        assert fold_pairs_into_clusters(spark, state, upto_batch_id=b, n_shards=8) == b
+        assert cset(state) == full_cc_upto(b), f"fold through batch {b} diverged"
+    want = full_cc_upto(2)
+
+    # Torn SWAP: replay the history on a second state dir, fold through
+    # batch 1, then crash batch 2's fold between the two renames — the
+    # window where the live dir is absent and the complete staged copy
+    # exists. The next fold's recover_torn_swap must roll FORWARD and
+    # the refold must converge.
+    state2 = str(tmp_path / "state2")
+    for b, edges in history.items():
+        _write_pairs_batch(spark, state2, b, edges)
+    fold_pairs_into_clusters(spark, state2, upto_batch_id=1, n_shards=8)
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def crashing_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("simulated crash mid-swap")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    with pytest.raises(OSError, match="simulated crash"):
+        fold_pairs_into_clusters(spark, state2, n_shards=8)
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert not os.path.exists(os.path.join(state2, "clusters"))
+    assert os.path.exists(os.path.join(state2, "clusters_compacting"))
+    # The crash also preceded the watermark write.
+    assert folded_upto(spark, state2) == 1
+    fold_pairs_into_clusters(spark, state2, n_shards=8)
+    assert cset(state2) == want
+    assert folded_upto(spark, state2) == 2
+    assert not os.path.exists(os.path.join(state2, "clusters_compacting"))
+    assert not os.path.exists(os.path.join(state2, "clusters_old"))
+
+    # Watermark-crash window: clusters swapped but watermark stale —
+    # refolding the already-folded batch must be a byte-identical no-op.
+    wm = os.path.join(state2, "clusters_watermark")
+    shutil.rmtree(wm)
+    spark.createDataFrame([(1,)], "upto bigint").write.mode("overwrite").parquet(wm)
+    assert folded_upto(spark, state2) == 1
+    fold_pairs_into_clusters(spark, state2, n_shards=8)
+    assert cset(state2) == want
+    assert folded_upto(spark, state2) == 2
