@@ -137,6 +137,11 @@ def fold_pairs_into_clusters(
     prev = folded_upto(spark, state_dir)
     batch_pred = F.lit(True) if prev is None else (F.col("_batch_id") > prev)
     if upto_batch_id is not None:
+        if prev is not None and upto_batch_id <= prev:
+            # A replayed batch at or below the watermark: every pair it
+            # committed is already folded (the refold would rewrite the
+            # store byte-identically — skip it).
+            return prev
         batch_pred = batch_pred & (F.col("_batch_id") <= upto_batch_id)
         new_upto = upto_batch_id if prev is None else max(prev, upto_batch_id)
     else:

@@ -179,10 +179,20 @@ def ingest_dedup_stream(
     n: int = 3,
     threshold: float = 0.8,
     available_now: bool = True,
+    fold_clusters: bool = False,
 ) -> StreamingQuery:
     """Run the ingest-dedup loop over a streaming DataFrame of arriving
     documents. Bootstraps the corpus index if absent, then each
     micro-batch probes + commits via ``probe_and_commit_batch``.
+
+    ``fold_clusters=True`` additionally folds each batch's committed
+    pairs into the standing duplicate-cluster store
+    (``streaming/ingest_clusters.fold_pairs_into_clusters``) after the
+    pair commit — the fully-online posture. Ordering matters: pairs
+    first (the fold reads the committed store, never the in-flight
+    DataFrame), fold second; a replay re-commits the pairs partition
+    idempotently and the refold is convergent by the fold's own
+    contract.
 
     A missing index dir is only treated as a torn BOOTSTRAP (safe to
     rebuild) after ``recover_torn_swap`` has ruled out a torn compaction
@@ -210,6 +220,14 @@ def ingest_dedup_stream(
         probe_and_commit_batch(
             batch_df, batch_id, state_dir, n=n, threshold=threshold
         )
+        if fold_clusters:
+            from odl_etl_spark.streaming.ingest_clusters import (
+                fold_pairs_into_clusters,
+            )
+
+            fold_pairs_into_clusters(
+                batch_df.sparkSession, state_dir, upto_batch_id=batch_id
+            )
 
     writer = (
         arrivals.writeStream.foreachBatch(handle)

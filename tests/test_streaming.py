@@ -1510,3 +1510,91 @@ def test_fold_pairs_incremental_merges_and_heals_torn_commit(
     fold_pairs_into_clusters(spark, state2, n_shards=8)
     assert cset(state2) == want
     assert folded_upto(spark, state2) == 2
+
+
+def test_stream_ingest_with_online_cluster_fold(spark, sf_dir, tmp_path):
+    """The fully-online posture: `ingest_dedup_stream(fold_clusters=True)`
+    folds each batch's committed pairs into the clusters store inside the
+    foreachBatch handler. After the stream drains, the clusters must
+    equal a full CC over every emitted pair, the watermark must sit at
+    the last batch, and replaying a committed batch (re-commit + refold)
+    must be a no-op. Batches with zero pairs exercise the
+    watermark-only bootstrap path."""
+    import pyspark.sql.types as T
+
+    from odl_etl_spark.operators.components import connected_components
+    from odl_etl_spark.streaming.ingest_clusters import (
+        clusters,
+        fold_pairs_into_clusters,
+        folded_upto,
+    )
+    from odl_etl_spark.streaming.ingest_dedup import (
+        emitted_pairs,
+        ingest_dedup_stream,
+        probe_and_commit_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    corpus = docs.where(F.col("source") != "src1")
+    arrivals_dir = str(tmp_path / "arrivals")
+    os.makedirs(arrivals_dir)
+    for i in range(3):
+        stage = str(tmp_path / f"_stage{i}")
+        (
+            docs.where((F.col("source") == "src1") & (F.col("doc_id") % 3 == i))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(arrivals_dir, f"batch_{i}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        shutil.rmtree(stage)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    arrivals = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals_dir)
+    )
+    state = str(tmp_path / "state")
+    q = ingest_dedup_stream(
+        arrivals,
+        corpus,
+        state,
+        str(tmp_path / "ckpt"),
+        available_now=True,
+        fold_clusters=True,
+    )
+    q.awaitTermination(300)
+
+    assert folded_upto(spark, state) == 2
+
+    def cset():
+        return {(r["node"], r["component"]) for r in clusters(spark, state).collect()}
+
+    want = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            emitted_pairs(spark, state).select(
+                F.col("new_id").alias("src"), F.col("ex_id").alias("dst")
+            )
+        ).collect()
+    }
+    assert cset() == want
+    assert want  # fixtures plant cross-batch near-dups
+
+    # At-least-once replay of the final micro-batch: commit + refold are
+    # both no-ops on the already-folded state.
+    last = spark.read.parquet(os.path.join(arrivals_dir, "batch_2.parquet"))
+    probe_and_commit_batch(last, 2, state)
+    fold_pairs_into_clusters(spark, state, upto_batch_id=2)
+    assert cset() == want
+    assert folded_upto(spark, state) == 2
