@@ -104,7 +104,18 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
     to the postings/chunk/SRP-band self-joins), then the
     oldest r7-checked keys in registry order to fill 50. Steady-state
     cadence (≈50 checked/round vs ≤5 added/round) keeps staleness
-    ≤2 rounds."""
+    ≤2 rounds.
+
+    Round-10 additive-key candidates (≤2, registry tail, in priority
+    order): `dedup_cluster_incremental` — promote
+    operators/components.connected_components_incremental +
+    streaming/ingest_clusters (built and pinned in round 9) to an
+    oracled key; DuckDB expresses the full-CC oracle via a recursive
+    CTE (the sql_recursive_cte precedent), and incremental ≡ rebuild
+    makes the same oracle serve both. Second: an
+    `ingest_pq_probe`-style key for the PQ streaming loop
+    (streaming/ingest_ann.ingest_pq_stream, round-9) if budget
+    remains."""
     first = [
         # --- round-9 window (VERDICT r8 Next-round #1): the 30 r5-stale
         # keys in registry order ---
