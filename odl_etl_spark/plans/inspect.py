@@ -51,6 +51,73 @@ def has_partial_aggregate(df: DataFrame) -> bool:
     return "partial_" in explain_str(df)
 
 
+FACT_TABLES = ("orders", "lineitem", "events", "documents", "embeddings")
+
+_CARDINALITY_BOUNDING = (
+    "HashAggregate",
+    "ObjectHashAggregate",
+    "SortAggregate",
+    "CollectLimit",
+    "GlobalLimit",
+    "LocalLimit",
+    "TakeOrderedAndProject",
+    "WindowGroupLimit",
+)
+
+
+def _tree_lines(plan: str) -> list[str]:
+    """The indented operator-tree section of a formatted explain."""
+    return plan.split("\n\n")[0].splitlines()
+
+
+def _tree_depth(line: str) -> int:
+    """Tree depth by indentation of the operator glyph."""
+    for i, ch in enumerate(line):
+        if ch not in " :+-*(":
+            return i
+    return len(line)
+
+
+def audit_fact_broadcasts(
+    df: DataFrame, facts: tuple[str, ...] = FACT_TABLES
+) -> list[dict]:
+    """Flag BroadcastExchange subtrees that scan a fact table with no
+    cardinality-bounding operator between the scan and the broadcast.
+
+    This is the round-9 hazard class (SCALING.md): the planner's size
+    estimate for a DERIVED relation (window / explode / UDF output over
+    a fact scan) does not track the data, so a broadcast it chooses at
+    bench sf grows with the corpus and OOMs at 100 TB. Dim-table
+    broadcasts and aggregated/limited subtrees are the intended pattern
+    and are not flagged. A HashAggregate does not always bound
+    cardinality (groupBy on a high-cardinality key still scales with
+    the input), so a clean audit is necessary-not-sufficient — but any
+    NEW flag is a regression to adjudicate before it ships.
+    """
+    lines = _tree_lines(explain_str(df))
+    flags = []
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        d = _tree_depth(line)
+        subtree = []
+        for nxt in lines[i + 1 :]:
+            if nxt.strip() and _tree_depth(nxt) <= d:
+                break
+            subtree.append(nxt)
+        scans = [
+            f for f in facts if any("Scan" in s and f in s for s in subtree)
+        ]
+        if not scans:
+            continue
+        bounded = any(
+            b in s for s in subtree for b in _CARDINALITY_BOUNDING
+        )
+        if not bounded:
+            flags.append({"broadcast_line": line.strip(), "facts": scans})
+    return flags
+
+
 def shuffle_count(df: DataFrame) -> int:
     """Number of shuffle exchanges in the plan (before AQE re-planning).
     Counts formatted-mode Exchange nodes whose detail is hash/range

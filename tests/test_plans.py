@@ -731,3 +731,27 @@ def test_ann_index_ingest_probe_appends_batch_only_no_corpus_shuffle(
         "Not(EqualTo(vec_id,0))" in plan
     ), plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_no_unbounded_fact_broadcasts_in_dedup_sim_corpus_families(
+    spark, sf_dir
+):
+    """Registry-wide invariant, pinned on the families where the hazard
+    class lives: no key in the dedup_* / sim_* / corpus_* families may
+    broadcast a subtree that scans a fact table without a
+    cardinality-bounding operator in between (the round-9 finding — the
+    planner's size estimate for a derived relation does not track the
+    data, so such a broadcast OOMs at scale; SCALING.md "Registry-wide
+    broadcast audit"). tools/broadcast_audit.py sweeps all keys at
+    round cadence; this pin keeps the fixed families fixed in CI."""
+    from odl_etl_spark.plans import audit_fact_broadcasts
+    from odl_etl_spark.queries import registry
+
+    flagged = {}
+    for name, spec in registry().items():
+        if not name.startswith(("dedup_", "sim_", "corpus_")):
+            continue
+        flags = audit_fact_broadcasts(spec.build(spark, sf_dir))
+        if flags:
+            flagged[name] = flags
+    assert not flagged, flagged

@@ -478,3 +478,73 @@ def test_incremental_components_equal_rebuild_any_graph_any_split(
     assert {(r["node"], r["component"]) for r in got.collect()} == {
         (r["node"], r["component"]) for r in want.collect()
     }
+
+
+_VOCAB = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango"
+).split()
+
+
+def _winnow_py(text: str, k: int, w: int) -> set[int]:
+    """Pure-Python replica of winnow_fingerprints' documented semantics:
+    md5-derived 60-bit k-gram hashes, min per full w-window (plus the
+    position-0 window for short docs), distinct."""
+    import hashlib as _hl
+
+    toks = [t for t in text.lower().split() if t]
+    kgrams = [
+        int(_hl.md5(" ".join(toks[i : i + k]).encode()).hexdigest()[:15], 16)
+        for i in range(len(toks) - k + 1)
+    ]
+    m = len(kgrams)
+    if m == 0:
+        return set()
+    return {
+        min(kgrams[p : p + w])
+        for p in range(m)
+        if p <= m - w or p == 0
+    }
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=4),
+    st.integers(min_value=2, max_value=5),
+    st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=12),
+    st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=12),
+    st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=12),
+    st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=12),
+    st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=3),
+)
+def test_winnow_guarantee_and_python_parity_any_docs(
+    spark, k, w, pre_a, suf_a, pre_b, suf_b, extra
+):
+    """Two properties of winnow_fingerprints on ARBITRARY token docs:
+
+    1. The Schleimer-et-al guarantee: two docs sharing a token run of
+       length >= w+k-1 share at least one fingerprint, wherever the run
+       sits (head/middle/tail) and whatever surrounds it.
+    2. Differential checkability: the Spark fingerprint set equals the
+       pure-Python replica of the documented hash/window semantics —
+       any engine recomputes identical fingerprints from the same text.
+    """
+    import random
+
+    from pyspark.sql import functions as F
+
+    from odl_etl_spark.operators.dedup import winnow_fingerprints
+
+    rng = random.Random(len(pre_a) * 31 + len(pre_b) * 7 + k * 3 + w)
+    run = [rng.choice(_VOCAB) for _ in range(w + k - 1)] + extra
+    doc_a = " ".join(pre_a + run + suf_a)
+    doc_b = " ".join(pre_b + run + suf_b)
+    df = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b)], "doc_id long, text string"
+    )
+    fps = winnow_fingerprints(df, "doc_id", "text", k=k, w=w)
+    got_a = {r["_fp"] for r in fps.where(F.col("_id") == 1).collect()}
+    got_b = {r["_fp"] for r in fps.where(F.col("_id") == 2).collect()}
+    assert got_a & got_b, (doc_a, doc_b)
+    assert got_a == _winnow_py(doc_a, k, w)
+    assert got_b == _winnow_py(doc_b, k, w)

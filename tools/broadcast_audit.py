@@ -18,65 +18,13 @@ Usage: python tools/broadcast_audit.py [out.json] [key1,key2,...]
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import sys
-import contextlib
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-FACTS = ("orders", "lineitem", "events", "documents", "embeddings")
-BOUNDING = (
-    "HashAggregate",
-    "ObjectHashAggregate",
-    "SortAggregate",
-    "CollectLimit",
-    "GlobalLimit",
-    "LocalLimit",
-    "TakeOrderedAndProject",
-    "WindowGroupLimit",
-)
-
-
-def _tree_lines(plan: str) -> list[str]:
-    """The indented operator-tree section of a formatted explain."""
-    head = plan.split("\n\n")[0]
-    return head.splitlines()
-
-
-def _depth(line: str) -> int:
-    """Tree depth by indentation of the operator glyph."""
-    for i, ch in enumerate(line):
-        if ch not in " :+-*(":
-            return i
-    return len(line)
-
-
-def audit_plan(plan: str) -> list[dict]:
-    """Flag BroadcastExchange subtrees that scan a fact table unbounded."""
-    lines = _tree_lines(plan)
-    flags = []
-    for i, line in enumerate(lines):
-        if "BroadcastExchange" not in line:
-            continue
-        d = _depth(line)
-        subtree = []
-        for nxt in lines[i + 1 :]:
-            if nxt.strip() and _depth(nxt) <= d:
-                break
-            subtree.append(nxt)
-        scans = [
-            f
-            for f in FACTS
-            if any("Scan" in s and f in s for s in subtree)
-        ]
-        if not scans:
-            continue
-        bounded = any(b in s for s in subtree for b in BOUNDING)
-        if not bounded:
-            flags.append({"broadcast_line": line.strip(), "facts": scans})
-    return flags
+from odl_etl_spark.plans.inspect import audit_fact_broadcasts  # noqa: E402
 
 
 def main() -> None:
@@ -95,10 +43,7 @@ def main() -> None:
             continue
         try:
             df = spec.build(spark, sf_dir)
-            buf = io.StringIO()
-            with contextlib.redirect_stdout(buf):
-                df.explain("formatted")
-            flags = audit_plan(buf.getvalue())
+            flags = audit_fact_broadcasts(df)
             if flags:
                 report[name] = flags
             print(f"{name}: {len(flags)} flag(s)", flush=True)
