@@ -68,110 +68,95 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
     the first 50 registry keys per round, so ordering is the verification
     budget.
 
-    Round-9 window (VERDICT.md r8, Next-round #1 — the pre-written
-    rotation, applied verbatim): the 30 remaining r5-checked keys in
-    registry order (`text_quality` … `basket_pairs`), then the 3
-    round-8 additions that have never had a driver CORRECTNESS row
-    (`sim_ann_hyperplane_probe`, `sim_ann_pq_probe`,
-    `sim_ann_ivf_probe` — tri-scale selfcheck-green, SELFCHECK_r08*,
-    and independently re-verified hash-green by the r8 judge), then
-    the round-8 composed-builder-refactored keys `sim_ann_hyperplane`
-    and `sim_ann_pq` (`sim_ann_ivf` already sits in the r5-stale set
-    above; changed-plan keys join the next window, the `sim_maxsim`
-    r8 precedent), then the 15 oldest r6-checked keys in registry
-    order (`scan_parquet` … `agg_mode`) — exactly 50. After this
-    window lands green, every registry key has a driver row and the
-    oldest check is r6 (34 keys), meeting the ≤2-round staleness
-    cadence at the next rotation.
-
-    Round-10 rotation plan (do NOT apply before the r9 driver run
-    lands): the 34 r6-checked keys that survive the round-9 window,
-    in registry order (`unpivot_long`, `agg_corr`,
-    `timeseries_gapfill`, `win_first_last`, `stream_cdc_apply`,
-    `events_funnel`, `events_retention`, `events_transitions`,
-    `events_sessionize`, `events_attribution`, `scd2_point_in_time`,
-    `dedup_url`, `text_keywords`, `graph_triangles`, `sketch_bloom`,
-    `sql_tpch_q10`, `sql_recursive_cte`, then `sql_tpch_q2`,
-    `sql_tpch_q4`, `sql_tpch_q6` … `sql_tpch_q22` — the 17
-    TPC-H/recursive keys), then the round-9 additions without a
-    driver row (`ann_index_ingest_probe`, `stream_running_totals`),
-    then the keys whose plan changed in round 9
-    (`corpus_curation_funnel` — the materialize(base) cut;
-    `dedup_near` — the LSH self-join shuffle_hash hint, which also
-    re-plans `corpus_curation_funnel`'s near-dedup stage;
+    Round-10 window (VERDICT.md r9, Next-round #1 — the pre-written
+    rotation, applied verbatim; window recomputed from the union of
+    CORRECTNESS_r01–r09 latest-check rounds): the 34 r6-checked keys
+    that survived the round-9 window, in registry order
+    (`unpivot_long` … `sql_tpch_q22` — includes the 17
+    TPC-H/recursive-CTE keys), then the round-9 additions with no
+    driver CORRECTNESS row yet (`stream_running_totals`,
+    `ann_index_ingest_probe` — both judge-verified hash-green in a
+    plain session, VERDICT r9), then the 6 keys whose plan changed in
+    round 9 (`corpus_curation_funnel` — the materialize(base) cut;
+    `dedup_near` — the LSH self-join shuffle_hash re-plan;
     `dedup_ngram_jaccard`, `dedup_cluster`, `dedup_simhash`,
-    `dedup_embedding` — the same shuffle-not-broadcast hint applied
-    to the postings/chunk/SRP-band self-joins), then the
-    oldest r7-checked keys in registry order to fill 50. Steady-state
-    cadence (≈50 checked/round vs ≤5 added/round) keeps staleness
-    ≤2 rounds.
+    `dedup_embedding` — the same shuffle-not-broadcast hint on their
+    postings/chunk/SRP-band self-joins; `sim_ann_ivf`'s stamp
+    projection was already refreshed in-window r9), then the 8
+    oldest-r7 keys in registry order to fill exactly 50
+    (`sink_partitioned` … `scalar_json`). After this window lands
+    green, post-r10 staleness is ≤2 rounds for every key (oldest =
+    the 40 remaining r7 keys + r8/r9/r10 cohorts).
 
-    Round-10 additive-key candidates (≤2, registry tail, in priority
-    order): `dedup_cluster_incremental` — promote
-    operators/components.connected_components_incremental +
-    streaming/ingest_clusters (built and pinned in round 9) to an
-    oracled key; DuckDB expresses the full-CC oracle via a recursive
-    CTE (the sql_recursive_cte precedent), and incremental ≡ rebuild
-    makes the same oracle serve both. Second: an
+    Round-11 rotation plan (do NOT apply before the r10 driver run
+    lands): the 40 r7-checked keys that survive the round-10 window,
+    in registry order (`sql_tpch_q1`, `project_hash_email`'s cohort
+    minus the 8 refreshed here), then any round-10 additions without
+    a driver row (`dedup_cluster_incremental` if promoted this
+    round), then any keys whose plan changed in round 10 (candidates:
+    `sim_ann_pq_probe` if the probe-path count fix touches the
+    oracled key's plan), then oldest-r8 fill to exactly 50. Cadence
+    (≈50 checked/round vs ≤5 added/round) keeps staleness ≤2 rounds.
+
+    Round-11 additive-key candidates (≤2, registry tail): an
     `ingest_pq_probe`-style key for the PQ streaming loop
-    (streaming/ingest_ann.ingest_pq_stream, round-9) if budget
-    remains."""
+    (streaming/ingest_ann.ingest_pq_stream) if budget remains."""
     first = [
-        # --- round-9 window (VERDICT r8 Next-round #1): the 30 r5-stale
-        # keys in registry order ---
-        "text_quality",
-        "text_langid",
-        "text_fingerprint",
-        "dedup_exact",
-        "dedup_fingerprint",
-        "dedup_ngram_jaccard",
+        # --- round-10 window (VERDICT r9 Next-round #1): the 34
+        # r6-stale keys in registry order ---
+        "unpivot_long",
+        "agg_corr",
+        "timeseries_gapfill",
+        "win_first_last",
+        "stream_cdc_apply",
+        "events_funnel",
+        "events_retention",
+        "events_transitions",
+        "events_sessionize",
+        "events_attribution",
+        "scd2_point_in_time",
+        "dedup_url",
+        "text_keywords",
+        "graph_triangles",
+        "sketch_bloom",
+        "sql_tpch_q10",
+        "sql_recursive_cte",
+        "sql_tpch_q2",
+        "sql_tpch_q4",
+        "sql_tpch_q6",
+        "sql_tpch_q7",
+        "sql_tpch_q8",
+        "sql_tpch_q9",
+        "sql_tpch_q11",
+        "sql_tpch_q12",
+        "sql_tpch_q13",
+        "sql_tpch_q14",
+        "sql_tpch_q15",
+        "sql_tpch_q16",
+        "sql_tpch_q17",
+        "sql_tpch_q19",
+        "sql_tpch_q20",
+        "sql_tpch_q21",
+        "sql_tpch_q22",
+        # --- round-9 additions: first driver CORRECTNESS rows ---
+        "stream_running_totals",
+        "ann_index_ingest_probe",
+        # --- round-9 changed-plan keys (sim_maxsim r8 precedent) ---
+        "corpus_curation_funnel",
         "dedup_near",
-        "dedup_simhash",
+        "dedup_ngram_jaccard",
         "dedup_cluster",
-        "text_tfidf",
-        "text_pii_scrub",
-        "text_winnow_fp",
-        "sample_stratified",
-        "text_bpe_count",
-        "corpus_filter",
-        "text_chunk",
-        "sim_topk",
-        "sim_pairwise_label",
-        "sim_ann_ivf",
-        "emb_centroid_dist",
+        "dedup_simhash",
         "dedup_embedding",
-        "sim_knn_join",
-        "multimodal_audio_features",
-        "emb_kmeans",
-        "sketch_countmin",
-        "text_bm25",
-        "corpus_split",
-        "text_unigram_ppl",
-        "dedup_span_coverage",
-        "basket_pairs",
-        # --- the 3 round-8 stored-index probe keys with no driver row ---
-        "sim_ann_hyperplane_probe",
-        "sim_ann_pq_probe",
-        "sim_ann_ivf_probe",
-        # --- round-8 composed-builder-refactored ANN keys (ivf above) ---
-        "sim_ann_hyperplane",
-        "sim_ann_pq",
-        # --- oldest r6-checked keys, registry order, fill to 50 ---
-        "scan_parquet",
-        "scan_pruned",
-        "sink_csv_roundtrip",
-        "sink_jsonl_roundtrip",
-        "udaf_regression",
-        "explode_posexplode",
-        "scalar_variant",
-        "join_skew_salted",
-        "join_bucketed",
-        "join_fuzzy_match",
-        "join_lateral_topk",
-        "agg_sketch_partial",
-        "agg_exact_median",
-        "agg_histogram",
-        "agg_mode",
+        # --- oldest-r7 keys, registry order, fill to 50 ---
+        "sink_partitioned",
+        "sql_tpch_q3",
+        "project_hash_email",
+        "filter_pred",
+        "scalar_string",
+        "scalar_date",
+        "scalar_math",
+        "scalar_json",
     ]
     assert len(first) == 50, len(first)
     assert all(k in out for k in first), sorted(set(first) - set(out))
