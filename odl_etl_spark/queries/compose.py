@@ -27,7 +27,7 @@ from odl_etl_spark.queries.similarity import (
     _probe_vec,
     hyperplane_candidates,
 )
-from odl_etl_spark.queries.text import _TOKS_SQL
+from odl_etl_spark.queries.text import _CLUSTER_ORACLE_SQL, _TOKS_SQL
 
 
 def _maxsim_score_sql(n_tok: int = 8, dim: int = 8) -> str:
@@ -358,8 +358,75 @@ def corpus_curation_funnel(spark, sf_dir):
     return funnel
 
 
+@spec(
+    "dedup_cluster_incremental",
+    _CLUSTER_ORACLE_SQL,
+    doc=(
+        "Online cluster maintenance checked against the batch closure: "
+        "the near-dup edge set (exact 3-gram Jaccard >= 0.5, the "
+        "dedup_cluster edges) is replayed as 3 ordered batches "
+        "((id_a + id_b) % 3 — deterministic, arbitrary: the result must "
+        "be split-invariant), the first batch is closed with "
+        "connected_components, and each later batch is folded into the "
+        "standing labeling via connected_components_incremental "
+        "(operators/components.py:69 — the contraction step "
+        "streaming/ingest_clusters.fold_pairs_into_clusters delegates "
+        "to; the iterative closure runs over the CONTRACTED batch-sized "
+        "graph only, never the full graph). Oracle = the SAME full-"
+        "closure recursive CTE as dedup_cluster: incremental ≡ rebuild "
+        "IS the claim, so the hash equality against the batch oracle is "
+        "the incremental-correctness proof (the dedup_stream_ingest "
+        "precedent). Output identical in shape to dedup_cluster: "
+        "cluster_id = min reachable doc_id, keep = 1 on the "
+        "representative, singletons keep themselves."
+    ),
+)
+def dedup_cluster_incremental(spark, sf_dir):
+    from odl_etl_spark.operators.components import (
+        connected_components,
+        connected_components_incremental,
+    )
+    from odl_etl_spark.operators.materialize import materialize
+    from odl_etl_spark.queries.text import _JACCARD_MAX_DF
+
+    d = load_table(spark, sf_dir, "documents")
+    # Mine the pair relation ONCE; the batches are slices of it. The
+    # materialize is load-bearing: without it each fold would re-run
+    # the shingle/postings pipeline for its slice.
+    edges = materialize(
+        D.jaccard_pairs(
+            d, "doc_id", "text", n=3, threshold=0.5, max_df=_JACCARD_MAX_DF
+        ).select("id_a", "id_b")
+    )
+    n_batches = 3
+    batch_of = F.pmod(F.col("id_a") + F.col("id_b"), F.lit(n_batches))
+    labels = connected_components(edges.where(batch_of == 0), "id_a", "id_b")
+    for bi in range(1, n_batches):
+        # Each fold scans the standing labels three times (endpoint
+        # resolver, component remap, first-seen anti-join); materialize
+        # keeps the lineage flat across folds, same posture as
+        # connected_components' own per-round truncation.
+        labels = materialize(
+            connected_components_incremental(
+                labels, edges.where(batch_of == bi), "id_a", "id_b"
+            )
+        )
+    return (
+        d.select("doc_id")
+        .join(labels, d["doc_id"] == labels["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+            (F.coalesce("component", "doc_id") == F.col("doc_id"))
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
 SPECS = [
     sim_rerank_pipeline,
     dedup_stream_ingest,
     corpus_curation_funnel,
+    dedup_cluster_incremental,
 ]

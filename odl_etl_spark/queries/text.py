@@ -396,9 +396,10 @@ def text_ngrams(spark, sf_dir):
     )
 
 
-@spec(
-    "dedup_cluster",
-    f"""
+# Shared by dedup_cluster and dedup_cluster_incremental (queries/compose.py):
+# incremental ≡ rebuild is the incremental key's correctness claim, so both
+# Spark paths are checked against this one full-closure oracle.
+_CLUSTER_ORACLE_SQL = f"""
     WITH RECURSIVE base AS ({_jaccard_oracle(max_df=_JACCARD_MAX_DF, threshold=0.5)}),
     sym AS (
       SELECT id_a AS u, id_b AS v FROM base
@@ -411,7 +412,12 @@ def text_ngrams(spark, sf_dir):
     SELECT n AS doc_id, MIN(m) AS cluster_id,
            CAST(CASE WHEN MIN(m) = n THEN 1 ELSE 0 END AS INTEGER) AS keep
     FROM reach GROUP BY n
-    """,
+    """
+
+
+@spec(
+    "dedup_cluster",
+    _CLUSTER_ORACLE_SQL,
     doc=(
         "Near-dup cluster assignment — the keep-one step that completes "
         "the dedup ladder. Edges = exact 3-gram Jaccard >= 0.5 pairs "
