@@ -313,7 +313,18 @@ class IvfIndex:
                 f"this index has {len(self.centroids)}; appending would "
                 "corrupt the store"
             )
-        if stamped_sum is not None and stamped_sum != self.centroid_checksum():
+        if stamped_sum is None:
+            # A cell count alone can't distinguish same-k/different-values
+            # centroid sets — count-only verification is exactly the silent
+            # mis-bucketing this method exists to refuse (hyperplane/PQ
+            # appends enforce their value stamps the same way).
+            raise ValueError(
+                "stored IVF assignment carries ivf_cells but no "
+                "ivf_checksum stamp — cannot verify it was built with these "
+                "centroid VALUES; rebuild via IvfIndex.assign() (which "
+                "stamps both)"
+            )
+        if stamped_sum != self.centroid_checksum():
             raise ValueError(
                 "stored IVF assignment was built with DIFFERENT centroid "
                 "values (same count, mismatched checksum); appending would "

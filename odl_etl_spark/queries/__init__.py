@@ -68,95 +68,86 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
     the first 50 registry keys per round, so ordering is the verification
     budget.
 
-    Round-10 window (VERDICT.md r9, Next-round #1 — the pre-written
-    rotation, applied verbatim; window recomputed from the union of
-    CORRECTNESS_r01–r09 latest-check rounds): the 34 r6-checked keys
-    that survived the round-9 window, in registry order
-    (`unpivot_long` … `sql_tpch_q22` — includes the 17
-    TPC-H/recursive-CTE keys), then the round-9 additions with no
-    driver CORRECTNESS row yet (`stream_running_totals`,
-    `ann_index_ingest_probe` — both judge-verified hash-green in a
-    plain session, VERDICT r9), then the 6 keys whose plan changed in
-    round 9 (`corpus_curation_funnel` — the materialize(base) cut;
-    `dedup_near` — the LSH self-join shuffle_hash re-plan;
-    `dedup_ngram_jaccard`, `dedup_cluster`, `dedup_simhash`,
-    `dedup_embedding` — the same shuffle-not-broadcast hint on their
-    postings/chunk/SRP-band self-joins; `sim_ann_ivf`'s stamp
-    projection was already refreshed in-window r9), then the 8
-    oldest-r7 keys in registry order to fill exactly 50
-    (`sink_partitioned` … `scalar_json`). After this window lands
-    green, post-r10 staleness is ≤2 rounds for every key (oldest =
-    the 40 remaining r7 keys + r8/r9/r10 cohorts).
+    Round-11 window (VERDICT.md r10, Next-round #1–#2; recomputed from
+    the CORRECTNESS_r01–r10 latest-check union — histogram 50 r10 /
+    45 r9 / 49 r8 / 40 r7 / 1 never-checked):
+    `dedup_cluster_incremental` FIRST (the round-10 addition with no
+    driver row yet — judge-attested hash-green in VERDICT r10, now
+    getting its first driver check), then the 40 r7-stale keys in
+    registry order (`scalar_array` … `text_idf_stop`), then
+    `stream_running_totals` — the one red r10 row (hash_match false),
+    REPAIRED this round: money path re-derived through scaled-BIGINT
+    cents on both engines and `batch`/`n_events` pinned BIGINT on both
+    sides (the emb_covariance r3 convention; re-verified tri-scale
+    sf0.001/0.01/0.1 hash-green in a plain-session driver replica,
+    stream≡batch tie + plan pin re-run green) — this is also the
+    round's one changed-plan key; then the 8 oldest-r8 keys in
+    registry order to fill exactly 50 (`sink_orc_roundtrip` …
+    `agg_pivot`). After this window lands green, staleness is ≤3
+    rounds for every key (41 r8 + 45 r9 + 50 r10 + 50 r11).
 
-    Round-11 rotation plan (do NOT apply before the r10 driver run
-    lands): the 40 r7-checked keys that survive the round-10 window,
-    in registry order (`sql_tpch_q1`, `project_hash_email`'s cohort
-    minus the 8 refreshed here), then any round-10 additions without
-    a driver row (`dedup_cluster_incremental` if promoted this
-    round), then any keys whose plan changed in round 10 (candidates:
-    `sim_ann_pq_probe` if the probe-path count fix touches the
-    oracled key's plan), then oldest-r8 fill to exactly 50. Cadence
-    (≈50 checked/round vs ≤5 added/round) keeps staleness ≤2 rounds.
-
-    Round-11 additive-key candidates (≤2, registry tail): an
-    `ingest_pq_probe`-style key for the PQ streaming loop
-    (streaming/ingest_ann.ingest_pq_stream) if budget remains."""
+    Round-12 rotation plan (do NOT apply before the r11 driver run
+    lands): the 41 remaining r8-checked keys in registry order, then
+    any round-11 additions without a driver row, then any keys whose
+    plan changed in round 11, then oldest-r9 fill to exactly 50.
+    Cadence (≈50 checked/round vs ≤5 added/round) keeps staleness
+    ≤3 rounds."""
     first = [
-        # --- round-10 window (VERDICT r9 Next-round #1): the 34
-        # r6-stale keys in registry order ---
-        "unpivot_long",
-        "agg_corr",
-        "timeseries_gapfill",
-        "win_first_last",
-        "stream_cdc_apply",
-        "events_funnel",
-        "events_retention",
-        "events_transitions",
-        "events_sessionize",
-        "events_attribution",
-        "scd2_point_in_time",
-        "dedup_url",
-        "text_keywords",
-        "graph_triangles",
-        "sketch_bloom",
-        "sql_tpch_q10",
-        "sql_recursive_cte",
-        "sql_tpch_q2",
-        "sql_tpch_q4",
-        "sql_tpch_q6",
-        "sql_tpch_q7",
-        "sql_tpch_q8",
-        "sql_tpch_q9",
-        "sql_tpch_q11",
-        "sql_tpch_q12",
-        "sql_tpch_q13",
-        "sql_tpch_q14",
-        "sql_tpch_q15",
-        "sql_tpch_q16",
-        "sql_tpch_q17",
-        "sql_tpch_q19",
-        "sql_tpch_q20",
-        "sql_tpch_q21",
-        "sql_tpch_q22",
-        # --- round-9 additions: first driver CORRECTNESS rows ---
+        # --- round-10 addition: first driver CORRECTNESS row ---
+        "dedup_cluster_incremental",
+        # --- the 40 r7-stale keys, registry order ---
+        "scalar_array",
+        "udf_scalar_pandas",
+        "join_inner_equi",
+        "join_full",
+        "subq_in",
+        "subq_scalar",
+        "join_broadcast",
+        "join_left",
+        "join_semi",
+        "join_anti",
+        "join_theta_range",
+        "join_multiway",
+        "join_asof",
+        "agg_groupby",
+        "text_repetition",
+        "dedup_decontaminate",
+        "corpus_mix",
+        "dedup_incremental",
+        "emb_quantize",
+        "graph_pagerank",
+        "multimodal_catalog",
+        "multimodal_image_features",
+        "multimodal_video_frames",
+        "dedup_span_rewrite",
+        "sql_tpch_q1",
+        "sql_tpch_q5",
+        "sql_tpch_q18",
+        "quality_gopher",
+        "corpus_filter_c4",
+        "emb_norm_stats",
+        "join_interval_overlap",
+        "events_active_users",
+        "agg_weighted",
+        "win_mad_outlier",
+        "text_ngram_profile",
+        "agg_grouping_id",
+        "text_entropy",
+        "events_funnel_time",
+        "emb_pq_codebook",
+        "text_idf_stop",
+        # --- the repaired r10 red row (also this round's one
+        #     changed-plan key): scaled-BIGINT cents re-derivation ---
         "stream_running_totals",
-        "ann_index_ingest_probe",
-        # --- round-9 changed-plan keys (sim_maxsim r8 precedent) ---
-        "corpus_curation_funnel",
-        "dedup_near",
-        "dedup_ngram_jaccard",
-        "dedup_cluster",
-        "dedup_simhash",
-        "dedup_embedding",
-        # --- oldest-r7 keys, registry order, fill to 50 ---
-        "sink_partitioned",
-        "sql_tpch_q3",
-        "project_hash_email",
-        "filter_pred",
-        "scalar_string",
-        "scalar_date",
-        "scalar_math",
-        "scalar_json",
+        # --- oldest-r8 keys, registry order, fill to 50 ---
+        "sink_orc_roundtrip",
+        "sink_upsert",
+        "sort_zorder",
+        "scalar_null",
+        "scalar_map",
+        "agg_stats",
+        "agg_collect",
+        "agg_pivot",
     ]
     assert len(first) == 50, len(first)
     assert all(k in out for k in first), sorted(set(first) - set(out))

@@ -369,7 +369,8 @@ def corpus_curation_funnel(spark, sf_dir):
         "be split-invariant), the first batch is closed with "
         "connected_components, and each later batch is folded into the "
         "standing labeling via connected_components_incremental "
-        "(operators/components.py:69 — the contraction step "
+        "(operators/components.connected_components_incremental — the "
+        "contraction step "
         "streaming/ingest_clusters.fold_pairs_into_clusters delegates "
         "to; the iterative closure runs over the CONTRACTED batch-sized "
         "graph only, never the full graph). Oracle = the SAME full-"

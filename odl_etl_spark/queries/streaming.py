@@ -237,13 +237,15 @@ def stream_cdc_apply(spark, sf_dir):
              NTILE(4) OVER (ORDER BY ts, event_id) AS batch
       FROM events
     ), per AS (
-      SELECT batch, user_id, COUNT(*) AS n, SUM(value) AS v
+      SELECT batch, user_id, COUNT(*) AS n,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS vc
       FROM b GROUP BY batch, user_id
     )
-    SELECT batch, user_id,
-           SUM(n) OVER (PARTITION BY user_id ORDER BY batch) AS n_events,
-           ROUND(SUM(v) OVER (PARTITION BY user_id ORDER BY batch) * 100)
-             / 100 AS total_value
+    SELECT CAST(batch AS BIGINT) AS batch, user_id,
+           CAST(SUM(n) OVER (PARTITION BY user_id ORDER BY batch)
+                AS BIGINT) AS n_events,
+           CAST(SUM(vc) OVER (PARTITION BY user_id ORDER BY batch)
+                AS DOUBLE) / 100 AS total_value
     FROM per
     """,
     doc=(
@@ -276,15 +278,21 @@ def stream_running_totals(spark, sf_dir):
         "user_id", "value", "ts", "event_id"
     )
     batched = ntile_exact(e, ["ts", "event_id"], 4, tile_col="batch")
+    # House money convention (emb_covariance r3 precedent): accumulate
+    # scaled-BIGINT cents so every sum is integer-exact and order-free —
+    # no unordered double SUM anywhere in the result path. Types are
+    # pinned BIGINT/DOUBLE on BOTH engines (DuckDB NTILE emits BIGINT and
+    # windowed SUM(BIGINT) emits HUGEINT; the oracle casts them down).
     per = batched.groupBy("batch", "user_id").agg(
-        F.count("*").alias("_n"), F.sum("value").alias("_v")
+        F.count("*").alias("_n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("_vc"),
     )
     w = Window.partitionBy("user_id").orderBy("batch")
     return per.select(
-        "batch",
+        F.col("batch").cast("bigint").alias("batch"),
         "user_id",
-        F.sum("_n").over(w).alias("n_events"),
-        roundn(F.sum("_v").over(w), 2).alias("total_value"),
+        F.sum("_n").over(w).cast("bigint").alias("n_events"),
+        (F.sum("_vc").over(w).cast("double") / 100).alias("total_value"),
     )
 
 

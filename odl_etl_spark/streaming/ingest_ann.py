@@ -62,6 +62,38 @@ def _index_path(state_dir: str) -> str:
     return os.path.join(state_dir, _SUB)
 
 
+def _checkpoint_has_commits(checkpoint: str) -> bool:
+    """True iff the streaming checkpoint records at least one committed
+    micro-batch (a non-hidden entry under ``<checkpoint>/commits``)."""
+    commits = os.path.join(checkpoint, "commits")
+    if not os.path.isdir(commits):
+        return False
+    return any(not e.startswith(".") for e in os.listdir(commits))
+
+
+def _refuse_bootstrap_on_committed_checkpoint(
+    checkpoint: str, state_dir: str, family: str
+) -> None:
+    """Guard for every bootstrap-if-absent path (the ADVICE r8 #2 class,
+    already enforced for ingest_dedup via its docs-store witness): a
+    MISSING index store combined with a checkpoint that has committed
+    batches means those batches' vectors are gone — the checkpoint marks
+    them done, so an availableNow replay will NOT re-deliver them, and a
+    silent corpus-only re-bootstrap would drop them from every future
+    probe. The ANN stores have no secondary relation to witness commits
+    (unlike ingest_dedup's docs store), so the checkpoint itself is the
+    witness."""
+    if _checkpoint_has_commits(checkpoint):
+        raise RuntimeError(
+            f"{family} ingest store at {state_dir!r} is missing but the "
+            f"stream checkpoint {checkpoint!r} has committed batches; "
+            "re-bootstrapping from the corpus would silently drop those "
+            "batches from every future probe (the checkpoint marks them "
+            "done, so a replay will not re-deliver them). Restore the "
+            "store, or delete the checkpoint to intentionally start over."
+        )
+
+
 def bootstrap_ann_index(
     corpus: DataFrame, state_dir: str, planes: list[list[float]]
 ) -> None:
@@ -110,10 +142,15 @@ def ingest_ann_stream(
 ) -> StreamingQuery:
     """Run the vector-ingest loop over a streaming DataFrame of arriving
     ``(vec_id, embedding)`` rows. Bootstraps the corpus index if absent
-    — after ``recover_torn_swap`` has ruled out a torn compaction swap,
-    so committed batches are never silently discarded."""
+    — after ``recover_torn_swap`` has ruled out a torn compaction swap
+    AND the checkpoint proves no batches were ever committed against the
+    missing store (``_refuse_bootstrap_on_committed_checkpoint``), so
+    committed batches are never silently discarded."""
     recover_torn_swap(state_dir, subs=(_SUB,))
     if _read_or_none(arrivals.sparkSession, _index_path(state_dir)) is None:
+        _refuse_bootstrap_on_committed_checkpoint(
+            checkpoint, state_dir, "hyperplane"
+        )
         bootstrap_ann_index(corpus, state_dir, planes)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -269,9 +306,12 @@ def ingest_ivf_stream(
     available_now: bool = True,
 ) -> StreamingQuery:
     """The vector-ingest loop for the IVF family: torn-swap recovery,
-    bootstrap-if-absent, then per-batch validated append-assign."""
+    bootstrap-if-absent (refused if the checkpoint witnesses committed
+    batches against a lost store), then per-batch validated
+    append-assign."""
     recover_torn_swap(state_dir, subs=(_IVF_SUB,))
     if _read_or_none(arrivals.sparkSession, _cells_path(state_dir)) is None:
+        _refuse_bootstrap_on_committed_checkpoint(checkpoint, state_dir, "ivf")
         bootstrap_ivf_cells(corpus, state_dir, index)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -386,13 +426,15 @@ def ingest_pq_stream(
     checkpoint: str,
     available_now: bool = True,
 ) -> StreamingQuery:
-    """The vector-ingest loop for the PQ family. Bootstrap-if-absent is
-    safe here by construction: both artifacts live inside the single
-    ``pq/`` swap unit, so after ``recover_torn_swap`` a missing ``pq/``
-    dir proves nothing was ever committed."""
+    """The vector-ingest loop for the PQ family. A missing ``pq/`` dir
+    after ``recover_torn_swap`` proves no SWAP was torn (both artifacts
+    live inside the single ``pq/`` swap unit) — but not that nothing was
+    ever committed (the store could have been lost out-of-band), so the
+    checkpoint-commit witness guards the bootstrap here too."""
     recover_torn_swap(state_dir, subs=(_PQ_SUB,))
     _, codes_path = _pq_paths(state_dir)
     if _read_or_none(arrivals.sparkSession, codes_path) is None:
+        _refuse_bootstrap_on_committed_checkpoint(checkpoint, state_dir, "pq")
         bootstrap_pq_state(corpus_v, state_dir)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
