@@ -308,6 +308,8 @@ def pq_index_append(
     codes: DataFrame,
     new_e: DataFrame,
     max_drift: float = PQ_MAX_TRAIN_DRIFT,
+    n_existing: int | None = None,
+    n_new: int | None = None,
 ) -> DataFrame:
     """Incremental maintenance for a stored PQ index (VERDICT r8 #4):
     encode ONLY the newly arrived vectors (``(vec_id, v)`` frame) against
@@ -335,10 +337,15 @@ def pq_index_append(
             "rebuild via pq_index(e, train_stamp=True)"
         )
     n_train = int(n_train)
-    # Parameter-data counts (index-cardinality aggregates, not corpus
-    # scans): the stored codes hold PQ_SUBS rows per encoded vector.
-    n_existing = codes.select("vec_id").distinct().count()
-    n_new = new_e.where(F.col("vec_id") != 0).select("vec_id").distinct().count()
+    # Cardinalities for the drift check. Callers that maintain a count
+    # sidecar (streaming/ingest_ann.pq_corpus_count — stamped at
+    # commit/compaction time) pass both in so the stored codes relation
+    # is never aggregated here; the derive-in-query/build-time path
+    # falls back to counting (one job over index-cardinality data).
+    if n_existing is None:
+        n_existing = codes.select("vec_id").distinct().count()
+    if n_new is None:
+        n_new = new_e.where(F.col("vec_id") != 0).select("vec_id").distinct().count()
     drift = (n_existing + n_new - n_train) / max(n_train, 1)
     if drift > max_drift:
         raise ValueError(

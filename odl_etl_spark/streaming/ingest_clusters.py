@@ -110,7 +110,10 @@ def fold_pairs_into_clusters(
     Idempotent under replay: a crash after the clusters swap but before
     the watermark write re-runs the fold with the same edges, which
     converges to the identical labeling (see module docstring)."""
-    from odl_etl_spark.streaming.ingest_dedup import recover_torn_swap
+    from odl_etl_spark.streaming.ingest_dedup import (
+        mark_stage_complete,
+        recover_torn_swap,
+    )
 
     recover_torn_swap(state_dir, subs=(_CLUSTERS,))
     c_path, wm_path = _paths(state_dir)
@@ -172,18 +175,22 @@ def fold_pairs_into_clusters(
         "component",
         shard,
     )
-    if stored is None:
-        updated.write.mode("overwrite").partitionBy("_shard").parquet(c_path)
-    else:
-        # Atomic whole-store swap (see module docstring for why partial
-        # per-shard commits were rejected): stage fully, then two
-        # renames; recover_torn_swap (run at fold start) completes or
-        # rolls back a torn swap.
-        import shutil
+    # Atomic whole-store swap (see module docstring for why partial
+    # per-shard commits were rejected): stage fully, then rename(s);
+    # recover_torn_swap (run at fold start) completes or rolls back a
+    # torn swap. The FIRST fold goes through the same staging — a torn
+    # direct write to the live dir would have no swap markers for
+    # recovery to heal (it reads the staged dir's completion stamp,
+    # mark_stage_complete, to tell a complete stage from a torn one).
+    import shutil
 
-        tmp = c_path + "_compacting"
-        shutil.rmtree(tmp, ignore_errors=True)
-        updated.write.mode("overwrite").partitionBy("_shard").parquet(tmp)
+    tmp = c_path + "_compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    updated.write.mode("overwrite").partitionBy("_shard").parquet(tmp)
+    mark_stage_complete(tmp)
+    if stored is None:
+        os.rename(tmp, c_path)
+    else:
         prevdir = c_path + "_old"
         shutil.rmtree(prevdir, ignore_errors=True)
         os.rename(c_path, prevdir)

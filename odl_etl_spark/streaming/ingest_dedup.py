@@ -133,6 +133,28 @@ def probe_and_commit_batch(
     ).parquet(os.path.join(state_dir, "index"))
 
 
+_STAGE_MARKER = "_STAGE_COMPLETE"
+
+
+def mark_stage_complete(staged: str) -> None:
+    """Stamp a fully-staged swap directory. Every staging producer calls
+    this AFTER all staging writes finish and BEFORE the live dir is
+    touched; ``recover_torn_swap`` rolls an orphaned stage forward only
+    when the stamp proves the stage completed. (Spark's own ``_SUCCESS``
+    can't serve as the witness: the session default
+    ``partitionOverwriteMode=dynamic`` commits partitioned overwrites
+    without one, and the PQ stage is a multi-relation parent dir whose
+    per-relation markers sit one level down.)"""
+    with open(os.path.join(staged, _STAGE_MARKER), "w") as f:
+        f.write("complete")
+
+
+def _stage_is_complete(staged: str) -> bool:
+    return os.path.exists(os.path.join(staged, _STAGE_MARKER)) or os.path.exists(
+        os.path.join(staged, "_SUCCESS")
+    )
+
+
 def recover_torn_swap(state_dir: str, subs: tuple[str, ...] = ("docs", "index")) -> None:
     """Crash recovery for ``compact_state``'s directory swap (ADVICE r8
     #2). The swap window — between ``os.rename(path, prev)`` and
@@ -142,9 +164,12 @@ def recover_torn_swap(state_dir: str, subs: tuple[str, ...] = ("docs", "index"))
     is ever renamed away). Without recovery, a stream restart would
     mistake that for a fresh state and re-bootstrap a corpus-only index,
     silently discarding every committed batch's index rows. Roll the
-    swap FORWARD when the staged copy exists, BACK to the ``_old``
-    backup otherwise; when the live dir is present, leftovers from
-    either side of the window are just stale and are removed.
+    swap FORWARD when the staged copy exists AND is complete (the
+    producer's ``mark_stage_complete`` stamp — a first-write staging
+    can tear with the live dir absent, unlike a compaction's, whose
+    staging finishes while the live dir still exists), BACK to the
+    ``_old`` backup otherwise; when the live dir is present, leftovers
+    from either side of the window are just stale and are removed.
     ``subs`` names the state subdirectories (the ANN ingest loop,
     streaming/ingest_ann.py, reuses this with its single store)."""
     import shutil
@@ -160,10 +185,23 @@ def recover_torn_swap(state_dir: str, subs: tuple[str, ...] = ("docs", "index"))
             shutil.rmtree(staged, ignore_errors=True)
             shutil.rmtree(prev, ignore_errors=True)
         elif os.path.exists(staged):
-            # Mid-swap crash: the staged copy is complete — finish the
-            # swap it was about to make.
-            os.rename(staged, path)
-            shutil.rmtree(prev, ignore_errors=True)
+            if _stage_is_complete(staged):
+                # Mid-swap crash: the staged copy is complete (the
+                # producer's completion stamp present) — finish the
+                # swap it was about to make.
+                os.rename(staged, path)
+                shutil.rmtree(prev, ignore_errors=True)
+            elif os.path.exists(prev):
+                # Torn STAGING write with a backup present: the stage
+                # never completed; restore the pre-swap copy.
+                shutil.rmtree(staged)
+                os.rename(prev, path)
+            else:
+                # Torn FIRST-WRITE staging (live dir never existed, no
+                # _SUCCESS): nothing was ever committed — drop the torn
+                # copy; the fold/bootstrap that produced it re-runs
+                # (watermark is written only after a completed swap).
+                shutil.rmtree(staged)
         elif os.path.exists(prev):
             # Backup only (staged copy gone — outside compact_state's
             # own crash window, e.g. partial manual cleanup): restore
@@ -308,6 +346,7 @@ def compact_state(
         old.unionByName(tip).write.mode("overwrite").partitionBy(
             "_batch_id"
         ).parquet(tmp)
+        mark_stage_complete(tmp)
         prev = path + "_old"
         shutil.rmtree(prev, ignore_errors=True)
         os.rename(path, prev)

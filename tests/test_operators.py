@@ -673,6 +673,19 @@ def test_ivf_index_append_equals_rebuild(spark, sf_dir, tmp_path):
     )
     with pytest.raises(ValueError, match="unstamped"):
         index.append(unstamped, arriving)
+    # ADVICE r9 #2: a count-only stamp (ivf_cells but no ivf_checksum)
+    # refuses too — the count alone can't distinguish same-k centroid
+    # sets with different values, which is exactly the silent
+    # mis-bucketing the stamp exists to prevent.
+    count_only = stored.select(
+        "vec_id",
+        F.col("embedding").alias(
+            "embedding", metadata={"ivf_cells": len(index.centroids)}
+        ),
+        "cell_id",
+    )
+    with pytest.raises(ValueError, match="no\\s+ivf_checksum"):
+        index.append(count_only, arriving)
 
 
 def test_pq_index_append_equals_reencode_and_enforces_staleness(

@@ -225,6 +225,16 @@ def test_ann_ingest_stream_equals_rebuild_and_compacts(spark, sf_dir, tmp_path):
     # leaves the probe unchanged.
     with pytest.raises(ValueError, match="replayable tip"):
         compact_ann_state(spark, state, 1)
+
+    def tip_inodes():
+        d = os.path.join(state, "index", "_batch_id=1")
+        return {
+            fn: os.stat(os.path.join(d, fn)).st_ino
+            for fn in os.listdir(d)
+            if not fn.startswith(".")
+        }
+
+    inodes_before = tip_inodes()
     compact_ann_state(spark, state, 0)
     parts = {
         d
@@ -232,6 +242,10 @@ def test_ann_ingest_stream_equals_rebuild_and_compacts(spark, sf_dir, tmp_path):
         if d.startswith("_batch_id=")
     }
     assert parts == {"_batch_id=-1", "_batch_id=1"}
+    # VERDICT r9 #5 pin: compaction re-encodes only the folded
+    # partitions — the replayable tip is carried into the staged copy
+    # as hard links (same inodes), never rewritten through Spark.
+    assert tip_inodes() == inodes_before
     assert index_set() == want
     got2 = [
         tuple(r)
@@ -1598,3 +1612,231 @@ def test_stream_ingest_with_online_cluster_fold(spark, sf_dir, tmp_path):
     fold_pairs_into_clusters(spark, state, upto_batch_id=2)
     assert cset() == want
     assert folded_upto(spark, state) == 2
+
+
+def test_fold_pairs_first_fold_torn_staging_self_heals(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r9 #3: the FIRST fold routes through the same staged swap
+    as later folds — a torn first write must be healable. Two crash
+    windows: (a) staging completed (the producer's mark_stage_complete
+    stamp present) but the rename into place never ran →
+    recover_torn_swap rolls FORWARD and the refold converges (watermark
+    was never written, so the fold re-runs over the same edges —
+    convergent by the fold contract); (b) the staging write itself tore
+    (no completion stamp, live dir never existed) → recovery drops the
+    torn copy and the refold rebuilds from scratch."""
+    from odl_etl_spark.operators.components import connected_components
+    from odl_etl_spark.streaming.ingest_clusters import (
+        clusters,
+        fold_pairs_into_clusters,
+        folded_upto,
+    )
+    from odl_etl_spark.streaming.ingest_dedup import emitted_pairs
+
+    history = {0: [(1, 2), (3, 4), (2, 3)], 1: [(10, 11)]}
+    state = str(tmp_path / "state")
+    for b, edges in history.items():
+        _write_pairs_batch(spark, state, b, edges)
+
+    def full_cc():
+        return {
+            (r["node"], r["component"])
+            for r in connected_components(
+                emitted_pairs(spark, state).select(
+                    F.col("new_id").alias("src"), F.col("ex_id").alias("dst")
+                )
+            ).collect()
+        }
+
+    def cset():
+        return {(r["node"], r["component"]) for r in clusters(spark, state).collect()}
+
+    c_path = os.path.join(state, "clusters")
+
+    # (a) Crash on the first fold's rename into place: staged copy is
+    # complete (_SUCCESS written by the parquet job), live dir absent.
+    real_rename = os.rename
+
+    def crashing_rename(src, dst):
+        if dst == c_path:
+            raise OSError("simulated crash before first-swap rename")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    with pytest.raises(OSError, match="simulated crash"):
+        fold_pairs_into_clusters(spark, state, n_shards=8)
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert not os.path.exists(c_path)
+    staged = c_path + "_compacting"
+    from odl_etl_spark.streaming.ingest_dedup import _STAGE_MARKER
+
+    assert os.path.exists(os.path.join(staged, _STAGE_MARKER))
+    assert folded_upto(spark, state) is None  # watermark is written LAST
+    assert fold_pairs_into_clusters(spark, state, n_shards=8) == 1
+    assert cset() == full_cc()
+    assert not os.path.exists(staged)
+
+    # (b) Torn staging write on a fresh state: staged dir exists WITHOUT
+    # _SUCCESS and there is no live dir and no backup — recovery must
+    # drop it (nothing was ever committed) and the fold must rebuild.
+    state2 = str(tmp_path / "state2")
+    for b, edges in history.items():
+        _write_pairs_batch(spark, state2, b, edges)
+    torn = os.path.join(state2, "clusters_compacting")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-00000.parquet"), "w") as f:
+        f.write("torn partial write")
+    assert fold_pairs_into_clusters(spark, state2, n_shards=8) == 1
+    assert not os.path.exists(torn)
+    assert {
+        (r["node"], r["component"]) for r in clusters(spark, state2).collect()
+    } == full_cc()
+
+
+def test_ann_ingest_refuses_rebootstrap_over_committed_checkpoint(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r9 #1: a MISSING index store plus a checkpoint that has
+    committed batches must refuse bootstrap in every ingest family —
+    the checkpoint marks those batches done, so an availableNow replay
+    would not re-deliver them, and a corpus-only re-bootstrap would
+    silently drop them from every future probe. Deleting the checkpoint
+    (an explicit start-over) re-enables bootstrap."""
+    import pyspark.sql.types as T
+
+    from odl_etl_spark.operators.similarity import IvfIndex
+    from odl_etl_spark.queries.similarity import hyperplane_params
+    from odl_etl_spark.streaming.ingest_ann import (
+        ingest_ann_stream,
+        ingest_ivf_stream,
+        ingest_pq_stream,
+        stored_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    hps, _, _ = hyperplane_params(spark, sf_dir, 5)
+    body = e.where(F.col("vec_id") != 0)
+    corpus = body.where(F.col("vec_id") % 5 != 4)
+    arrivals_dir = str(tmp_path / "arrivals")
+    os.makedirs(arrivals_dir)
+    stage = str(tmp_path / "_stage")
+    (
+        body.where(F.col("vec_id") % 5 == 4)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    shutil.move(os.path.join(stage, part), os.path.join(arrivals_dir, "b0.parquet"))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    arrivals = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals_dir)
+    )
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    q = ingest_ann_stream(arrivals, corpus, state, ckpt, hps, available_now=True)
+    q.awaitTermination(300)
+    n_committed = stored_index(spark, state).count()
+    assert n_committed > 0
+
+    # Lose the store out-of-band; the checkpoint still has the commit.
+    shutil.rmtree(os.path.join(state, "index"))
+    with pytest.raises(RuntimeError, match="hyperplane ingest store"):
+        ingest_ann_stream(arrivals, corpus, state, ckpt, hps, available_now=True)
+
+    # Explicit start-over: delete the checkpoint too — bootstrap + full
+    # replay rebuild the exact same store.
+    shutil.rmtree(ckpt)
+    q = ingest_ann_stream(arrivals, corpus, state, ckpt, hps, available_now=True)
+    q.awaitTermination(300)
+    assert stored_index(spark, state).count() == n_committed
+
+    # Same wiring in the IVF and PQ loops: a fabricated checkpoint with
+    # a committed batch and a missing store refuses before any stream
+    # (or bootstrap write) starts.
+    fake_ckpt = str(tmp_path / "fake_ckpt")
+    os.makedirs(os.path.join(fake_ckpt, "commits"))
+    with open(os.path.join(fake_ckpt, "commits", "0"), "w") as f:
+        f.write("v1")
+    with pytest.raises(RuntimeError, match="ivf ingest store"):
+        ingest_ivf_stream(
+            arrivals,
+            corpus,
+            str(tmp_path / "ivf_state"),
+            fake_ckpt,
+            IvfIndex([(0, [0.0] * 8)]),
+        )
+    assert not os.path.isdir(str(tmp_path / "ivf_state"))
+    with pytest.raises(RuntimeError, match="pq ingest store"):
+        ingest_pq_stream(arrivals, corpus, str(tmp_path / "pq_state"), fake_ckpt)
+    assert not os.path.isdir(str(tmp_path / "pq_state"))
+
+
+def test_pq_probe_counts_come_from_sidecar_not_store_scan(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r9 #3 / r10 #4 pin: the PQ corpus cardinality that sizes
+    `pq_r_pool` is maintained at commit/compaction time in the counts
+    sidecar (O(#batches) rows) — `probe_pq_state` never aggregates the
+    full codes store. Proof by tamper: the sidecar tracks the true
+    distinct count through bootstrap/append/replay; a tampered sidecar
+    value is what the count API returns (so the store was NOT scanned);
+    a store predating the sidecar falls back to the true scan; retrain
+    folds the sidecar to a single -1 partition."""
+    from odl_etl_spark.streaming.ingest_ann import (
+        _pq_counts_path,
+        bootstrap_pq_state,
+        pq_append_and_commit,
+        pq_corpus_count,
+        retrain_pq_state,
+        stored_pq,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    e_v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    body = e_v.where(F.col("vec_id") != 0)
+    corpus = body.where(F.col("vec_id") % 5 != 4)
+    batch = body.where(F.col("vec_id") % 5 == 4)
+    state = str(tmp_path / "state")
+    bootstrap_pq_state(corpus, state)
+
+    def true_n():
+        return stored_pq(spark, state)[1].select("vec_id").distinct().count()
+
+    assert pq_corpus_count(spark, state) == true_n()
+    pq_append_and_commit(batch, 0, state)
+    assert pq_corpus_count(spark, state) == true_n()
+    # At-least-once replay: the batch's own sidecar partition is
+    # excluded from its staleness count and rewritten, not added to.
+    pq_append_and_commit(batch, 0, state)
+    assert pq_corpus_count(spark, state) == true_n()
+
+    # Tamper: the count API must believe the sidecar (no store scan).
+    counts_path = _pq_counts_path(state)
+    spark.createDataFrame([(12345,)], "n bigint").withColumn(
+        "_batch_id", F.lit(0)
+    ).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("_batch_id").parquet(counts_path)
+    n_corpus_only = pq_corpus_count(spark, state, exclude_batch_id=0)
+    assert pq_corpus_count(spark, state) == n_corpus_only + 12345
+
+    # Legacy store (sidecar absent): fall back to the true scan.
+    shutil.rmtree(counts_path)
+    assert pq_corpus_count(spark, state) == true_n()
+
+    # Retrain rebuilds the sidecar folded to one -1 partition.
+    retrain_pq_state(spark, state, e_v)
+    parts = {
+        d for d in os.listdir(counts_path) if d.startswith("_batch_id=")
+    }
+    assert parts == {"_batch_id=-1"}
+    assert pq_corpus_count(spark, state) == true_n()
