@@ -859,6 +859,66 @@ def ann_index_ingest_probe(spark, sf_dir):
     )
 
 
+@spec(
+    "ann_index_pq_ingest_probe",
+    _PQ_ORACLE,
+    doc=(
+        "Daily-ingest maintenance for the stored PQ index — the "
+        "`ann_index_ingest_probe` posture on the compressed-codes tier "
+        "(round 11, completing the oracled ingest symmetry: hyperplane "
+        "had a driver-hashed append key, PQ's append was unit-pinned "
+        "only). The codebook is trained ONCE over the full frame "
+        "(train-stamped with pq_subs + pq_train_n — the staleness "
+        "contract's prerequisite), the standing corpus (vec_id % 5 != "
+        "4) is encoded against it and materialized as the stored codes "
+        "relation, then the 'daily batch' (the remaining vectors) is "
+        "append-encoded via operators/ann_index.pq_index_append — "
+        "which validates the codebook's stamps and enforces the "
+        "pq_train_n drift threshold before encoding ONLY the new "
+        "vectors. Because pq_encode is deterministic given a codebook, "
+        "stored ∪ appended ≡ encoding the whole corpus at once, so "
+        "this key shares `sim_ann_pq`'s oracle: the driver's hash "
+        "compare IS the append≡re-encode proof at every scale. At "
+        "100 TB the appended codes land under their own `_batch_id` "
+        "partition in the stored layout (streaming/ingest_ann."
+        "ingest_pq_stream is the readStream loop; its corpus-count "
+        "sidecar keeps the probe's r_pool sizing O(#batches)) and only "
+        "the new batch is ever re-encoded; once the corpus drifts past "
+        "50% of the stamped training size the append refuses loudly "
+        "and retrain_pq_state is the remedy."
+    ),
+)
+def ann_index_pq_ingest_probe(spark, sf_dir):
+    from odl_etl_spark.io.sources import cached_count
+    from odl_etl_spark.operators.ann_index import (
+        pq_encode,
+        pq_explode,
+        pq_index,
+        pq_index_append,
+        pq_probe,
+        pq_r_pool,
+    )
+    from odl_etl_spark.operators.materialize import materialize
+
+    probe = _probe_vec(spark, sf_dir, 0)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # The stored artifacts: codebook trained once over the full frame
+    # (sim_ann_pq's training set — append must reproduce its oracle),
+    # standing-corpus codes encoded once; materialize() stands in for
+    # the persisted parquet pair, same convention as the *_probe keys.
+    cent, _ = pq_index(spread(e), train_stamp=True)
+    cent = materialize(cent)
+    standing = e.where((F.col("vec_id") != 0) & (F.col("vec_id") % 5 != 4))
+    arriving = e.where((F.col("vec_id") != 0) & (F.col("vec_id") % 5 == 4))
+    stored = materialize(pq_encode(pq_explode(spread(standing)), cent))
+    appended = pq_index_append(cent, stored, spread(arriving))
+    codes = stored.unionByName(appended)
+    n_corpus = cached_count(spark, sf_dir, "embeddings") - 1
+    return pq_probe(codes, cent, e, probe, pq_r_pool(n_corpus), k=10)
+
+
 SPECS = [
     sim_topk,
     sim_pairwise_label,
@@ -874,4 +934,5 @@ SPECS = [
     sim_ann_pq_probe,
     sim_ann_ivf_probe,
     ann_index_ingest_probe,
+    ann_index_pq_ingest_probe,
 ]

@@ -733,6 +733,23 @@ def test_ann_index_ingest_probe_appends_batch_only_no_corpus_shuffle(
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_ann_index_pq_ingest_probe_broadcast_only_no_sort_merge(spark, sf_dir):
+    """`ann_index_pq_ingest_probe` pin: the ADC scoring and the exact
+    re-rank run entirely through broadcast hash joins (the 128-entry LUT
+    and the bounded shortlist — no SortMergeJoin anywhere), the
+    shortlist and the final top-k are TakeOrderedAndProject (partial
+    per-partition top-k, no global sort), and the batch/corpus encode
+    scans push the vec_id filters into the parquet reader."""
+    from odl_etl_spark.queries import registry
+
+    df = registry()["ann_index_pq_ingest_probe"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject(limit=10" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Not(EqualTo(vec_id,0))" in plan, plan
+
+
 def test_no_unbounded_fact_broadcasts_in_dedup_sim_corpus_families(
     spark, sf_dir
 ):
@@ -749,7 +766,7 @@ def test_no_unbounded_fact_broadcasts_in_dedup_sim_corpus_families(
 
     flagged = {}
     for name, spec in registry().items():
-        if not name.startswith(("dedup_", "sim_", "corpus_")):
+        if not name.startswith(("dedup_", "sim_", "corpus_", "ann_index_")):
             continue
         flags = audit_fact_broadcasts(spec.build(spark, sf_dir))
         if flags:
