@@ -88,13 +88,14 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
 
     Round-12 rotation plan (do NOT apply before the r11 driver run
     lands): the 41 remaining r8-checked keys in registry order, then
-    the round-11 addition without a driver row
-    (`ann_index_pq_ingest_probe` — hash-green tri-scale in the
-    plain-session driver replica this round), then any keys whose
-    plan changed in round 11 (none as of this writing: the round's
-    streaming/maintenance-path fixes touch no oracled key's plan),
-    then oldest-r9 fill to exactly 50. Cadence (≈50 checked/round vs
-    ≤5 added/round) keeps staleness ≤3 rounds."""
+    the two round-11 additions without a driver row
+    (`ann_index_pq_ingest_probe`, `ann_index_ivf_ingest_probe` — both
+    hash-green tri-scale AND in the plain-session driver replica this
+    round), then any keys whose plan changed in round 11 (none as of
+    this writing: the round's streaming/maintenance-path fixes touch
+    no oracled key's plan), then oldest-r9 fill to exactly 50.
+    Cadence (≈50 checked/round vs ≤5 added/round) keeps staleness
+    ≤3 rounds."""
     first = [
         # --- round-10 addition: first driver CORRECTNESS row ---
         "dedup_cluster_incremental",

@@ -919,6 +919,44 @@ def ann_index_pq_ingest_probe(spark, sf_dir):
     return pq_probe(codes, cent, e, probe, pq_r_pool(n_corpus), k=10)
 
 
+@spec(
+    "ann_index_ivf_ingest_probe",
+    _IVF_ORACLE,
+    doc=(
+        "Daily-ingest maintenance for the stored IVF index — completing "
+        "the oracled append symmetry across ALL THREE index families "
+        "(hyperplane: `ann_index_ingest_probe`; PQ: "
+        "`ann_index_pq_ingest_probe`; IVF's append was unit-pinned "
+        "only). The standing corpus (vec_id % 5 != 4) is cell-assigned "
+        "once and materialized as the stored inverted file (the parquet "
+        "a deployment writes partitionBy(cell_id)); the 'daily batch' "
+        "(the remaining vectors) is append-assigned via "
+        "operators/similarity.IvfIndex.append — which refuses unstamped "
+        "stores, count mismatches, count-only stamps, AND value-checksum "
+        "mismatches before assigning ONLY the new vectors. Centroids "
+        "are fixed parameters, so append ≡ rebuild exactly: this key "
+        "shares `sim_ann_ivf`'s oracle, and the driver's hash compare "
+        "IS the append-correctness proof at every scale. At 100 TB the "
+        "appended rows land mode('append').partitionBy('cell_id') into "
+        "the stored layout (streaming/ingest_ann.ingest_ivf_stream is "
+        "the readStream loop) — assignments are immutable, no dynamic "
+        "overwrite needed, and the probe's cell_id IN (...) filter "
+        "remains partition pruning over stored ∪ appended."
+    ),
+)
+def ann_index_ivf_ingest_probe(spark, sf_dir):
+    from odl_etl_spark.operators.materialize import materialize
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probe = _probe_vec(spark, sf_dir, 0)
+    index = IvfIndex.build(e, n_cells=8)
+    standing = e.where((F.col("vec_id") != 0) & (F.col("vec_id") % 5 != 4))
+    arriving = e.where((F.col("vec_id") != 0) & (F.col("vec_id") % 5 == 4))
+    stored = materialize(index.assign(standing))
+    appended = index.append(stored, arriving)
+    return index.search(stored.unionByName(appended), probe, k=10, nprobe=2)
+
+
 SPECS = [
     sim_topk,
     sim_pairwise_label,
@@ -935,4 +973,5 @@ SPECS = [
     sim_ann_ivf_probe,
     ann_index_ingest_probe,
     ann_index_pq_ingest_probe,
+    ann_index_ivf_ingest_probe,
 ]

@@ -750,6 +750,23 @@ def test_ann_index_pq_ingest_probe_broadcast_only_no_sort_merge(spark, sf_dir):
     assert "Not(EqualTo(vec_id,0))" in plan, plan
 
 
+def test_ann_index_ivf_ingest_probe_cell_filter_no_sort_merge(spark, sf_dir):
+    """`ann_index_ivf_ingest_probe` pin: the search touches only the
+    nprobe cells (cell_id filter — partition pruning against the stored
+    layout), the appended batch's assign scan pushes the vec_id filter
+    into the parquet reader, the top-k is TakeOrderedAndProject, and no
+    SortMergeJoin appears anywhere (assignment is a broadcast of the
+    8-row centroid parameter set, never a corpus-side shuffle join)."""
+    from odl_etl_spark.queries import registry
+
+    df = registry()["ann_index_ivf_ingest_probe"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject(limit=10" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "cell_id" in plan, plan
+    assert "Not(EqualTo(vec_id,0))" in plan, plan
+
+
 def test_no_unbounded_fact_broadcasts_in_dedup_sim_corpus_families(
     spark, sf_dir
 ):
