@@ -84,7 +84,11 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
     round's one changed-plan key; then the 8 oldest-r8 keys in
     registry order to fill exactly 50 (`sink_orc_roundtrip` …
     `agg_pivot`). After this window lands green, staleness is ≤3
-    rounds for every key (41 r8 + 45 r9 + 50 r10 + 50 r11).
+    rounds for every DRIVER-CHECKED key: 50 in this r11 window + 41
+    remaining r8 + 45 r9 + 49 remaining r10 (`stream_running_totals`
+    moves from the r10 cohort into this window) = 185, plus the two
+    round-11 additions below with no driver row yet (187 total),
+    which the round-12 window checks first.
 
     Round-12 rotation plan (do NOT apply before the r11 driver run
     lands): the 41 remaining r8-checked keys in registry order, then

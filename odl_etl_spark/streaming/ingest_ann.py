@@ -418,13 +418,42 @@ def _commit_pq_count(
     ).partitionBy("_batch_id").parquet(_pq_counts_path(state_dir))
 
 
+def _backfill_pq_counts(spark: SparkSession, state_dir: str) -> None:
+    """Materialize the counts sidecar for a store that predates it (or
+    lost it to a crash between bootstrap's codes and counts writes):
+    one scan of the codes store, ONCE — every reader is O(#batches)
+    afterwards. Called from the append (write) path before its first
+    sidecar commit; without this, a legacy store's first appended batch
+    would create a sidecar holding ONLY its own partition, silently
+    shrinking every later probe's r_pool and defeating the staleness
+    contract. No-op when the sidecar (or the whole store) is absent."""
+    if _read_or_none(spark, _pq_counts_path(state_dir)) is not None:
+        return
+    _, codes_path = _pq_paths(state_dir)
+    codes = _read_or_none(spark, codes_path)
+    if codes is None:
+        return
+    (
+        codes.groupBy("_batch_id")
+        .agg(F.countDistinct("vec_id").alias("n"))
+        .select("n", "_batch_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(_pq_counts_path(state_dir))
+    )
+
+
 def pq_corpus_count(
     spark: SparkSession, state_dir: str, exclude_batch_id: int | None = None
 ) -> int:
     """Corpus cardinality of the ingested PQ store from the counts
     sidecar — an O(#batches)-row scan, never an Aggregate over the full
     codes relation. Falls back to the store count ONLY for a store
-    predating the sidecar (pre-round-11 layout)."""
+    predating the sidecar (pre-round-11 layout); the read path stays
+    read-only — the append path backfills the sidecar for such stores
+    (``_backfill_pq_counts``) so the fallback is paid at most until the
+    next commit."""
     counts = _read_or_none(spark, _pq_counts_path(state_dir))
     if counts is None:  # legacy store: pay the scan once, loudly
         _, codes_path = _pq_paths(state_dir)
@@ -453,10 +482,9 @@ def bootstrap_pq_state(corpus_v: DataFrame, state_dir: str) -> None:
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("_batch_id").parquet(codes_path)
     # The training count was already computed for the codebook stamp —
-    # reuse it, no extra job.
-    spark = corpus_v.sparkSession
+    # reuse it from the in-memory frame's metadata, no extra job.
     _commit_pq_count(
-        spark, state_dir, -1, int(_stamped_any(spark.read.parquet(cent_path), "pq_train_n"))
+        corpus_v.sparkSession, state_dir, -1, int(_stamped_any(cent, "pq_train_n"))
     )
 
 
@@ -485,7 +513,10 @@ def pq_append_and_commit(
     committed = codes.where(F.col("_batch_id") != batch_id).drop("_batch_id")
     # Cardinalities from the counts sidecar (this batch's own partition
     # excluded for replay-idempotency) + one count of the SMALL batch —
-    # the staleness check never aggregates the full codes store.
+    # the staleness check never aggregates the full codes store. A
+    # legacy/torn store gets its sidecar backfilled FIRST, so the commit
+    # below never seeds a counts relation missing earlier partitions.
+    _backfill_pq_counts(spark, state_dir)
     n_existing = pq_corpus_count(spark, state_dir, exclude_batch_id=batch_id)
     n_batch = (
         batch_df.where(F.col("vec_id") != 0).select("vec_id").distinct().count()
@@ -591,11 +622,12 @@ def retrain_pq_state(
         "_batch_id"
     ).parquet(os.path.join(tmp, "codes"))
     # The counts sidecar folds with the store: one -1 partition carrying
-    # the retrain count (already computed for the codebook stamp).
+    # the retrain count (already computed for the codebook stamp — read
+    # from the in-memory frame's metadata, no extra job).
     from odl_etl_spark.operators.ann_index import _stamped_any
 
     spark.createDataFrame(
-        [(int(_stamped_any(spark.read.parquet(os.path.join(tmp, "codebook")), "pq_train_n")),)],
+        [(int(_stamped_any(cent, "pq_train_n")),)],
         "n bigint",
     ).withColumn("_batch_id", F.lit(-1)).write.mode("overwrite").partitionBy(
         "_batch_id"

@@ -29,21 +29,32 @@ RUNNING_OUTPUT = StructType(
         StructField("total_value", DoubleType()),
     ]
 )
+# State carries the money sum as integer CENTS (the house scaled-BIGINT
+# convention, same as the driver-oracled batch twin stream_running_totals):
+# integer accumulation is order-free across micro-batches and replays,
+# so the stream and the batch replay agree on every input — not just on
+# data that happens to be exact 2-decimal amounts.
 RUNNING_STATE = StructType(
-    [StructField("n", LongType()), StructField("total", DoubleType())]
+    [StructField("n", LongType()), StructField("total_cents", LongType())]
 )
 
 
 def _update_running(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    n, total = state.get if state.exists else (0, 0.0)
+    import numpy as np
+
+    n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
+        # Per-event half-away-from-zero cents — bit-identical to Spark's
+        # F.round(value*100) in the batch key (numpy .round() would be
+        # half-even and could diverge on an exact .5 boundary).
+        y = pdf["value"].to_numpy() * 100.0
+        cents += int(np.sign(y).astype("int64") @ np.floor(np.abs(y) + 0.5).astype("int64"))
+    state.update((n, cents))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
     )
 
 
@@ -86,13 +97,20 @@ try:  # Spark >= 4.0
             self._state = handle.getValueState("totals", RUNNING_STATE)
 
         def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
-            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            import numpy as np
+
+            n, cents = self._state.get() if self._state.exists() else (0, 0)
             for pdf in rows:
                 n += len(pdf)
-                total += float(pdf["value"].sum())
-            self._state.update((n, total))
+                # Same integer-cents convention as _update_running.
+                y = pdf["value"].to_numpy() * 100.0
+                cents += int(
+                    np.sign(y).astype("int64")
+                    @ np.floor(np.abs(y) + 0.5).astype("int64")
+                )
+            self._state.update((n, cents))
             yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+                {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
             )
 
         def close(self) -> None:

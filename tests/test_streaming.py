@@ -1833,6 +1833,18 @@ def test_pq_probe_counts_come_from_sidecar_not_store_scan(
     shutil.rmtree(counts_path)
     assert pq_corpus_count(spark, state) == true_n()
 
+    # Legacy-store APPEND backfills the sidecar for ALL committed
+    # partitions before committing its own count — without the
+    # backfill, the new batch's partition would be the sidecar's only
+    # row and every later probe would see a ~batch-sized corpus.
+    batch2 = body.where(F.col("vec_id") % 7 == 3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "v"
+    )
+    pq_append_and_commit(batch2, 1, state)
+    assert pq_corpus_count(spark, state) == true_n()
+    parts = {d for d in os.listdir(counts_path) if d.startswith("_batch_id=")}
+    assert parts == {"_batch_id=-1", "_batch_id=0", "_batch_id=1"}
+
     # Retrain rebuilds the sidecar folded to one -1 partition.
     retrain_pq_state(spark, state, e_v)
     parts = {
