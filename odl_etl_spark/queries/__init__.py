@@ -97,9 +97,12 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
     hash-green tri-scale AND in the plain-session driver replica this
     round), then any keys whose plan changed in round 11 (none as of
     this writing: the round's streaming/maintenance-path fixes touch
-    no oracled key's plan), then oldest-r9 fill to exactly 50.
-    Cadence (≈50 checked/round vs ≤5 added/round) keeps staleness
-    ≤3 rounds."""
+    no oracled key's plan), then oldest-r9 fill to exactly 50. All 50
+    round-12 candidates (the 41 r8 keys, both additions, and the
+    7-key r9 fill `scan_parquet` … `scalar_variant`) were
+    pre-verified 50/50 green through the plain-session driver replica
+    in round 11. Cadence (≈50 checked/round vs ≤5 added/round) keeps
+    staleness ≤3 rounds."""
     first = [
         # --- round-10 addition: first driver CORRECTNESS row ---
         "dedup_cluster_incremental",
