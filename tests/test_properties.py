@@ -548,3 +548,35 @@ def test_winnow_guarantee_and_python_parity_any_docs(
     assert got_a & got_b, (doc_a, doc_b)
     assert got_a == _winnow_py(doc_a, k, w)
     assert got_b == _winnow_py(doc_b, k, w)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_stateful_cents_rounding_matches_spark_round(spark, values):
+    """The integer-cents accumulation inside the stateful operator
+    (streaming/stateful._update_running — numpy half-away-from-zero per
+    event) must bit-match Spark's F.round(value*100) on ANY doubles,
+    including negatives and near-halfway products: the stream≡batch tie
+    between running_user_totals and the driver-oracled
+    stream_running_totals key rides on this identity, so it is pinned
+    on adversarial inputs, not just the exact-cent fixture."""
+    import numpy as np
+
+    y = np.asarray(values, dtype="float64") * 100.0
+    got = int(np.sign(y).astype("int64") @ np.floor(np.abs(y) + 0.5).astype("int64"))
+    df = spark.createDataFrame([(float(v),) for v in values], "value double")
+    want = df.select(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("c")
+    ).head()["c"]
+    assert got == want
