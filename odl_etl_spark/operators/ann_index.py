@@ -322,7 +322,21 @@ def pq_index_append(
     corpus, so this refuses (ValueError) once the post-append corpus
     drifts past ``max_drift`` of the stamped training size — retrain via
     ``pq_index(all_vectors, train_stamp=True)`` at that point (the
-    ``compact_state`` analogue for the vector tier)."""
+    ``compact_state`` analogue for the vector tier).
+
+    Caller-supplied ``n_existing``/``n_new`` are TRUSTED for the drift
+    check (ADVICE r11 #4): the caller owns count integrity — a stale or
+    wrong sidecar value (e.g. the documented crash window where codes
+    commit but the count does not) weakens the staleness refusal, and
+    ``codes`` is deliberately not re-aggregated here to cross-check
+    (that scan is exactly what the sidecar exists to avoid). Negative
+    values are rejected outright; anything else is on the caller
+    (``ingest_ann`` repairs its sidecar via ``_backfill_pq_counts``
+    before ever passing a count)."""
+    if n_existing is not None and n_existing < 0:
+        raise ValueError(f"n_existing must be >= 0, got {n_existing}")
+    if n_new is not None and n_new < 0:
+        raise ValueError(f"n_new must be >= 0, got {n_new}")
     stamped_subs = _stamped_any(cent, "pq_subs")
     if stamped_subs is not None and int(stamped_subs) != PQ_SUBS:
         raise ValueError(

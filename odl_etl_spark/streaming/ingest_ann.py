@@ -257,7 +257,15 @@ def _compact_batches(
         for fn in os.listdir(src_dir):
             if fn.startswith("."):
                 continue  # committer .crc sidecars — not data
-            os.link(os.path.join(src_dir, fn), os.path.join(dst_dir, fn))
+            src_f, dst_f = os.path.join(src_dir, fn), os.path.join(dst_dir, fn)
+            try:
+                os.link(src_f, dst_f)
+            except OSError:
+                # Filesystems without hard links (object-store FUSE
+                # mounts, some NFS): degrade to a real copy — slower but
+                # the same crash contract (stage complete before swap,
+                # live dir authoritative until the rename).
+                shutil.copy2(src_f, dst_f)
     mark_stage_complete(tmp)
     prev = path + "_old"
     shutil.rmtree(prev, ignore_errors=True)
@@ -410,7 +418,19 @@ def _commit_pq_count(
     keyed by ``_batch_id`` so an at-least-once replay rewrites its own
     partition idempotently. Maintained at commit/compaction time so no
     probe ever has to aggregate the full codes store to learn the
-    corpus size."""
+    corpus size.
+
+    ASSUMES batch-disjoint vec_ids (ADVICE r11 #3): the sidecar sums
+    per-batch distinct counts, so a vec_id the SOURCE re-delivers under
+    a *different* ``_batch_id`` (at-least-once re-send landing in a new
+    batch, as opposed to a replay of the same batch — which the
+    dynamic-overwrite keying handles) is counted once per batch it lands
+    in, inflating the corpus count vs the legacy fallback's global
+    distinct. That errs conservative for the staleness contract (an
+    inflated count trips retrain EARLIER) and upward-biases r_pool
+    sizing; sources that can re-send across batch boundaries should
+    dedup arrivals against the store upstream (the ingest-dedup loop in
+    ``ingest_dedup.py`` is the house tool for exactly that)."""
     spark.createDataFrame(
         [(int(n),)], "n bigint"
     ).withColumn("_batch_id", F.lit(batch_id)).write.mode("overwrite").option(
@@ -453,7 +473,9 @@ def pq_corpus_count(
     predating the sidecar (pre-round-11 layout); the read path stays
     read-only — the append path backfills the sidecar for such stores
     (``_backfill_pq_counts``) so the fallback is paid at most until the
-    next commit."""
+    next commit. Inherits ``_commit_pq_count``'s batch-disjoint vec_id
+    assumption: cross-batch re-sends of the same vec_id count once per
+    batch here but once globally in the legacy fallback."""
     counts = _read_or_none(spark, _pq_counts_path(state_dir))
     if counts is None:  # legacy store: pay the scan once, loudly
         _, codes_path = _pq_paths(state_dir)

@@ -50,7 +50,12 @@ def _update_running(
         # Per-event half-away-from-zero cents — bit-identical to Spark's
         # F.round(value*100) in the batch key (numpy .round() would be
         # half-even and could diverge on an exact .5 boundary).
-        y = pdf["value"].to_numpy() * 100.0
+        # Non-finite values (null -> NaN via to_numpy, or inf) are masked
+        # out to match F.sum's null-skipping semantics — np.sign(NaN)
+        # .astype('int64') is INT64_MIN and would corrupt the running
+        # state forever; n_events still counts the row (COUNT(*)).
+        y = pdf["value"].to_numpy(dtype="float64") * 100.0
+        y = y[np.isfinite(y)]
         cents += int(np.sign(y).astype("int64") @ np.floor(np.abs(y) + 0.5).astype("int64"))
     state.update((n, cents))
     yield pd.DataFrame(
@@ -102,8 +107,10 @@ try:  # Spark >= 4.0
             n, cents = self._state.get() if self._state.exists() else (0, 0)
             for pdf in rows:
                 n += len(pdf)
-                # Same integer-cents convention as _update_running.
-                y = pdf["value"].to_numpy() * 100.0
+                # Same integer-cents convention as _update_running,
+                # including the non-finite mask (F.sum skips nulls).
+                y = pdf["value"].to_numpy(dtype="float64") * 100.0
+                y = y[np.isfinite(y)]
                 cents += int(
                     np.sign(y).astype("int64")
                     @ np.floor(np.abs(y) + 0.5).astype("int64")

@@ -741,6 +741,12 @@ def test_pq_index_append_equals_reencode_and_enforces_staleness(
     cent_plain, codes_plain = pq_index(standing)
     with pytest.raises(ValueError, match="pq_train_n"):
         pq_index_append(cent_plain, codes_plain, arriving)
+    # ADVICE r11 #4: caller-supplied counts are trusted but never
+    # accepted negative — a corrupt sidecar value must fail loudly.
+    with pytest.raises(ValueError, match="n_existing"):
+        pq_index_append(cent_s, codes_s, arriving, n_existing=-1, n_new=3)
+    with pytest.raises(ValueError, match="n_new"):
+        pq_index_append(cent_s, codes_s, arriving, n_existing=3, n_new=-1)
 
 
 def test_hyperplane_stamp_survives_bucket_partitioned_layout(spark, sf_dir, tmp_path):

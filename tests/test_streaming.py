@@ -254,6 +254,38 @@ def test_ann_ingest_stream_equals_rebuild_and_compacts(spark, sf_dir, tmp_path):
     assert got2 == key
 
 
+def test_compaction_falls_back_to_copy_without_hardlinks(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11 #2 pin: on filesystems without hard-link support
+    (object-store FUSE mounts, some NFS), os.link raises OSError —
+    compaction must degrade to a real copy of the replayable-tip
+    partitions instead of failing, with the same staged-swap result."""
+    import odl_etl_spark.streaming.ingest_ann as ia
+
+    state = str(tmp_path / "state")
+    path = os.path.join(state, "idx")
+    df = spark.range(30).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("int").alias("_batch_id"),
+    )
+    df.write.mode("overwrite").partitionBy("_batch_id").parquet(path)
+
+    def no_link(src, dst, *a, **kw):
+        raise OSError("hard links not supported")
+
+    monkeypatch.setattr(ia.os, "link", no_link)
+    ia._compact_batches(spark, state, "idx", 1, "k")
+    after = spark.read.parquet(path)
+    parts = {d for d in os.listdir(path) if d.startswith("_batch_id=")}
+    assert parts == {"_batch_id=-1", "_batch_id=2"}
+    assert {r["k"] for r in after.collect()} == set(range(30))
+    # Tip partition intact under its own batch id, via the copy path.
+    assert {r["k"] for r in after.where("_batch_id = 2").collect()} == {
+        i for i in range(30) if i % 3 == 2
+    }
+
+
 def _write_arrival_batches(tmp_path, arrivals_dir, batch_dfs):
     """Materialize each DataFrame as ONE parquet file in arrival order
     (mtime-staggered so maxFilesPerTrigger=1 replays them as batches
@@ -586,6 +618,40 @@ def test_stateful_running_totals_matches_batch_key(spark, sf_dir, tmp_path):
     }
     assert streamed == key_rows
     assert streamed  # every batch emits rows
+
+
+def test_stateful_null_values_do_not_corrupt_state():
+    """ADVICE r11 #1 pin: np.sign(NaN).astype('int64') is INT64_MIN, so
+    one null/NaN `value` row used to turn the running cents into garbage
+    forever. The handler must match the driver-oracled batch twin's
+    semantics — COUNT(*) counts the row, SUM skips the null — and the
+    state must stay sane for subsequent micro-batches."""
+    import pandas as pd
+
+    from odl_etl_spark.streaming.stateful import _update_running
+
+    class FakeState:
+        exists = False
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    st = FakeState()
+    pdf = pd.DataFrame({"value": [1.25, None, float("nan"), -2.50]})
+    [out] = list(_update_running((7,), iter([pdf]), st))
+    assert out["n_events"].iloc[0] == 4  # COUNT(*) counts the null row
+    assert out["total_value"].iloc[0] == -1.25  # 125 - 250 cents; nulls skipped
+    # Second micro-batch continues from uncorrupted state.
+    [out2] = list(
+        _update_running((7,), iter([pd.DataFrame({"value": [0.75]})]), st)
+    )
+    assert out2["n_events"].iloc[0] == 5
+    assert out2["total_value"].iloc[0] == -0.50
 
 
 def test_stateful_running_totals_accumulate(spark, events_dir):
