@@ -68,97 +68,91 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
     the first 50 registry keys per round, so ordering is the verification
     budget.
 
-    Round-11 window (VERDICT.md r10, Next-round #1–#2; recomputed from
-    the CORRECTNESS_r01–r10 latest-check union — histogram 50 r10 /
-    45 r9 / 49 r8 / 40 r7 / 1 never-checked):
-    `dedup_cluster_incremental` FIRST (the round-10 addition with no
-    driver row yet — judge-attested hash-green in VERDICT r10, now
-    getting its first driver check), then the 40 r7-stale keys in
-    registry order (`scalar_array` … `text_idf_stop`), then
-    `stream_running_totals` — the one red r10 row (hash_match false),
-    REPAIRED this round: money path re-derived through scaled-BIGINT
-    cents on both engines and `batch`/`n_events` pinned BIGINT on both
-    sides (the emb_covariance r3 convention; re-verified tri-scale
-    sf0.001/0.01/0.1 hash-green in a plain-session driver replica,
-    stream≡batch tie + plan pin re-run green) — this is also the
-    round's one changed-plan key; then the 8 oldest-r8 keys in
-    registry order to fill exactly 50 (`sink_orc_roundtrip` …
-    `agg_pivot`). After this window lands green, staleness is ≤3
-    rounds for every DRIVER-CHECKED key: 50 in this r11 window + 41
-    remaining r8 + 45 r9 + 49 remaining r10 (`stream_running_totals`
-    moves from the r10 cohort into this window) = 185, plus the two
-    round-11 additions below with no driver row yet (187 total),
-    which the round-12 window checks first.
+    Round-12 window (VERDICT.md r11, Next-round #1; exactly the
+    rotation pre-written and pre-verified in round 11 — all 50
+    candidates ran 50/50 green through the plain-session driver
+    replica then, and the judge independently re-confirmed both new
+    keys; recomputed this round from the CORRECTNESS_r01–r11
+    latest-check union — histogram 50 r11 / 49 r10 / 45 r9 / 41 r8 /
+    2 never-checked): the two round-11 additions with no driver row
+    yet FIRST (`ann_index_pq_ingest_probe`, `ann_index_ivf_ingest_probe`
+    — the driver hash is the append≡rebuild proof itself, SURVEY §2B
+    ANN contract), then the 41 remaining r8-stale keys in registry
+    order (`agg_approx_quantile` … `dedup_stream_ingest`), then this
+    round's changed-plan keys (none: the round-12 ADVICE fixes touch
+    the stateful NaN mask, compaction link-fallback, and append
+    validation — no oracled key's plan), then the 7 oldest-r9 keys in
+    registry order to fill exactly 50 (`scan_parquet` …
+    `scalar_variant`). After this window lands green, staleness is
+    ≤3 rounds for every key: 50 r12 + 50 r11 + 49 r10 + 38 r9 = 187.
 
-    Round-12 rotation plan (do NOT apply before the r11 driver run
-    lands): the 41 remaining r8-checked keys in registry order, then
-    the two round-11 additions without a driver row
-    (`ann_index_pq_ingest_probe`, `ann_index_ivf_ingest_probe` — both
-    hash-green tri-scale AND in the plain-session driver replica this
-    round), then any keys whose plan changed in round 11 (none as of
-    this writing: the round's streaming/maintenance-path fixes touch
-    no oracled key's plan), then oldest-r9 fill to exactly 50. All 50
-    round-12 candidates (the 41 r8 keys, both additions, and the
-    7-key r9 fill `scan_parquet` … `scalar_variant`) were
-    pre-verified 50/50 green through the plain-session driver replica
-    in round 11. Cadence (≈50 checked/round vs ≤5 added/round) keeps
-    staleness ≤3 rounds."""
+    Round-13 rotation plan (do NOT apply before the r12 driver run
+    lands): the 38 remaining r9-checked keys in registry order
+    (`join_skew_salted` … `basket_pairs`), then any round-12
+    additions without a driver row, then the round-12 CHANGED-PLAN
+    keys — `agg_groupby`, `join_broadcast`, `join_multiway`,
+    `sql_tpch_q3` (money sums migrated to the scaled-BIGINT cents
+    convention in the round-12 ROUND(SUM(double)) exposure audit;
+    each re-verified tri-scale + plain-session type-aware replica in
+    round 12; their latest driver rows (r10/r11) predate the
+    migration, so the r13 slots give each a POST-migration row) — then
+    oldest-r10 fill to exactly 50. Cadence (≈50 checked/round vs ≤2
+    added/round) keeps staleness ≤3 rounds."""
     first = [
-        # --- round-10 addition: first driver CORRECTNESS row ---
-        "dedup_cluster_incremental",
-        # --- the 40 r7-stale keys, registry order ---
-        "scalar_array",
-        "udf_scalar_pandas",
-        "join_inner_equi",
-        "join_full",
-        "subq_in",
-        "subq_scalar",
-        "join_broadcast",
-        "join_left",
-        "join_semi",
-        "join_anti",
-        "join_theta_range",
-        "join_multiway",
-        "join_asof",
-        "agg_groupby",
-        "text_repetition",
-        "dedup_decontaminate",
-        "corpus_mix",
-        "dedup_incremental",
-        "emb_quantize",
-        "graph_pagerank",
-        "multimodal_catalog",
-        "multimodal_image_features",
-        "multimodal_video_frames",
-        "dedup_span_rewrite",
-        "sql_tpch_q1",
-        "sql_tpch_q5",
-        "sql_tpch_q18",
-        "quality_gopher",
-        "corpus_filter_c4",
-        "emb_norm_stats",
-        "join_interval_overlap",
-        "events_active_users",
-        "agg_weighted",
-        "win_mad_outlier",
-        "text_ngram_profile",
-        "agg_grouping_id",
-        "text_entropy",
-        "events_funnel_time",
-        "emb_pq_codebook",
-        "text_idf_stop",
-        # --- the repaired r10 red row (also this round's one
-        #     changed-plan key): scaled-BIGINT cents re-derivation ---
-        "stream_running_totals",
-        # --- oldest-r8 keys, registry order, fill to 50 ---
-        "sink_orc_roundtrip",
-        "sink_upsert",
-        "sort_zorder",
-        "scalar_null",
-        "scalar_map",
-        "agg_stats",
-        "agg_collect",
-        "agg_pivot",
+        # --- round-11 additions: first driver CORRECTNESS rows (the
+        #     hash IS the append≡rebuild claim for the ingest tier) ---
+        "ann_index_pq_ingest_probe",
+        "ann_index_ivf_ingest_probe",
+        # --- the 41 remaining r8-stale keys, registry order ---
+        "agg_approx_quantile",
+        "agg_distinct",
+        "agg_approx_distinct",
+        "agg_rollup",
+        "agg_cube",
+        "agg_gsets",
+        "agg_having",
+        "agg_decimal_exact",
+        "win_rank",
+        "win_analytic",
+        "win_frame",
+        "win_ntile",
+        "win_cume",
+        "win_range_frame",
+        "sort_limit",
+        "topk_per_group",
+        "set_union",
+        "set_intersect",
+        "set_except",
+        "stream_tumbling",
+        "stream_sliding",
+        "stream_session",
+        "stream_dedup",
+        "stream_interval_join",
+        "scd2_build",
+        "timeseries_resample",
+        "events_anomaly",
+        "events_path_topk",
+        "timeseries_ewma",
+        "text_tokenize_tf",
+        "text_ngrams",
+        "text_lang_stats",
+        "text_token_count",
+        "text_pack_sequences",
+        "sim_maxsim",
+        "emb_covariance",
+        "text_ngram_containment",
+        "events_rfm",
+        "orders_backlog",
+        "sim_rerank_pipeline",
+        "dedup_stream_ingest",
+        # --- oldest-r9 keys, registry order, fill to 50 ---
+        "scan_parquet",
+        "scan_pruned",
+        "sink_csv_roundtrip",
+        "sink_jsonl_roundtrip",
+        "udaf_regression",
+        "explode_posexplode",
+        "scalar_variant",
     ]
     assert len(first) == 50, len(first)
     assert all(k in out for k in first), sorted(set(first) - set(out))

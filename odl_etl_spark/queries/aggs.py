@@ -19,33 +19,65 @@ from odl_etl_spark.queries.base import spec
     "agg_groupby",
     """
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity) * 100) / 100 AS sum_qty,
-           ROUND(SUM(l_extendedprice) * 100) / 100 AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) / 100 AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100) / 100 AS sum_charge,
-           ROUND(AVG(l_quantity) * 100) / 100 AS avg_qty,
-           ROUND(AVG(l_extendedprice) * 100) / 100 AS avg_price,
-           ROUND(AVG(l_discount) * 100) / 100 AS avg_disc,
+           CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 1e2
+             AS sum_base_price,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+             / 1e4 AS sum_disc_price,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                          * 1000000) AS BIGINT)) / 1e6 AS sum_charge,
+           ROUND(SUM(CAST(ROUND(l_quantity) AS BIGINT)) * 1e2 / COUNT(*)) / 100
+             AS avg_qty,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) * 1e0
+                 / COUNT(*)) / 100 AS avg_price,
+           ROUND(SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)) * 1e0
+                 / COUNT(*)) / 10000 AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-01'
     GROUP BY l_returnflag, l_linestatus
     """,
-    doc="TPC-H Q1 shape: the canonical partial+final hash aggregation.",
+    doc=(
+        "TPC-H Q1 shape: the canonical partial+final hash aggregation. "
+        "Money/ratio columns carry the scaled-BIGINT convention (round-12 "
+        "exposure audit, VERDICT r11 #3): the 4/6-decimal product sums "
+        "(disc_price, charge) live on a decimal grid that CONTAINS exact "
+        ".5 rounding boundaries, so a double SUM's engine-order error "
+        "decides the rounded digit with probability ~1/100 per group — "
+        "per-row scaled rounding recovers exact grid integers (float "
+        "error ~1e-7 of a grid step) and integer sums are order-free. "
+        "Averages divide two exact integers, so both engines round the "
+        "identical IEEE double even when C/n lands exactly on .5."
+    ),
 )
 def agg_groupby(spark, sf_dir):
+    from odl_etl_spark.functions.numeric import assert_scaled_sum_headroom
+    from odl_etl_spark.io.sources import cached_count
+
+    assert_scaled_sum_headroom(
+        cached_count(spark, sf_dir, "lineitem"),
+        2e5 * 1.08,
+        10**6,
+        what="agg_groupby sum_charge",
+    )
     l = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    qty_i = F.round(F.col("l_quantity")).cast("bigint")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_price_c = F.round(disc_price * 10000).cast("bigint")
+    charge_c = F.round(disc_price * (1 + F.col("l_tax")) * 1000000).cast("bigint")
+    disc_c = F.round(F.col("l_discount") * 10000).cast("bigint")
+    n = F.count("*")
     return l.groupBy("l_returnflag", "l_linestatus").agg(
-        roundn(F.sum("l_quantity"), 2).alias("sum_qty"),
-        roundn(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        roundn(F.sum(disc_price), 2).alias("sum_disc_price"),
-        roundn(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-        roundn(F.avg("l_quantity"), 2).alias("avg_qty"),
-        roundn(F.avg("l_extendedprice"), 2).alias("avg_price"),
-        roundn(F.avg("l_discount"), 2).alias("avg_disc"),
+        F.sum(qty_i).cast("bigint").alias("sum_qty"),
+        (F.sum(price_c) / F.lit(1e2)).alias("sum_base_price"),
+        (F.sum(disc_price_c) / F.lit(1e4)).alias("sum_disc_price"),
+        (F.sum(charge_c) / F.lit(1e6)).alias("sum_charge"),
+        (F.round(F.sum(qty_i) * F.lit(1e2) / n) / 100).alias("avg_qty"),
+        (F.round(F.sum(price_c) * F.lit(1e0) / n) / 100).alias("avg_price"),
+        (F.round(F.sum(disc_c) * F.lit(1e0) / n) / 10000).alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
 

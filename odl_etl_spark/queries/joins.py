@@ -40,14 +40,21 @@ def join_inner_equi(spark, sf_dir):
     """
     SELECT p.p_brand,
            COUNT(*) AS n_items,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100) / 100 AS revenue
+           ROUND(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                          AS BIGINT)) / 1e2) / 100 AS revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_brand
     """,
     doc=(
         "Fact⋈small-dim with an explicit broadcast hint: at 100 TB the "
         "part dim stays broadcastable while lineitem never shuffles for "
-        "the join; the groupBy is the only exchange (partial+final agg)."
+        "the join; the groupBy is the only exchange (partial+final agg). "
+        "Revenue rides the scaled-BIGINT cents convention (round-12 "
+        "exposure audit): the 4-decimal product grid contains exact .5 "
+        "cent boundaries, so an unordered double SUM is engine-order-"
+        "dependent exactly there; the integer sum is order-free and the "
+        "final display round divides two exact integers identically on "
+        "both engines."
     ),
 )
 def join_broadcast(spark, sf_dir):
@@ -58,9 +65,19 @@ def join_broadcast(spark, sf_dir):
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_items"),
-            roundn(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            (
+                F.round(
+                    F.sum(
+                        F.round(
+                            F.col("l_extendedprice")
+                            * (1 - F.col("l_discount"))
+                            * 10000
+                        ).cast("bigint")
+                    )
+                    / F.lit(1e2)
+                )
+                / 100
+            ).alias("revenue"),
         )
     )
 
@@ -141,7 +158,8 @@ def join_theta_range(spark, sf_dir):
     """
     SELECT n.n_name,
            COUNT(*) AS n_lineitems,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100) / 100 AS revenue
+           ROUND(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                          AS BIGINT)) / 1e2) / 100 AS revenue
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -170,9 +188,19 @@ def join_multiway(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.count("*").alias("n_lineitems"),
-            roundn(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            (
+                F.round(
+                    F.sum(
+                        F.round(
+                            F.col("l_extendedprice")
+                            * (1 - F.col("l_discount"))
+                            * 10000
+                        ).cast("bigint")
+                    )
+                    / F.lit(1e2)
+                )
+                / 100
+            ).alias("revenue"),
         )
     )
 

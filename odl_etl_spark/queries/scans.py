@@ -250,7 +250,8 @@ def sink_upsert(spark, sf_dir):
 
 _Q3_SQL = """
     SELECT l_orderkey,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) / 100 AS revenue
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+             / 1e4 AS revenue
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING'
       AND c_custkey = o_custkey
@@ -270,7 +271,13 @@ _Q3_SQL = """
         "ANSI SQL passthrough: the IDENTICAL query text runs on Spark "
         "(spark.sql over registered views) and on the DuckDB oracle — "
         "TPC-H Q3 shape. Demonstrates the raw SQL surface next to the "
-        "DataFrame API."
+        "DataFrame API. Revenue is a scaled-BIGINT sum (round-12 "
+        "exposure audit): identical TEXT does not make a double SUM "
+        "identical — each engine accumulates in its own partition/scan "
+        "order — and here the ORDER BY ... LIMIT 10 cut additionally "
+        "rides on revenue, so near-tie float noise could even reorder "
+        "the emitted rows; exact integer revenue makes both the values "
+        "and the cut deterministic (the sql_tpch_q5 convention)."
     ),
 )
 def sql_tpch_q3(spark, sf_dir):
