@@ -60,3 +60,21 @@ def assert_scaled_sum_headroom(
             "widen the accumulator to DECIMAL(38,0) on both engines or "
             "lower the scale"
         )
+
+
+def sum_cents(col: Column, n: int = 2) -> Column:
+    """Order-free money sum: per-row scale-to-integer round (identical
+    IEEE product -> identical ROUND on every engine, even exactly on a
+    .5 boundary), BIGINT accumulation (exact, associative), one final
+    division by the scale (identical operands -> identical double).
+    The round-12 exposure audit's migration target for SUM(double)
+    money columns whose values live OFF the cent grid (o_totalprice)
+    or on a finer grid containing exact .5 rounding boundaries."""
+    p = 10**n
+    return F.sum(F.round(col * p).cast("bigint")) / float(p)
+
+
+def sql_sum_cents(expr: str, n: int = 2) -> str:
+    """Oracle-side twin of ``sum_cents`` (same math, ANSI text)."""
+    p = 10**n
+    return f"SUM(CAST(ROUND(({expr}) * {p}) AS BIGINT)) / 1e{n}"

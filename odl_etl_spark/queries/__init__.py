@@ -78,26 +78,33 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
     yet FIRST (`ann_index_pq_ingest_probe`, `ann_index_ivf_ingest_probe`
     — the driver hash is the append≡rebuild proof itself, SURVEY §2B
     ANN contract), then the 41 remaining r8-stale keys in registry
-    order (`agg_approx_quantile` … `dedup_stream_ingest`), then this
-    round's changed-plan keys (none: the round-12 ADVICE fixes touch
-    the stateful NaN mask, compaction link-fallback, and append
-    validation — no oracled key's plan), then the 7 oldest-r9 keys in
-    registry order to fill exactly 50 (`scan_parquet` …
-    `scalar_variant`). After this window lands green, staleness is
+    order (`agg_approx_quantile` … `dedup_stream_ingest`; two of them
+    — `agg_rollup`, `agg_cube` — had their money sum migrated to
+    scaled-BIGINT cents by the round-12 exposure audit AFTER the
+    round-11 pre-verification, and were re-verified post-migration
+    through the same plain-session replica + tri-scale selfcheck, so
+    their driver rows this round attest the NEW plan), then the 7
+    oldest-r9 keys in registry order to fill exactly 50
+    (`scan_parquet` … `scalar_variant`). The remaining round-12
+    changed-plan keys live OUTSIDE this window and take round-13
+    slots (below). After this window lands green, staleness is
     ≤3 rounds for every key: 50 r12 + 50 r11 + 49 r10 + 38 r9 = 187.
 
     Round-13 rotation plan (do NOT apply before the r12 driver run
     lands): the 38 remaining r9-checked keys in registry order
     (`join_skew_salted` … `basket_pairs`), then any round-12
     additions without a driver row, then the round-12 CHANGED-PLAN
-    keys — `agg_groupby`, `join_broadcast`, `join_multiway`,
-    `sql_tpch_q3` (money sums migrated to the scaled-BIGINT cents
-    convention in the round-12 ROUND(SUM(double)) exposure audit;
-    each re-verified tri-scale + plain-session type-aware replica in
-    round 12; their latest driver rows (r10/r11) predate the
-    migration, so the r13 slots give each a POST-migration row) — then
-    oldest-r10 fill to exactly 50. Cadence (≈50 checked/round vs ≤2
-    added/round) keeps staleness ≤3 rounds."""
+    keys whose latest driver row predates the change — `agg_groupby`,
+    `join_broadcast`, `join_multiway`, `sql_tpch_q3`, `agg_histogram`,
+    `sink_orc_roundtrip`, `sink_upsert` (money sums migrated to the
+    scaled-BIGINT cents convention in the round-12 ROUND(SUM(double))
+    exposure audit, SCALING.md round-12 section; each re-verified
+    tri-scale + plain-session type-aware replica in round 12; the
+    other three migrated keys — `agg_rollup`, `agg_cube`,
+    `sink_partitioned` — get post-migration rows via the r12 window /
+    r13 fill without needing extra slots) — then oldest-r10 fill to
+    exactly 50, leading with `sink_partitioned`. Cadence (≈50
+    checked/round vs ≤2 added/round) keeps staleness ≤3 rounds."""
     first = [
         # --- round-11 additions: first driver CORRECTNESS rows (the
         #     hash IS the append≡rebuild claim for the ingest tier) ---

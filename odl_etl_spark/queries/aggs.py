@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from odl_etl_spark.functions.numeric import roundn
+from odl_etl_spark.functions.numeric import roundn, sum_cents
 from odl_etl_spark.io.sources import load_table
 from odl_etl_spark.queries.base import spec
 
@@ -147,7 +147,7 @@ def agg_approx_distinct(spark, sf_dir):
     "agg_rollup",
     """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-           ROUND(SUM(o_totalprice) * 100) / 100 AS total
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 1e2 AS total
     FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
     """,
     doc="Hierarchical totals: (status,priority) → (status) → ().",
@@ -155,7 +155,7 @@ def agg_approx_distinct(spark, sf_dir):
 def agg_rollup(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n"), roundn(F.sum("o_totalprice"), 2).alias("total")
+        F.count("*").alias("n"), sum_cents(F.col("o_totalprice")).alias("total")
     )
 
 
@@ -163,7 +163,7 @@ def agg_rollup(spark, sf_dir):
     "agg_cube",
     """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-           ROUND(SUM(o_totalprice) * 100) / 100 AS total
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 1e2 AS total
     FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
     doc="All 2^k grouping combinations.",
@@ -171,7 +171,7 @@ def agg_rollup(spark, sf_dir):
 def agg_cube(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n"), roundn(F.sum("o_totalprice"), 2).alias("total")
+        F.count("*").alias("n"), sum_cents(F.col("o_totalprice")).alias("total")
     )
 
 
@@ -437,7 +437,7 @@ def agg_sketch_partial(spark, sf_dir):
     """
     SELECT CAST(LEAST(FLOOR(o_totalprice / 30000), 19) AS BIGINT) AS bucket,
            COUNT(*) AS n,
-           ROUND(SUM(o_totalprice) * 100) / 100 AS total
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 1e2 AS total
     FROM orders GROUP BY 1
     """,
     doc=(
@@ -455,7 +455,7 @@ def agg_histogram(spark, sf_dir):
     )
     return o.groupBy(bucket.alias("bucket")).agg(
         F.count("*").alias("n"),
-        roundn(F.sum("o_totalprice"), 2).alias("total"),
+        sum_cents(F.col("o_totalprice")).alias("total"),
     )
 
 

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from odl_etl_spark.io.sinks import partitioned_write
 from odl_etl_spark.io.sources import load_table
-from odl_etl_spark.functions.numeric import roundn
+from odl_etl_spark.functions.numeric import roundn, sum_cents
 from odl_etl_spark.queries.base import spec
 
 
@@ -57,7 +57,7 @@ def scan_pruned(spark, sf_dir):
     "sink_partitioned",
     """
     SELECT STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m') AS ds, COUNT(*) AS n,
-           ROUND(SUM(o_totalprice) * 100) / 100 AS total
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 1e2 AS total
     FROM orders GROUP BY ds
     """,
     doc=(
@@ -84,7 +84,7 @@ def sink_partitioned(spark, sf_dir):
     return (
         spark.read.parquet(out)
         .groupBy("ds")
-        .agg(F.count("*").alias("n"), roundn(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), sum_cents(F.col("o_totalprice")).alias("total"))
         .select(F.col("ds").cast("string").alias("ds"), "n", "total")
     )
 
@@ -157,7 +157,7 @@ def sink_jsonl_roundtrip(spark, sf_dir):
     """
     SELECT o_orderpriority,
            COUNT(*) AS n,
-           ROUND(SUM(o_totalprice) * 100) / 100 AS total_price
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 1e2 AS total_price
     FROM orders GROUP BY o_orderpriority
     """,
     doc=(
@@ -179,7 +179,7 @@ def sink_orc_roundtrip(spark, sf_dir):
     ).orc(out)
     return back.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"),
-        roundn(F.sum("o_totalprice"), 2).alias("total_price"),
+        sum_cents(F.col("o_totalprice")).alias("total_price"),
     )
 
 
@@ -204,7 +204,8 @@ def sink_orc_roundtrip(spark, sf_dir):
       UNION ALL
       SELECT * FROM upd
     )
-    SELECT ds, COUNT(*) AS n, ROUND(SUM(o_totalprice) * 100) / 100 AS total
+    SELECT ds, COUNT(*) AS n,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 1e2 AS total
     FROM merged GROUP BY ds
     """,
     doc=(
@@ -243,7 +244,7 @@ def sink_upsert(spark, sf_dir):
         .groupBy(F.col("ds").cast("string").alias("ds"))
         .agg(
             F.count("*").alias("n"),
-            roundn(F.sum("o_totalprice"), 2).alias("total"),
+            sum_cents(F.col("o_totalprice")).alias("total"),
         )
     )
 
