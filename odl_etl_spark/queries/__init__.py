@@ -88,7 +88,10 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
     (`scan_parquet` … `scalar_variant`). The remaining round-12
     changed-plan keys live OUTSIDE this window and take round-13
     slots (below). After this window lands green, staleness is
-    ≤3 rounds for every key: 50 r12 + 50 r11 + 49 r10 + 38 r9 = 187.
+    ≤3 rounds for every driver-checked key: 50 r12 + 50 r11 + 49 r10
+    + 38 r9 = 187, plus the round-12 addition `scan_schema_evolution`
+    (tri-scale + replica green, driver row pending its r13 slot) =
+    188 total.
 
     Round-13 rotation plan (do NOT apply before the r12 driver run
     lands): the 38 remaining r9-checked keys in registry order
