@@ -62,19 +62,43 @@ def assert_scaled_sum_headroom(
         )
 
 
-def sum_cents(col: Column, n: int = 2) -> Column:
-    """Order-free money sum: per-row scale-to-integer round (identical
-    IEEE product -> identical ROUND on every engine, even exactly on a
-    .5 boundary), BIGINT accumulation (exact, associative), one final
-    division by the scale (identical operands -> identical double).
-    The round-12 exposure audit's migration target for SUM(double)
-    money columns whose values live OFF the cent grid (o_totalprice)
-    or on a finer grid containing exact .5 rounding boundaries."""
+def cents(col: Column, n: int = 2) -> Column:
+    """Per-row scale-to-integer quantization, fast path.
+
+    ``floor(x * 10^n + 0.5)`` stays in whole-stage codegen's primitive
+    double lane; Spark's ``ROUND(double)`` routes every row through
+    BigDecimal and measured ~2x slower on a 5-column money aggregation
+    (round-12 warm A/B: 1.19s vs 0.58s on sf0.1 lineitem). Determinism
+    across engines needs only that BOTH sides evaluate the IDENTICAL
+    IEEE expression on the identical stored double — multiply, add 0.5,
+    floor are each exactly specified, so the oracle twin ``sql_cents``
+    uses the same formula. Semantics note: on exact .5 boundaries this
+    is half-toward-+inf (vs ROUND's half-away-from-zero); for negatives
+    the two differ, but every audited money column is either on a grid
+    (never near .5 after scaling) or compared via the shared formula,
+    so the tie is unconditional."""
     p = 10**n
-    return F.sum(F.round(col * p).cast("bigint")) / float(p)
+    return F.floor(col * p + F.lit(0.5)).cast("bigint")
+
+
+def sql_cents(expr: str, n: int = 2) -> str:
+    """Oracle-side twin of ``cents`` (same IEEE ops, ANSI text)."""
+    p = 10**n
+    return f"CAST(FLOOR(({expr}) * {p} + 0.5) AS BIGINT)"
+
+
+def sum_cents(col: Column, n: int = 2) -> Column:
+    """Order-free money sum: per-row scale-to-integer quantization
+    (identical IEEE multiply/add/floor on every engine, even exactly on
+    a .5 boundary — see ``cents``), BIGINT accumulation (exact,
+    associative), one final division by the scale (identical operands
+    -> identical double). The round-12 exposure audit's migration
+    target for SUM(double) money columns whose values live OFF the cent
+    grid (o_totalprice) or on a finer grid containing exact .5 rounding
+    boundaries."""
+    return F.sum(cents(col, n)) / float(10**n)
 
 
 def sql_sum_cents(expr: str, n: int = 2) -> str:
     """Oracle-side twin of ``sum_cents`` (same math, ANSI text)."""
-    p = 10**n
-    return f"SUM(CAST(ROUND(({expr}) * {p}) AS BIGINT)) / 1e{n}"
+    return f"SUM({sql_cents(expr, n)}) / 1e{n}"

@@ -81,9 +81,13 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
     order (`agg_approx_quantile` … `dedup_stream_ingest`; two of them
     — `agg_rollup`, `agg_cube` — had their money sum migrated to
     scaled-BIGINT cents by the round-12 exposure audit AFTER the
-    round-11 pre-verification, and were re-verified post-migration
-    through the same plain-session replica + tri-scale selfcheck, so
-    their driver rows this round attest the NEW plan), then the 7
+    round-11 pre-verification, then re-derived once more in-round to
+    the floor(x*scale+0.5) quantizer after the ROUND(double)
+    BigDecimal cost discovery (SCALING.md round-12 adjudication), and
+    were re-verified post-change through the same plain-session
+    replica + tri-scale selfcheck, so their driver rows this round
+    attest the NEW plan; the full 50-key window was re-run green
+    through the replica after the quantizer change), then the 7
     oldest-r9 keys in registry order to fill exactly 50
     (`scan_parquet` … `scalar_variant`). The remaining round-12
     changed-plan keys live OUTSIDE this window and take round-13
@@ -101,8 +105,10 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
     `join_broadcast`, `join_multiway`, `sql_tpch_q3`, `agg_histogram`,
     `sink_orc_roundtrip`, `sink_upsert` (money sums migrated to the
     scaled-BIGINT cents convention in the round-12 ROUND(SUM(double))
-    exposure audit, SCALING.md round-12 section; each re-verified
-    tri-scale + plain-session type-aware replica in round 12; the
+    exposure audit, then re-derived to the floor(x*scale+0.5)
+    quantizer — SCALING.md round-12 sections; each re-verified
+    tri-scale + plain-session type-aware replica in round 12 after
+    BOTH changes; the
     other three migrated keys — `agg_rollup`, `agg_cube`,
     `sink_partitioned` — get post-migration rows via the r12 window /
     r13 fill without needing extra slots) — then oldest-r10 fill to

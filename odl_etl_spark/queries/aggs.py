@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from odl_etl_spark.functions.numeric import roundn, sum_cents
+from odl_etl_spark.functions.numeric import cents, roundn, sum_cents
 from odl_etl_spark.io.sources import load_table
 from odl_etl_spark.queries.base import spec
 
@@ -19,18 +19,19 @@ from odl_etl_spark.queries.base import spec
     "agg_groupby",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
-           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 1e2
+           CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_qty,
+           SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) / 1e2
              AS sum_base_price,
-           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
-             / 1e4 AS sum_disc_price,
-           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                          * 1000000) AS BIGINT)) / 1e6 AS sum_charge,
-           ROUND(SUM(CAST(ROUND(l_quantity) AS BIGINT)) * 1e2 / COUNT(*)) / 100
-             AS avg_qty,
-           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) * 1e0
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                    AS BIGINT)) / 1e4 AS sum_disc_price,
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                          * 1000000 + 0.5) AS BIGINT)) / 1e6 AS sum_charge,
+           ROUND(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) * 1e2
+                 / COUNT(*)) / 100 AS avg_qty,
+           ROUND(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) * 1e0
                  / COUNT(*)) / 100 AS avg_price,
-           ROUND(SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)) * 1e0
+           ROUND(SUM(CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT)) * 1e0
                  / COUNT(*)) / 10000 AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
@@ -44,8 +45,11 @@ from odl_etl_spark.queries.base import spec
         "(disc_price, charge) live on a decimal grid that CONTAINS exact "
         ".5 rounding boundaries, so a double SUM's engine-order error "
         "decides the rounded digit with probability ~1/100 per group — "
-        "per-row scaled rounding recovers exact grid integers (float "
+        "per-row scaled quantization recovers exact grid integers (float "
         "error ~1e-7 of a grid step) and integer sums are order-free. "
+        "The quantizer is floor(x*scale + 0.5) on BOTH engines (see "
+        "functions/numeric.cents): pure-double codegen, ~2x faster than "
+        "ROUND's BigDecimal path, identical IEEE ops cross-engine. "
         "Averages divide two exact integers, so both engines round the "
         "identical IEEE double even when C/n lands exactly on .5."
     ),
@@ -64,11 +68,11 @@ def agg_groupby(spark, sf_dir):
         F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    qty_i = F.round(F.col("l_quantity")).cast("bigint")
-    price_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
-    disc_price_c = F.round(disc_price * 10000).cast("bigint")
-    charge_c = F.round(disc_price * (1 + F.col("l_tax")) * 1000000).cast("bigint")
-    disc_c = F.round(F.col("l_discount") * 10000).cast("bigint")
+    qty_i = cents(F.col("l_quantity"), 0)
+    price_c = cents(F.col("l_extendedprice"), 2)
+    disc_price_c = cents(disc_price, 4)
+    charge_c = cents(disc_price * (1 + F.col("l_tax")), 6)
+    disc_c = cents(F.col("l_discount"), 4)
     n = F.count("*")
     return l.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(qty_i).cast("bigint").alias("sum_qty"),
@@ -147,7 +151,7 @@ def agg_approx_distinct(spark, sf_dir):
     "agg_rollup",
     """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 1e2 AS total
+           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 1e2 AS total
     FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
     """,
     doc="Hierarchical totals: (status,priority) → (status) → ().",
@@ -163,7 +167,7 @@ def agg_rollup(spark, sf_dir):
     "agg_cube",
     """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 1e2 AS total
+           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 1e2 AS total
     FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
     doc="All 2^k grouping combinations.",
@@ -437,7 +441,7 @@ def agg_sketch_partial(spark, sf_dir):
     """
     SELECT CAST(LEAST(FLOOR(o_totalprice / 30000), 19) AS BIGINT) AS bucket,
            COUNT(*) AS n,
-           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 1e2 AS total
+           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 1e2 AS total
     FROM orders GROUP BY 1
     """,
     doc=(

@@ -438,7 +438,7 @@ def dedup_cluster_incremental(spark, sf_dir):
     )
     SELECT era, COUNT(*) AS n,
            COUNT(o_orderpriority) AS n_with_priority,
-           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 1e2 AS total
+           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 1e2 AS total
     FROM evolved GROUP BY era
     """,
     doc=(

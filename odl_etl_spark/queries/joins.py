@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from odl_etl_spark.functions.numeric import roundn
+from odl_etl_spark.functions.numeric import cents, roundn
 from odl_etl_spark.io.sources import load_table
 from odl_etl_spark.operators.asof import asof_join
 from odl_etl_spark.queries.base import spec
@@ -40,8 +40,8 @@ def join_inner_equi(spark, sf_dir):
     """
     SELECT p.p_brand,
            COUNT(*) AS n_items,
-           ROUND(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
-                          AS BIGINT)) / 1e2) / 100 AS revenue
+           ROUND(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000
+                                + 0.5) AS BIGINT)) / 1e2) / 100 AS revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_brand
     """,
@@ -68,11 +68,11 @@ def join_broadcast(spark, sf_dir):
             (
                 F.round(
                     F.sum(
-                        F.round(
+                        cents(
                             F.col("l_extendedprice")
-                            * (1 - F.col("l_discount"))
-                            * 10000
-                        ).cast("bigint")
+                            * (1 - F.col("l_discount")),
+                            4,
+                        )
                     )
                     / F.lit(1e2)
                 )
@@ -158,8 +158,8 @@ def join_theta_range(spark, sf_dir):
     """
     SELECT n.n_name,
            COUNT(*) AS n_lineitems,
-           ROUND(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
-                          AS BIGINT)) / 1e2) / 100 AS revenue
+           ROUND(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000
+                                + 0.5) AS BIGINT)) / 1e2) / 100 AS revenue
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -191,11 +191,11 @@ def join_multiway(spark, sf_dir):
             (
                 F.round(
                     F.sum(
-                        F.round(
+                        cents(
                             F.col("l_extendedprice")
-                            * (1 - F.col("l_discount"))
-                            * 10000
-                        ).cast("bigint")
+                            * (1 - F.col("l_discount")),
+                            4,
+                        )
                     )
                     / F.lit(1e2)
                 )

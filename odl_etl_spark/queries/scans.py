@@ -57,7 +57,7 @@ def scan_pruned(spark, sf_dir):
     "sink_partitioned",
     """
     SELECT STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m') AS ds, COUNT(*) AS n,
-           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 1e2 AS total
+           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 1e2 AS total
     FROM orders GROUP BY ds
     """,
     doc=(
@@ -157,7 +157,7 @@ def sink_jsonl_roundtrip(spark, sf_dir):
     """
     SELECT o_orderpriority,
            COUNT(*) AS n,
-           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 1e2 AS total_price
+           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 1e2 AS total_price
     FROM orders GROUP BY o_orderpriority
     """,
     doc=(
@@ -205,7 +205,7 @@ def sink_orc_roundtrip(spark, sf_dir):
       SELECT * FROM upd
     )
     SELECT ds, COUNT(*) AS n,
-           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 1e2 AS total
+           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 1e2 AS total
     FROM merged GROUP BY ds
     """,
     doc=(
@@ -251,8 +251,8 @@ def sink_upsert(spark, sf_dir):
 
 _Q3_SQL = """
     SELECT l_orderkey,
-           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
-             / 1e4 AS revenue
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                    AS BIGINT)) / 1e4 AS revenue
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING'
       AND c_custkey = o_custkey
