@@ -580,3 +580,44 @@ def test_stateful_cents_rounding_matches_spark_round(spark, values):
         F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("c")
     ).head()["c"]
     assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_floor_cents_quantizer_matches_duckdb(spark, values):
+    """The round-12 cents quantizer (functions/numeric.cents — per-row
+    floor(x*scale + 0.5), the fast pure-double replacement for Spark's
+    BigDecimal-routed ROUND) must bit-match its DuckDB oracle twin
+    sql_cents on ANY doubles, including negatives and near-halfway
+    products. Every migrated money key's driver tie rides on the
+    shared-formula claim — both engines evaluate the identical IEEE
+    multiply/add/floor on the identical stored double — so the claim
+    is pinned cross-engine on adversarial inputs, per scale 0/2/4/6,
+    with the BIGINT sums compared exactly (no float canon)."""
+    import duckdb
+
+    from odl_etl_spark.functions.numeric import cents, sql_cents
+
+    df = spark.createDataFrame([(float(v),) for v in values], "value double")
+    got = df.select(
+        *[F.sum(cents(F.col("value"), n)).alias(f"c{n}") for n in (0, 2, 4, 6)]
+    ).head()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(value DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in values])
+    sums = ", ".join(
+        f"SUM({sql_cents('value', n)}) AS c{n}" for n in (0, 2, 4, 6)
+    )
+    want = con.execute(f"SELECT {sums} FROM t").fetchone()
+    assert tuple(got) == tuple(int(w) for w in want)
