@@ -103,12 +103,13 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
     additions without a driver row, then the round-12 CHANGED-PLAN
     keys whose latest driver row predates the change — `agg_groupby`,
     `join_broadcast`, `join_multiway`, `sql_tpch_q3`, `agg_histogram`,
-    `sink_orc_roundtrip`, `sink_upsert` (money sums migrated to the
-    scaled-BIGINT cents convention in the round-12 ROUND(SUM(double))
-    exposure audit, then re-derived to the floor(x*scale+0.5)
-    quantizer — SCALING.md round-12 sections; each re-verified
-    tri-scale + plain-session type-aware replica in round 12 after
-    BOTH changes; the
+    `sink_orc_roundtrip`, `sink_upsert`, `sql_tpch_q1` (money sums
+    migrated to the scaled-BIGINT cents convention in the round-12
+    ROUND(SUM(double)) exposure audit, then re-derived to the
+    floor(x*scale+0.5) quantizer — q1 directly, its five-column
+    per-row ROUND measured 1.69s vs 0.81s warm — SCALING.md round-12
+    sections; each re-verified tri-scale + plain-session type-aware
+    replica in round 12 after BOTH changes; the
     other three migrated keys — `agg_rollup`, `agg_cube`,
     `sink_partitioned` — get post-migration rows via the r12 window /
     r13 fill without needing extra slots) — then oldest-r10 fill to

@@ -36,18 +36,19 @@ _TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
 
 _Q1_SQL = """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
-           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 1e2
+           CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_qty,
+           SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) / 1e2
              AS sum_base_price,
-           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
-             / 1e4 AS sum_disc_price,
-           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                          * 1000000) AS BIGINT)) / 1e6 AS sum_charge,
-           ROUND(SUM(CAST(ROUND(l_quantity) AS BIGINT)) * 1e2 / COUNT(*)) / 100
-             AS avg_qty,
-           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) * 1e0
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                    AS BIGINT)) / 1e4 AS sum_disc_price,
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                          * 1000000 + 0.5) AS BIGINT)) / 1e6 AS sum_charge,
+           ROUND(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) * 1e2
+                 / COUNT(*)) / 100 AS avg_qty,
+           ROUND(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) * 1e0
                  / COUNT(*)) / 100 AS avg_price,
-           ROUND(SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)) * 1e0
+           ROUND(SUM(CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT)) * 1e0
                  / COUNT(*)) / 10000 AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
@@ -66,7 +67,10 @@ _Q1_SQL = """
         "plans a partial/final HashAggregate with map-side combine over "
         "6 groups, so shuffle traffic is O(groups x tasks) regardless "
         "of fact size. Money sums are scaled-BIGINT for cross-engine "
-        "hash stability."
+        "hash stability, quantized with the floor(x*scale+0.5) fast "
+        "path (functions/numeric.cents convention; Spark ROUND(double) "
+        "is BigDecimal-routed — the round-12 A/B measured 1.69s vs "
+        "0.81s warm on this five-column shape, identical values)."
     ),
 )
 def sql_tpch_q1(spark, sf_dir):
