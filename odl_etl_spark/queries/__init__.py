@@ -113,8 +113,19 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
     other three migrated keys — `agg_rollup`, `agg_cube`,
     `sink_partitioned` — get post-migration rows via the r12 window /
     r13 fill without needing extra slots) — then oldest-r10 fill to
-    exactly 50, leading with `sink_partitioned`. Cadence (≈50
-    checked/round vs ≤2 added/round) keeps staleness ≤3 rounds."""
+    exactly 50, leading with `sink_partitioned` (then
+    `project_hash_email`, `filter_pred`, `scalar_string`; the fill is
+    4 keys, not 3, because `agg_histogram` is BOTH r9-stale and
+    changed-plan and must not be double-counted). Cadence (≈50
+    checked/round vs ≤2 added/round) keeps staleness ≤3 rounds.
+
+    Round-13 PRE-VERIFICATION (done at round-12 end, the round-11
+    pattern): the exact 50-key candidate list above — the 38 r9 keys,
+    `scan_schema_evolution`, the 8 changed-plan keys (incl.
+    `sql_tpch_q1` on the floor quantizer), the 4 fill keys — ran
+    50/50 values+types green through the plain-session type-aware
+    replica at round-12 HEAD, twice. Apply in round 13 only after
+    the r12 driver rows land (confirm the 50-row r12 window first)."""
     first = [
         # --- round-11 additions: first driver CORRECTNESS rows (the
         #     hash IS the append≡rebuild claim for the ingest tier) ---
