@@ -31,6 +31,22 @@ def sql_roundn(expr: str, n: int = 2) -> str:
 
 INT64_MAX = 2**63 - 1
 
+# True TPC-H per-row bound for the Q1 'charge' term
+# l_extendedprice * (1 - l_discount) * (1 + l_tax) — NOT a guessed
+# power of ten (ADVICE r12 #3): extendedprice = quantity * retailprice
+# with quantity <= 50 and retailprice < 2100 gives extendedprice
+# < 105,000; discount only shrinks it and tax <= 0.08 inflates it, so
+# charge < 105,000 * 1.08 = 113,400. The synthetic fixture obeys the
+# same bound (measured max charge 113,306.70 at sf0.1). Using this
+# instead of the old padded 2e5 * 1.08 raises the guarded scale
+# ceiling ~1.9x. Resulting ceiling, worst case ALL rows in ONE group
+# at scale 1e6 with margin 8: INT64_MAX / (8 * 113,400 * 1e6) ~ 10.17M
+# lineitem rows (~TPC-H sf1.7). Beyond that the 1e6-scale charge sum
+# must widen its accumulator to DECIMAL(38,0) on both engines (the
+# realistic grouped sum fits far longer — this is the refuse-loudly
+# all-in-one-group bound, not the expected value).
+LINEITEM_CHARGE_BOUND = 105_000.0 * 1.08
+
 
 def assert_scaled_sum_headroom(
     n_rows: int,
@@ -76,7 +92,18 @@ def cents(col: Column, n: int = 2) -> Column:
     is half-toward-+inf (vs ROUND's half-away-from-zero); for negatives
     the two differ, but every audited money column is either on a grid
     (never near .5 after scaling) or compared via the shared formula,
-    so the tie is unconditional."""
+    so the tie is unconditional.
+
+    DO NOT migrate ``streaming/stateful.py`` onto this helper (ADVICE
+    r12 #2): the stateful running-totals path intentionally uses the
+    OTHER convention — numpy ``sign * floor(|x|*100 + 0.5)``
+    (half-away-from-zero), pinned bit-identical to the batch twin's
+    ``F.round(value*100)`` in ``queries/streaming.stream_running_totals``
+    — because its driver oracle is ROUND-flavored. The two conventions
+    differ exactly on negative .5 boundaries; 'unifying' stateful onto
+    ``cents`` would silently break the stream==batch tie there. Any
+    migration must re-derive BOTH the state update and the oracle SQL
+    together (and take a driver re-verification slot)."""
     p = 10**n
     return F.floor(col * p + F.lit(0.5)).cast("bigint")
 

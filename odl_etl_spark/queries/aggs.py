@@ -55,12 +55,18 @@ from odl_etl_spark.queries.base import spec
     ),
 )
 def agg_groupby(spark, sf_dir):
-    from odl_etl_spark.functions.numeric import assert_scaled_sum_headroom
+    from odl_etl_spark.functions.numeric import (
+        LINEITEM_CHARGE_BOUND,
+        assert_scaled_sum_headroom,
+    )
     from odl_etl_spark.io.sources import cached_count
 
+    # True charge bound, not a padded power of ten (ADVICE r12 #3):
+    # ceiling ~10.17M lineitem rows at scale 1e6 / margin 8, documented
+    # at LINEITEM_CHARGE_BOUND with the DECIMAL(38,0) widening note.
     assert_scaled_sum_headroom(
         cached_count(spark, sf_dir, "lineitem"),
-        2e5 * 1.08,
+        LINEITEM_CHARGE_BOUND,
         10**6,
         what="agg_groupby sum_charge",
     )

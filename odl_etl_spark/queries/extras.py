@@ -75,15 +75,18 @@ _Q1_SQL = """
 )
 def sql_tpch_q1(spark, sf_dir):
     register_views(spark, sf_dir)
-    # Worst scaled term: l_extendedprice·(1-disc)·(1+tax)·1e6 at TPC-H
-    # bounds (price < 2e5, tax ≤ 0.08) ≈ 2.2e11 per row, and one
-    # (returnflag, linestatus) group can see nearly every lineitem row —
-    # guard on the table count (metadata-only parquet count). At a true
-    # 100 TB scale factor this FIRES and tells the user to widen the
-    # accumulators to DECIMAL(38,0), instead of wrapping silently.
+    # Worst scaled term: l_extendedprice·(1-disc)·(1+tax)·1e6 at the
+    # derived TPC-H bound (LINEITEM_CHARGE_BOUND ≈ 113,400; ADVICE r12
+    # #3) ≈ 1.1e11 per row, and one (returnflag, linestatus) group can
+    # see nearly every lineitem row — guard on the table count
+    # (metadata-only parquet count). Ceiling ~10.17M rows (~TPC-H sf1.7);
+    # past it this FIRES and tells the user to widen the accumulators
+    # to DECIMAL(38,0), instead of wrapping silently.
+    from odl_etl_spark.functions.numeric import LINEITEM_CHARGE_BOUND
+
     assert_scaled_sum_headroom(
         cached_count(spark, sf_dir, "lineitem"),
-        2e5 * 1.08,
+        LINEITEM_CHARGE_BOUND,
         10**6,
         what="sql_tpch_q1 sum_charge",
     )
@@ -665,12 +668,13 @@ def events_active_users(spark, sf_dir):
 def agg_weighted(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    # TPC-H bounds: l_extendedprice < 2e5, l_quantity <= 50 → one scaled
-    # term ≤ 1e7·100 = 1e9; a single brand group can in the worst case
+    # TPC-H bounds: l_extendedprice < 1.05e5 (the derived bound behind
+    # LINEITEM_CHARGE_BOUND), l_quantity <= 50 → one scaled term
+    # ≤ 5.25e6·100 = 5.25e8; a single brand group can in the worst case
     # see every lineitem row, so guard on the table count (metadata-only).
     assert_scaled_sum_headroom(
         cached_count(spark, sf_dir, "lineitem"),
-        2e5 * 50,
+        1.05e5 * 50,
         100,
         what="agg_weighted price*qty sum",
     )

@@ -268,7 +268,13 @@ def stream_cdc_apply(spark, sf_dir):
         "stays unit-covered with a documented skip.) At 100 TB: "
         "per-(batch,user) partial aggs map-side combine; the cumulative "
         "window partitions by user — state-store semantics without "
-        "state-store scans in the replay form."
+        "state-store scans in the replay form. Input contract (ADVICE "
+        "r12 #1): null value rows are skipped by both sides (F.sum / "
+        "the stateful path's finite mask) with the row still counted; "
+        "non-finite NON-null values (+/-inf) are OUT OF CONTRACT — the "
+        "stateful operator masks them to protect its per-key state "
+        "while this batch form would push a saturated ROUND(inf) term "
+        "into the sum, so no stream==batch parity is defined for them."
     ),
 )
 def stream_running_totals(spark, sf_dir):

@@ -39,7 +39,10 @@ to the canonical decision-support suite, per SURVEY.md §2B/§8.
 
 from __future__ import annotations
 
-from odl_etl_spark.functions.numeric import assert_scaled_sum_headroom
+from odl_etl_spark.functions.numeric import (
+    LINEITEM_CHARGE_BOUND,
+    assert_scaled_sum_headroom,
+)
 from odl_etl_spark.io.sources import cached_count, load_table, register_views
 from odl_etl_spark.queries.base import spec
 
@@ -48,13 +51,18 @@ _REV_C = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)"
 
 
 def _guard_lineitem_money(spark, sf_dir, what: str, scale: int = 10**4) -> None:
-    """Worst case: one group sees every lineitem row at max |price|·scale.
+    """Worst case: one group sees every lineitem row at max |charge|·scale
+    (``LINEITEM_CHARGE_BOUND`` — the derived TPC-H bound, ADVICE r12 #3,
+    which also dominates every smaller money term these queries scale).
 
     The row count comes from the process-lifetime ``cached_count`` —
     one count() job per (sf_dir, table), not one per guarded query
     build (VERDICT r5 #5)."""
     assert_scaled_sum_headroom(
-        cached_count(spark, sf_dir, "lineitem"), 2e5, scale, what=what
+        cached_count(spark, sf_dir, "lineitem"),
+        LINEITEM_CHARGE_BOUND,
+        scale,
+        what=what,
     )
 
 

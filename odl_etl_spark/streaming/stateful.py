@@ -50,10 +50,19 @@ def _update_running(
         # Per-event half-away-from-zero cents — bit-identical to Spark's
         # F.round(value*100) in the batch key (numpy .round() would be
         # half-even and could diverge on an exact .5 boundary).
-        # Non-finite values (null -> NaN via to_numpy, or inf) are masked
-        # out to match F.sum's null-skipping semantics — np.sign(NaN)
-        # .astype('int64') is INT64_MIN and would corrupt the running
-        # state forever; n_events still counts the row (COUNT(*)).
+        # Null handling: null -> NaN via to_numpy, and the finite mask
+        # drops it, matching F.sum's null-skipping semantics exactly;
+        # n_events still counts the row (COUNT(*)). An unmasked NaN
+        # would be worse than a wrong value: np.sign(NaN)
+        # .astype('int64') is INT64_MIN and corrupts the running state
+        # FOREVER. +/-inf contract (ADVICE r12 #1): non-finite NON-NULL
+        # values are OUT OF CONTRACT for the running-totals key on both
+        # paths — this mask drops them (state stays sane), while the
+        # batch twin's ROUND(inf*100)::BIGINT would push a saturated
+        # garbage term into its sum, so an inf input has no defined
+        # stream==batch parity. 'value' is money; inf is upstream
+        # corruption, and the stream side refusing to poison per-key
+        # state is the deliberate half of that behavior.
         y = pdf["value"].to_numpy(dtype="float64") * 100.0
         y = y[np.isfinite(y)]
         cents += int(np.sign(y).astype("int64") @ np.floor(np.abs(y) + 0.5).astype("int64"))
@@ -108,7 +117,9 @@ try:  # Spark >= 4.0
             for pdf in rows:
                 n += len(pdf)
                 # Same integer-cents convention as _update_running,
-                # including the non-finite mask (F.sum skips nulls).
+                # including the non-finite mask (F.sum skips nulls;
+                # +/-inf is out of contract on both paths — see the
+                # _update_running comment, ADVICE r12 #1).
                 y = pdf["value"].to_numpy(dtype="float64") * 100.0
                 y = y[np.isfinite(y)]
                 cents += int(

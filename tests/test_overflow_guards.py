@@ -50,12 +50,26 @@ def test_scaled_bigint_key_calls_headroom_guard(key, spark, sf_dir, monkeypatch)
 def test_corpus_count_family_trips_at_scale():
     """emb_covariance / agg_weighted / sql_tpch_q1 guard on a table
     count: the 100 TB-scale row counts must trip the guard."""
+    from odl_etl_spark.functions.numeric import LINEITEM_CHARGE_BOUND
+
+    # The derived bound must cover the fixture's actual worst charge
+    # (measured 113,306.70 at sf0.1) without the old 2e5 padding.
+    assert 113_307 < LINEITEM_CHARGE_BOUND < 120_000
     # sf0.1-style counts clear easily.
-    assert_scaled_sum_headroom(600_000, 2e5 * 1.08, 10**6) is None
+    assert_scaled_sum_headroom(600_000, LINEITEM_CHARGE_BOUND, 10**6) is None
+    # Documented ceiling (ADVICE r12 #3): INT64_MAX/(8·113,400·1e6)
+    # ≈ 10.17M rows (~TPC-H sf1.7) — the point where DECIMAL(38,0)
+    # widening becomes mandatory for the 1e6-scale charge sum. Pinned
+    # from both sides.
+    assert_scaled_sum_headroom(10_100_000, LINEITEM_CHARGE_BOUND, 10**6) is None
+    with pytest.raises(OverflowError, match="sum_charge"):
+        assert_scaled_sum_headroom(
+            10_200_000, LINEITEM_CHARGE_BOUND, 10**6, what="sql_tpch_q1 sum_charge"
+        )
     # TPC-H sf100k (~100 TB): lineitem ~6e11 rows — silent wrap territory.
     with pytest.raises(OverflowError, match="sum_charge"):
         assert_scaled_sum_headroom(
-            600_000_000_000, 2e5 * 1.08, 10**6, what="sql_tpch_q1 sum_charge"
+            600_000_000_000, LINEITEM_CHARGE_BOUND, 10**6, what="sql_tpch_q1 sum_charge"
         )
     with pytest.raises(OverflowError, match="emb_covariance"):
         assert_scaled_sum_headroom(
