@@ -222,3 +222,98 @@ def read_evolving(spark: SparkSession, path: str) -> DataFrame:
     rewrite.
     """
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+# Numeric widening lattice for read_widened: Spark's parquet footer
+# merge (mergeSchema) REFUSES width conflicts in the same column
+# (int vs bigint -> "Failed to merge incompatible data types"), so
+# crawler-style TYPE evolution needs the widened schema computed
+# explicitly and pushed down as the read schema. Spark 4's parquet
+# reader then reads the narrow physical pages straight into the wider
+# column vector (verified: INT32 pages into LongType, FLOAT into
+# DoubleType) — still vectorized, still no data rewrite.
+_WIDEN_RANK = {
+    "tinyint": ("int", 0),
+    "smallint": ("int", 1),
+    "int": ("int", 2),
+    "bigint": ("int", 3),
+    "float": ("float", 0),
+    "double": ("float", 1),
+}
+
+
+def _widen(a, b):
+    """Widen two Spark DataTypes; None if they cannot merge losslessly."""
+    if a == b:
+        return a
+    ra, rb = _WIDEN_RANK.get(a.simpleString()), _WIDEN_RANK.get(b.simpleString())
+    if ra and rb and ra[0] == rb[0]:
+        return a if ra[1] >= rb[1] else b
+    return None
+
+
+def read_widened(spark: SparkSession, path: str, parts: list[str] | None = None) -> DataFrame:
+    """Schema-evolution read where a column's TYPE widened across eras
+    (era-1 INT -> era-2 BIGINT), the other half of crawler reinference
+    (``mailgun_crawler/manage_crawler_targets.py:8-9`` — the Glue
+    crawler re-infers per prefix, so a counter that outgrew int32 simply
+    starts arriving as int64; ``read_evolving`` covers the added-column
+    half). ``mergeSchema`` hard-fails on that layout, so this reader:
+
+    1. takes one footer-only schema per era directory (``parts``; when
+       omitted they are discovered with the Hadoop FileSystem API, which
+       resolves the same way on local/HDFS/S3A paths),
+    2. folds the era schemas through the lossless numeric widening
+       lattice (int family up to BIGINT, FLOAT -> DOUBLE; a conflict
+       outside the lattice raises — fail loud, never coerce lossily),
+       columns missing from an era surface NULL (added-column evolution
+       composes with widening),
+    3. issues ONE partition-discovered scan of the whole tree with the
+       widened schema pushed down.
+
+    Cost model at 100 TB: step 1 reads #eras footers (metadata, not
+    data); step 3 is the same single vectorized scan a static-schema
+    read would plan — type evolution stays a read-time option with zero
+    rewrite of standing partitions.
+    """
+    from pyspark.sql.types import StructField, StructType
+
+    if parts is None:
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        root = jvm.org.apache.hadoop.fs.Path(path)
+        fs = root.getFileSystem(conf)
+        parts = sorted(
+            str(st.getPath())
+            for st in fs.listStatus(root)
+            if st.isDirectory() and not str(st.getPath().getName()).startswith("_")
+        )
+    if not parts:
+        raise ValueError(f"read_widened: no era directories under {path}")
+
+    merged: dict[str, object] = {}
+    order: list[str] = []
+    for p in parts:
+        for f in spark.read.parquet(p).schema.fields:
+            if f.name not in merged:
+                merged[f.name] = f.dataType
+                order.append(f.name)
+            else:
+                w = _widen(merged[f.name], f.dataType)
+                if w is None:
+                    raise TypeError(
+                        f"read_widened: column {f.name!r} has incompatible "
+                        f"era types {merged[f.name].simpleString()} vs "
+                        f"{f.dataType.simpleString()} (outside the lossless "
+                        "widening lattice) — fix the layout or read eras "
+                        "separately"
+                    )
+                merged[f.name] = w
+    data_schema = StructType(
+        [StructField(c, merged[c], True) for c in order]
+    )
+    # basePath keeps partition-directory columns (era=N) discoverable on
+    # top of the explicit data schema.
+    return (
+        spark.read.option("basePath", path).schema(data_schema).parquet(*parts)
+    )

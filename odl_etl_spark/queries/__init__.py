@@ -68,119 +68,106 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
     the first 50 registry keys per round, so ordering is the verification
     budget.
 
-    Round-12 window (VERDICT.md r11, Next-round #1; exactly the
-    rotation pre-written and pre-verified in round 11 — all 50
-    candidates ran 50/50 green through the plain-session driver
-    replica then, and the judge independently re-confirmed both new
-    keys; recomputed this round from the CORRECTNESS_r01–r11
-    latest-check union — histogram 50 r11 / 49 r10 / 45 r9 / 41 r8 /
-    2 never-checked): the two round-11 additions with no driver row
-    yet FIRST (`ann_index_pq_ingest_probe`, `ann_index_ivf_ingest_probe`
-    — the driver hash is the append≡rebuild proof itself, SURVEY §2B
-    ANN contract), then the 41 remaining r8-stale keys in registry
-    order (`agg_approx_quantile` … `dedup_stream_ingest`; two of them
-    — `agg_rollup`, `agg_cube` — had their money sum migrated to
-    scaled-BIGINT cents by the round-12 exposure audit AFTER the
-    round-11 pre-verification, then re-derived once more in-round to
-    the floor(x*scale+0.5) quantizer after the ROUND(double)
-    BigDecimal cost discovery (SCALING.md round-12 adjudication), and
-    were re-verified post-change through the same plain-session
-    replica + tri-scale selfcheck, so their driver rows this round
-    attest the NEW plan; the full 50-key window was re-run green
-    through the replica after the quantizer change), then the 7
-    oldest-r9 keys in registry order to fill exactly 50
-    (`scan_parquet` … `scalar_variant`). The remaining round-12
-    changed-plan keys live OUTSIDE this window and take round-13
-    slots (below). After this window lands green, staleness is
-    ≤3 rounds for every driver-checked key: 50 r12 + 50 r11 + 49 r10
-    + 38 r9 = 187, plus the round-12 addition `scan_schema_evolution`
-    (tri-scale + replica green, driver row pending its r13 slot) =
-    188 total.
+    Round-13 window (VERDICT.md r12, Next-round #1 — the rotation
+    pre-written in round 12, applied AFTER confirming the 50-row r12
+    driver window landed 50/50 green, with one sanctioned amendment
+    for this round's `_REV_C` floor-quantizer migration, below): the
+    38 remaining r9-stale keys in registry order (`join_skew_salted`
+    … `basket_pairs`), then `scan_schema_evolution` (round-12
+    addition, first driver row), then the 7 round-12 changed-plan
+    keys whose latest rows predate the cents/floor migration
+    (`agg_groupby`, `join_broadcast`, `join_multiway`, `sql_tpch_q3`,
+    `sink_orc_roundtrip`, `sink_upsert`, `sql_tpch_q1`;
+    `agg_histogram` is the 8th but already sits in the r9 set), then
+    the fill: `sink_partitioned` (round-12 migrated, r10 row),
+    `project_hash_email` (oldest-r10), and — the amendment —
+    `events_rfm` + `orders_backlog` instead of the pre-written
+    `filter_pred`/`scalar_string`: VERDICT r12 #4 sanctioned the
+    one-round `_REV_C` migration (ROUND→floor cents, ~19 keys, done
+    this round), and those two keys' r12 rows attest the OLD plan —
+    swapping them in keeps every changed-plan key attested within
+    two windows, while the two displaced UNCHANGED r10 keys simply
+    join the r14 head. The full 50-key window re-ran values+types
+    green through the plain-session replica at round-13 HEAD after
+    the migration (the 38 r9 keys + fill were also pre-verified
+    twice at round-12 HEAD, commit 44163c9).
 
-    Round-13 rotation plan (do NOT apply before the r12 driver run
-    lands): the 38 remaining r9-checked keys in registry order
-    (`join_skew_salted` … `basket_pairs`), then any round-12
-    additions without a driver row, then the round-12 CHANGED-PLAN
-    keys whose latest driver row predates the change — `agg_groupby`,
-    `join_broadcast`, `join_multiway`, `sql_tpch_q3`, `agg_histogram`,
-    `sink_orc_roundtrip`, `sink_upsert`, `sql_tpch_q1` (money sums
-    migrated to the scaled-BIGINT cents convention in the round-12
-    ROUND(SUM(double)) exposure audit, then re-derived to the
-    floor(x*scale+0.5) quantizer — q1 directly, its five-column
-    per-row ROUND measured 1.69s vs 0.81s warm — SCALING.md round-12
-    sections; each re-verified tri-scale + plain-session type-aware
-    replica in round 12 after BOTH changes; the
-    other three migrated keys — `agg_rollup`, `agg_cube`,
-    `sink_partitioned` — get post-migration rows via the r12 window /
-    r13 fill without needing extra slots) — then oldest-r10 fill to
-    exactly 50, leading with `sink_partitioned` (then
-    `project_hash_email`, `filter_pred`, `scalar_string`; the fill is
-    4 keys, not 3, because `agg_histogram` is BOTH r9-stale and
-    changed-plan and must not be double-counted). Cadence (≈50
-    checked/round vs ≤2 added/round) keeps staleness ≤3 rounds.
+    Round-14 rotation plan (do NOT apply before the r13 driver run
+    lands; after it, staleness is 46 r10 / 42 r11 / 50 r12 / 50 r13):
+    the 46 r10-stale keys in registry order — the 44 from the r12
+    union (`scalar_date` … `corpus_curation_funnel`) plus the two
+    displaced fill keys `filter_pred`, `scalar_string` — then the 4
+    r11-stale `_REV_C`-migrated keys (`sql_tpch_q5`, `sql_tpch_q18`,
+    `agg_grouping_id`, `agg_weighted`) to fill exactly 50. That
+    covers ALL 13 r10 changed-plan keys (`sql_tpch_q6/q7/q8/q9/q10/
+    q11/q14/q15/q17/q19/q20/q22`, `sql_recursive_cte`) in the head
+    and the 4 r11 changed keys in the fill — after r14, every
+    driver row in the repo attests the floor-quantizer plan and no
+    ROUND-flavor money row remains. Round-13 additions (registry
+    tail) take their first rows in the r14 window only if the r14
+    fill has room; otherwise r15 — see the tail keys' specs.
 
-    Round-13 PRE-VERIFICATION (done at round-12 end, the round-11
-    pattern): the exact 50-key candidate list above — the 38 r9 keys,
-    `scan_schema_evolution`, the 8 changed-plan keys (incl.
-    `sql_tpch_q1` on the floor quantizer), the 4 fill keys — ran
-    50/50 values+types green through the plain-session type-aware
-    replica at round-12 HEAD, twice. Apply in round 13 only after
-    the r12 driver rows land (confirm the 50-row r12 window first)."""
+    Round-14 PRE-VERIFICATION (round-13 end, the standing pattern):
+    the exact 50-key candidate list above ran values+types green
+    through the plain-session type-aware replica at round-13 HEAD —
+    see the round-13 SCALING.md entry for the run log."""
     first = [
-        # --- round-11 additions: first driver CORRECTNESS rows (the
-        #     hash IS the append≡rebuild claim for the ingest tier) ---
-        "ann_index_pq_ingest_probe",
-        "ann_index_ivf_ingest_probe",
-        # --- the 41 remaining r8-stale keys, registry order ---
-        "agg_approx_quantile",
-        "agg_distinct",
-        "agg_approx_distinct",
-        "agg_rollup",
-        "agg_cube",
-        "agg_gsets",
-        "agg_having",
-        "agg_decimal_exact",
-        "win_rank",
-        "win_analytic",
-        "win_frame",
-        "win_ntile",
-        "win_cume",
-        "win_range_frame",
-        "sort_limit",
-        "topk_per_group",
-        "set_union",
-        "set_intersect",
-        "set_except",
-        "stream_tumbling",
-        "stream_sliding",
-        "stream_session",
-        "stream_dedup",
-        "stream_interval_join",
-        "scd2_build",
-        "timeseries_resample",
-        "events_anomaly",
-        "events_path_topk",
-        "timeseries_ewma",
-        "text_tokenize_tf",
-        "text_ngrams",
-        "text_lang_stats",
-        "text_token_count",
-        "text_pack_sequences",
-        "sim_maxsim",
-        "emb_covariance",
-        "text_ngram_containment",
+        # --- the 38 remaining r9-stale keys, registry order ---
+        "join_skew_salted",
+        "join_bucketed",
+        "join_fuzzy_match",
+        "join_lateral_topk",
+        "agg_sketch_partial",
+        "agg_exact_median",
+        "agg_histogram",  # also round-12 changed-plan (cents/floor)
+        "agg_mode",
+        "text_quality",
+        "text_langid",
+        "text_fingerprint",
+        "dedup_exact",
+        "dedup_fingerprint",
+        "text_tfidf",
+        "text_pii_scrub",
+        "text_winnow_fp",
+        "sample_stratified",
+        "text_bpe_count",
+        "corpus_filter",
+        "text_chunk",
+        "sim_topk",
+        "sim_pairwise_label",
+        "sim_ann_ivf",
+        "emb_centroid_dist",
+        "sim_knn_join",
+        "sim_ann_hyperplane",
+        "sim_ann_pq",
+        "sim_ann_hyperplane_probe",
+        "sim_ann_pq_probe",
+        "sim_ann_ivf_probe",
+        "multimodal_audio_features",
+        "emb_kmeans",
+        "sketch_countmin",
+        "text_bm25",
+        "corpus_split",
+        "text_unigram_ppl",
+        "dedup_span_coverage",
+        "basket_pairs",
+        # --- round-12 addition: first driver row ---
+        "scan_schema_evolution",
+        # --- round-12 changed-plan keys (cents/floor migration) whose
+        #     latest rows predate the change ---
+        "agg_groupby",
+        "join_broadcast",
+        "join_multiway",
+        "sql_tpch_q3",
+        "sink_orc_roundtrip",
+        "sink_upsert",
+        "sql_tpch_q1",
+        # --- fill to 50: r12-migrated + oldest-r10, then the two
+        #     round-13 _REV_C-migrated keys with r12 old-plan rows ---
+        "sink_partitioned",
+        "project_hash_email",
         "events_rfm",
         "orders_backlog",
-        "sim_rerank_pipeline",
-        "dedup_stream_ingest",
-        # --- oldest-r9 keys, registry order, fill to 50 ---
-        "scan_parquet",
-        "scan_pruned",
-        "sink_csv_roundtrip",
-        "sink_jsonl_roundtrip",
-        "udaf_regression",
-        "explode_posexplode",
-        "scalar_variant",
     ]
     assert len(first) == 50, len(first)
     assert all(k in out for k in first), sorted(set(first) - set(out))

@@ -22,7 +22,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from odl_etl_spark.functions import text as T
-from odl_etl_spark.functions.numeric import assert_scaled_sum_headroom, roundn
+from odl_etl_spark.functions.numeric import assert_scaled_sum_headroom, cents, roundn
 from odl_etl_spark.io.sources import cached_count, load_table, register_views, spread
 from odl_etl_spark.operators.materialize import materialize
 from odl_etl_spark.queries.base import spec
@@ -95,7 +95,7 @@ def sql_tpch_q1(spark, sf_dir):
 
 _Q5_SQL = """
     SELECT n_name,
-           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT))
              / 1e4 AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey
@@ -130,12 +130,12 @@ def sql_tpch_q5(spark, sf_dir):
 
 _Q18_SQL = """
     SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-           CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+           CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS total_qty
     FROM customer, orders, lineitem
     WHERE o_orderkey IN (
             SELECT l_orderkey FROM lineitem
             GROUP BY l_orderkey
-            HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 300)
+            HAVING SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) > 300)
       AND c_custkey = o_custkey
       AND o_orderkey = l_orderkey
     GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
@@ -479,7 +479,7 @@ def join_interval_overlap(spark, sf_dir):
              date_diff('day', MAX(o_orderdate), TIMESTAMP '2001-08-02')
                AS rec_days,
              COUNT(*) AS freq,
-             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS monet_c
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS monet_c
       FROM orders GROUP BY o_custkey
     )
     SELECT custkey, rec_days, freq, monet_c / 100.0 AS monetary,
@@ -508,7 +508,7 @@ def events_rfm(spark, sf_dir):
             F.lit("2001-08-02").cast("timestamp"), F.max("o_orderdate")
         ).alias("rec_days"),
         F.count("*").alias("freq"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("monet_c"),
+        F.sum(cents(F.col("o_totalprice"))).alias("monet_c"),
     )
     rfm = rfm.withColumn("_negf", -F.col("freq")).withColumn(
         "_negm", -F.col("monet_c")
@@ -650,9 +650,9 @@ def events_active_users(spark, sf_dir):
     "agg_weighted",
     """
     SELECT p_brand,
-           CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty,
-           ROUND(SUM(CAST(ROUND(l_extendedprice * l_quantity * 100) AS BIGINT))
-                 * 1.0 / SUM(CAST(ROUND(l_quantity) AS BIGINT))) / 100
+           CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS total_qty,
+           ROUND(SUM(CAST(FLOOR(l_extendedprice * l_quantity * 100 + 0.5) AS BIGINT))
+                 * 1.0 / SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT))) / 100
              AS w_avg_price
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand
@@ -679,8 +679,8 @@ def agg_weighted(spark, sf_dir):
         what="agg_weighted price*qty sum",
     )
     j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-    qty = F.round(F.col("l_quantity")).cast("bigint")
-    pq = F.round(F.col("l_extendedprice") * F.col("l_quantity") * 100).cast("bigint")
+    qty = cents(F.col("l_quantity"), 0)
+    pq = cents(F.col("l_extendedprice") * F.col("l_quantity"), 2)
     return (
         j.groupBy("p_brand")
         .agg(F.sum(qty).alias("total_qty"), F.sum(pq).alias("_spq"))
@@ -825,7 +825,7 @@ _GID_SQL = """
            CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
                 AS BIGINT) AS gid,
            COUNT(*) AS n,
-           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 1e2 AS total
+           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 1e2 AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
                             (o_orderpriority), (o_orderstatus), ())
@@ -1146,7 +1146,7 @@ def text_idf_stop(spark, sf_dir):
     """
     WITH d AS (
       SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders,
-             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS val_c
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS val_c
       FROM orders GROUP BY CAST(o_orderdate AS DATE)
     )
     SELECT day, n_orders,
@@ -1173,7 +1173,7 @@ def orders_backlog(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     d = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.count("*").alias("n_orders"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("val_c"),
+        F.sum(cents(F.col("o_totalprice"))).alias("val_c"),
     )
     d = global_cumsum(d, ["day"], "n_orders", cum_col="_co")
     d = global_cumsum(d, ["day"], "val_c", cum_col="_cv")
@@ -1187,9 +1187,9 @@ def orders_backlog(spark, sf_dir):
 
 _Q10_SQL = """
     SELECT c_custkey, c_name,
-           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT))
              / 1e4 AS revenue,
-           ROUND(c_acctbal * 100) / 100 AS acctbal,
+           FLOOR(c_acctbal * 100 + 0.5) / 100 AS acctbal,
            n_name
     FROM customer, orders, lineitem, nation
     WHERE c_custkey = o_custkey
@@ -1231,7 +1231,7 @@ _RECURSIVE_SQL = """
       FROM anc a WHERE a.node > 0
     )
     SELECT a.part, MAX(a.depth) AS depth, COUNT(*) AS chain_len,
-           SUM(CAST(ROUND(p.p_retailprice * 100) AS BIGINT)) / 1e2
+           SUM(CAST(FLOOR(p.p_retailprice * 100 + 0.5) AS BIGINT)) / 1e2
              AS chain_price
     FROM anc a JOIN part p ON p.p_partkey = a.node
     GROUP BY a.part

@@ -42,12 +42,22 @@ from __future__ import annotations
 from odl_etl_spark.functions.numeric import (
     LINEITEM_CHARGE_BOUND,
     assert_scaled_sum_headroom,
+    sql_cents,
 )
 from odl_etl_spark.io.sources import cached_count, load_table, register_views
 from odl_etl_spark.queries.base import spec
 
-# Reused scaled-money fragments (identical text on both engines).
-_REV_C = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)"
+# Reused scaled-money fragment (identical text on both engines), on the
+# house floor-cents quantizer (functions/numeric.sql_cents). Round-13
+# migration of the r12 deferral: the previous ROUND(double) form routes
+# every row through BigDecimal on the Spark side (exits whole-stage
+# codegen's primitive lane, measured ~2x on money-heavy aggs —
+# SCALING.md round-12); floor(x*scale + 0.5) is the vectorized path and
+# the IDENTICAL IEEE expression on both engines, so the oracle tie is
+# unchanged. Values are unchanged off .5 boundaries; every column this
+# fragment scales is on a decimal grid whose scaled form never lands
+# near .5 (round-12 exposure audit).
+_REV_C = sql_cents("l_extendedprice * (1 - l_discount)", 4)
 
 
 def _guard_lineitem_money(spark, sf_dir, what: str, scale: int = 10**4) -> None:
@@ -140,7 +150,7 @@ def sql_tpch_q4(spark, sf_dir):
 
 
 _Q6_SQL = """
-    SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT))
+    SELECT SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000 + 0.5) AS BIGINT))
              / 1e4 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -257,8 +267,8 @@ _Q9_SQL = """
     FROM (
       SELECT n_name AS nation,
              CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
-             CAST(ROUND((l_extendedprice * (1 - l_discount)
-                         - 0.1 * p_retailprice * l_quantity) * 10000)
+             CAST(FLOOR((l_extendedprice * (1 - l_discount)
+                         - 0.1 * p_retailprice * l_quantity) * 10000 + 0.5)
                   AS BIGINT) AS amount_c
       FROM part, supplier, lineitem, orders, nation
       WHERE s_suppkey = l_suppkey
@@ -490,7 +500,7 @@ def sql_tpch_q16(spark, sf_dir):
 
 
 _Q17_SQL = """
-    SELECT SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 1e2 / 7.0
+    SELECT SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) / 1e2 / 7.0
              AS avg_yearly
     FROM lineitem, part
     WHERE p_partkey = l_partkey
@@ -553,7 +563,7 @@ def sql_tpch_q19(spark, sf_dir):
 
 
 _Q20_SQL = """
-    SELECT s_name, ROUND(s_acctbal * 100) / 100 AS s_acctbal
+    SELECT s_name, FLOOR(s_acctbal * 100 + 0.5) / 100 AS s_acctbal
     FROM supplier, nation
     WHERE s_suppkey IN (
             SELECT l_suppkey
@@ -563,7 +573,7 @@ _Q20_SQL = """
               AND l_shipdate >= TIMESTAMP '1997-01-01'
               AND l_shipdate < TIMESTAMP '1998-01-01'
             GROUP BY l_suppkey
-            HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 400)
+            HAVING SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) > 400)
       AND s_nationkey = n_nationkey
       AND n_name IN ('NATION_2', 'NATION_4', 'NATION_6', 'NATION_8')
     ORDER BY s_name
@@ -632,14 +642,14 @@ def sql_tpch_q21(spark, sf_dir):
 
 _Q22_SQL = """
     SELECT cntrycode, COUNT(*) AS numcust,
-           SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 1e2 AS totacctbal
+           SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) / 1e2 AS totacctbal
     FROM (
       SELECT SUBSTR(c_name, 15, 2) AS cntrycode, c_acctbal
       FROM customer
       WHERE SUBSTR(c_name, 15, 2)
               IN ('00', '02', '04', '06', '08', '10', '12')
         AND c_acctbal > (
-              SELECT SUM(CAST(ROUND(c2.c_acctbal * 100) AS BIGINT)) * 1e0
+              SELECT SUM(CAST(FLOOR(c2.c_acctbal * 100 + 0.5) AS BIGINT)) * 1e0
                      / COUNT(*) / 100
               FROM customer c2
               WHERE c2.c_acctbal > 0)
