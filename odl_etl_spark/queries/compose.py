@@ -593,14 +593,14 @@ def scan_schema_widening(spark, sf_dir):
       SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value,
              NTILE(4) OVER (ORDER BY
                CAST(ts AS TIMESTAMP)
-                 + CASE WHEN event_id % 10 = 0 THEN INTERVAL 2 HOUR
-                        ELSE INTERVAL 0 HOUR END,
+                 + CASE WHEN event_id % 10 = 0 THEN INTERVAL 10 DAY
+                        ELSE INTERVAL 0 DAY END,
                event_id) AS batch
       FROM events
     ), wm AS (
       SELECT batch,
              MAX(mx) OVER (ORDER BY batch
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
                - INTERVAL 1 HOUR AS wm_ts
       FROM (SELECT batch, MAX(ts) AS mx FROM arrivals GROUP BY batch) b
     ), admitted AS (
@@ -619,14 +619,18 @@ def scan_schema_widening(spark, sf_dir):
         "VERDICT r12 #6b — previously unit-only in streaming/windows). "
         "The stream_running_totals posture: events replay as 4 "
         "deterministic ARRIVAL slices (exact NTILE over arrival time, "
-        "where every 10th event arrives 2 hours late — so arrival "
-        "order != event-time order, the condition that makes "
-        "watermarks matter), and the key computes the admitted-row "
+        "where every 10th event arrives 10 DAYS late — far past the "
+        "1-hour horizon once its contemporaries' batch has landed, so "
+        "the fixture's 30-day span yields real drops at every scale), and the key computes the admitted-row "
         "tumbling aggregate under Spark's documented drop rule: the "
-        "watermark entering batch b is max(event time seen through "
-        "batch b-1) minus the 1-hour delay, and a row is dropped iff "
-        "its window END is not past that watermark (state for such "
-        "windows is already finalized). The true readStream run — "
+        "watermark filtering batch b derives from event time seen "
+        "through batch b-2 minus the 1-hour delay — the micro-batch "
+        "engine takes TWO batches to apply new stats (one to publish "
+        "the advanced watermark at batch end, one to plan with it; "
+        "measured by controlled experiment, 5-batch probe, and pinned "
+        "by the tie test) — and a row is dropped iff its window END "
+        "is not past that watermark (state for such windows is "
+        "already finalized). The true readStream run — "
         "withWatermark('ts','1 hour') over the same 4-batch replay — "
         "is pinned to reproduce exactly this admitted set in "
         "tests/test_streaming.py, closing the loop the same way "
@@ -649,15 +653,17 @@ def stream_late_drop(spark, sf_dir):
         "event_id", "event_type", "ts", "value"
     )
     arr = F.col("ts") + F.when(
-        F.col("event_id") % 10 == 0, F.expr("INTERVAL 2 HOUR")
-    ).otherwise(F.expr("INTERVAL 0 HOUR"))
+        F.col("event_id") % 10 == 0, F.expr("INTERVAL 10 DAY")
+    ).otherwise(F.expr("INTERVAL 0 DAY"))
     batched = ntile_exact(
         e.withColumn("_arr", arr), ["_arr", "event_id"], 4, tile_col="batch"
     )
     per_batch = batched.groupBy("batch").agg(F.max("ts").alias("_mx"))
     # 4-row frame — the single-partition window is on the per-batch
-    # aggregate (one row per micro-batch), never on the fact rows.
-    w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, -1)
+    # aggregate (one row per micro-batch), never on the fact rows. The
+    # -2 bound is Spark's measured publication lag: batch k's event
+    # times advance the filter from batch k+2.
+    w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, -2)
     wm = per_batch.select(
         "batch",
         (F.max("_mx").over(w) - F.expr("INTERVAL 1 HOUR")).alias("_wm"),

@@ -239,6 +239,58 @@ def test_schema_evolution_merges_partition_schemas(spark, tmp_path):
     assert rows == {1: None, 2: 9.5}
 
 
+def test_read_widened_int_to_bigint_across_eras(spark, tmp_path):
+    """Era-1 wrote a column as INT, era-2 as BIGINT: mergeSchema refuses
+    that layout outright, and read_widened must (a) compute the widened
+    schema from per-era footers, (b) read INT32 pages straight into the
+    BIGINT column, (c) keep composing with ADDED columns (the
+    read_evolving half), and (d) surface the era partition column."""
+    import pytest
+
+    from odl_etl_spark.io.sources import read_evolving, read_widened
+
+    out = str(tmp_path / "widening")
+    spark.createDataFrame([(1, 1.5)], "k int, x float").write.parquet(
+        out + "/era=1"
+    )
+    spark.createDataFrame(
+        [(2**40, 2.5, "late")], "k bigint, x double, note string"
+    ).write.parquet(out + "/era=2")
+
+    # The plain mergeSchema path hard-fails on the width conflict —
+    # the documented reason read_widened exists.
+    with pytest.raises(Exception):
+        read_evolving(spark, out).collect()
+
+    df = read_widened(spark, out)
+    assert dict(df.dtypes)["k"] == "bigint"
+    assert dict(df.dtypes)["x"] == "double"
+    rows = {r["k"]: (r["x"], r["note"], r["era"]) for r in df.collect()}
+    assert rows[1] == (1.5, None, 1)  # era-1: widened int, NULL late col
+    assert rows[2**40] == (2.5, "late", 2)
+    # Aggregation runs in the widened lane.
+    assert df.agg(F.sum("k")).first()[0] == 2**40 + 1
+
+
+def test_read_widened_refuses_lossy_conflicts(spark, tmp_path):
+    """A conflict outside the lossless lattice (string vs int) must
+    raise, never coerce — fail loud is the contract."""
+    import pytest
+
+    from odl_etl_spark.io.sources import read_widened
+
+    out = str(tmp_path / "conflict")
+    spark.createDataFrame([(1,)], "k int").write.parquet(out + "/era=1")
+    spark.createDataFrame([("x",)], "k string").write.parquet(out + "/era=2")
+    with pytest.raises(TypeError, match="incompatible era types"):
+        read_widened(spark, out)
+    # And an empty layout is an explicit error, not an empty frame.
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    with pytest.raises(ValueError, match="no era directories"):
+        read_widened(spark, empty)
+
+
 def test_python_datasource_parallel_paged_reads(spark):
     """The paged-API DataSource enumerates pages as input partitions and
     fetches each in executors; the union is deterministic."""

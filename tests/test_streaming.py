@@ -1918,3 +1918,88 @@ def test_pq_probe_counts_come_from_sidecar_not_store_scan(
     }
     assert parts == {"_batch_id=-1"}
     assert pq_corpus_count(spark, state) == true_n()
+
+
+def test_stream_late_drop_matches_true_watermark_stream(spark, sf_dir, tmp_path):
+    """The true withWatermark('ts', '1 hour') tumbling aggregation,
+    replayed over the SAME 4-slice arrival order the `stream_late_drop`
+    key simulates (exact NTILE over (arrival time, event_id), every
+    10th event arriving 10 days late — far past the 1-hour watermark
+    horizon by the time its contemporaries' batch lands), must converge to EXACTLY the
+    key's per-window aggregates: the memory sink's update history ends
+    at the admitted-set totals, and rows Spark's watermark dropped are
+    exactly the rows the key's drop rule excluded. This ties the
+    driver-oracled batch form to the real late-data mechanism, the
+    same loop stream_running_totals closes for stateful state."""
+    from pyspark.sql import Window as W
+
+    from odl_etl_spark.queries import registry
+    from odl_etl_spark.streaming.source import events_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    arr = F.col("ts") + F.when(
+        F.col("event_id") % 10 == 0, F.expr("INTERVAL 10 DAY")
+    ).otherwise(F.expr("INTERVAL 0 DAY"))
+    sliced = ev.select(
+        "*", F.ntile(4).over(W.orderBy(arr, F.col("event_id"))).alias("_slice")
+    )
+    out = str(tmp_path / "late_slices")
+    os.makedirs(out)
+    for i in range(1, 5):
+        stage = str(tmp_path / f"_lstage{i}")
+        (
+            sliced.where(F.col("_slice") == i)
+            .drop("_slice")
+            .withColumn("ts", F.unix_micros("ts") * 1000)  # ns longs
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(out, f"batch_{i}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        shutil.rmtree(stage)
+
+    stream = events_stream(spark, out, max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("_sv"))
+        .select(
+            F.unix_micros("w.start").alias("window_us"),
+            "event_type",
+            "n",
+            "_sv",
+        )
+    )
+    _run_stream(agg, "t_late_drop", mode="update")
+    # Update-mode history: n strictly increases within a (window, type)
+    # key (a group only re-emits when it received admitted rows), so the
+    # max-n row per key is the final state.
+    hist = spark.table("t_late_drop")
+    w_last = W.partitionBy("window_us", "event_type").orderBy(F.col("n").desc())
+    from odl_etl_spark.functions.numeric import roundn
+
+    streamed = {
+        (r["window_us"], r["event_type"], r["n"], r["sv"])
+        for r in hist.withColumn("_rk", F.row_number().over(w_last))
+        .where(F.col("_rk") == 1)
+        .select(
+            "window_us",
+            "event_type",
+            "n",
+            roundn(F.col("_sv"), 2).alias("sv"),
+        )
+        .collect()
+    }
+    key_rows = {
+        (r["window_us"], r["event_type"], r["n"], r["sum_value"])
+        for r in registry()["stream_late_drop"].build(spark, sf_dir).collect()
+    }
+    assert streamed == key_rows
+    assert streamed
+    # The scenario must actually exercise drops: the admitted total is
+    # strictly below the full event count.
+    admitted = sum(n for (_, _, n, _) in key_rows)
+    assert admitted < ev.count()
