@@ -789,3 +789,41 @@ def test_no_unbounded_fact_broadcasts_in_dedup_sim_corpus_families(
         if flags:
             flagged[name] = flags
     assert not flagged, flagged
+
+
+def test_late_drop_watermark_table_broadcasts(spark, sf_dir):
+    # The 4-row per-batch watermark table must broadcast into the fact
+    # admission filter (in the real engine it is a scalar per
+    # micro-batch); the arrival slicing must ride the distributed
+    # two-level rank (ExistingRDD + _pid-partitioned row_number), never
+    # an unpartitioned fact-wide window; and the final tumbling agg is
+    # a partial+final hash agg.
+    df = build("stream_late_drop", spark, sf_dir)
+    plan = explain_str(df)
+    assert has_broadcast_join(df)
+    assert "existingrdd" in plan.lower()
+    specs = re.findall(r"Arguments: \[(\w+\(\S*\)) windowspecdefinition\(([^,]+)", plan)
+    assert specs, "no window specs found"
+    for fn, first_arg in specs:
+        # row_number rides _pid partitions; the only other windows are
+        # the O(#batches)-row offset/watermark tables (4 rows).
+        assert first_arg.startswith("_pid") or not fn.startswith("row_number"), (
+            fn,
+            first_arg,
+        )
+    assert "HashAggregate" in plan
+
+
+def test_schema_widening_scan_stays_vectorized(spark, sf_dir):
+    # The widened read must stay ONE parquet scan (columnar batch scan,
+    # no per-era union in the plan) with the widened data schema pushed
+    # down — bigint cust in ReadSchema — and the per-era agg is a
+    # partial+final hash agg on the partition column.
+    df = build("scan_schema_widening", spark, sf_dir)
+    plan = explain_str(df)
+    assert "Union" not in plan
+    # formatted explain names each node once in the tree and once in
+    # the detail section — count the numbered detail headers.
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "cust:bigint" in plan.replace(" ", "") or "cust: bigint" in plan
+    assert "HashAggregate" in plan
