@@ -20,6 +20,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def session_sink_dir(spark: SparkSession, name: str) -> str:
+    """Session-unique scratch sink dir for roundtrip/sink query keys.
+
+    A FIXED path let one session's rmtree/rewrite race another
+    session's in-flight read of the same key (observed round 13:
+    a sweep's widening scan read one era while a concurrent debug
+    session rewrote the layout). applicationId is stable within a
+    session — each builder still overwrites its own dir on re-run —
+    and unique across sessions, so concurrent sessions cannot collide.
+    """
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        "odl_etl_spark_sink",
+        f"{name}_{spark.sparkContext.applicationId}",
+    )
+
+
 def partitioned_write(
     df: DataFrame,
     path: str,

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from odl_etl_spark.functions.numeric import roundn
+from odl_etl_spark.io.sinks import session_sink_dir
 from odl_etl_spark.io.sources import load_table
 from odl_etl_spark.operators import dedup as D
 from odl_etl_spark.queries.base import spec
@@ -463,14 +464,13 @@ def dedup_cluster_incremental(spark, sf_dir):
 def scan_schema_evolution(spark, sf_dir):
     import os
     import shutil
-    import tempfile
 
     from odl_etl_spark.functions.numeric import sum_cents
     from odl_etl_spark.io.sources import read_evolving
 
-    out = os.path.join(
-        tempfile.gettempdir(), "odl_etl_spark_sink", "orders_evolving"
-    )
+    # Session-unique sink dir (io/sinks.session_sink_dir rationale —
+    # a fixed path raced concurrent sessions, observed round 13).
+    out = session_sink_dir(spark, "orders_evolving")
     shutil.rmtree(out, ignore_errors=True)
     o = load_table(spark, sf_dir, "orders")
     cut = F.lit("1996-01-01").cast("timestamp")
@@ -540,14 +540,13 @@ def scan_schema_evolution(spark, sf_dir):
 def scan_schema_widening(spark, sf_dir):
     import os
     import shutil
-    import tempfile
 
     from odl_etl_spark.functions.numeric import sum_cents
     from odl_etl_spark.io.sources import read_widened
 
-    out = os.path.join(
-        tempfile.gettempdir(), "odl_etl_spark_sink", "orders_widening"
-    )
+    # Session-unique sink dir — same collision rationale as
+    # scan_schema_evolution above.
+    out = session_sink_dir(spark, "orders_widening")
     shutil.rmtree(out, ignore_errors=True)
     o = load_table(spark, sf_dir, "orders")
     cut = F.lit("1996-01-01").cast("timestamp")

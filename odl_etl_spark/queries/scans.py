@@ -16,7 +16,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from odl_etl_spark.io.sinks import partitioned_write
+from odl_etl_spark.io.sinks import partitioned_write, session_sink_dir
 from odl_etl_spark.io.sources import load_table
 from odl_etl_spark.functions.numeric import roundn, sum_cents
 from odl_etl_spark.queries.base import spec
@@ -69,7 +69,7 @@ def scan_pruned(spark, sf_dir):
     ),
 )
 def sink_partitioned(spark, sf_dir):
-    out = os.path.join(tempfile.gettempdir(), "odl_etl_spark_sink", "orders_by_month")
+    out = session_sink_dir(spark, "orders_by_month")
     shutil.rmtree(out, ignore_errors=True)
     orders = load_table(spark, sf_dir, "orders").withColumn(
         "ds", F.date_format("o_orderdate", "yyyy-MM")
@@ -106,7 +106,7 @@ def sink_partitioned(spark, sf_dir):
     ),
 )
 def sink_csv_roundtrip(spark, sf_dir):
-    out = os.path.join(tempfile.gettempdir(), "odl_etl_spark_sink", "customer_csv")
+    out = session_sink_dir(spark, "customer_csv")
     shutil.rmtree(out, ignore_errors=True)
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
@@ -138,7 +138,7 @@ def sink_csv_roundtrip(spark, sf_dir):
     ),
 )
 def sink_jsonl_roundtrip(spark, sf_dir):
-    out = os.path.join(tempfile.gettempdir(), "odl_etl_spark_sink", "part_jsonl")
+    out = session_sink_dir(spark, "part_jsonl")
     shutil.rmtree(out, ignore_errors=True)
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_retailprice"
@@ -168,7 +168,7 @@ def sink_jsonl_roundtrip(spark, sf_dir):
     ),
 )
 def sink_orc_roundtrip(spark, sf_dir):
-    out = os.path.join(tempfile.gettempdir(), "odl_etl_spark_sink", "orders_orc")
+    out = session_sink_dir(spark, "orders_orc")
     shutil.rmtree(out, ignore_errors=True)
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
@@ -222,7 +222,7 @@ def sink_orc_roundtrip(spark, sf_dir):
 def sink_upsert(spark, sf_dir):
     from odl_etl_spark.operators.upsert import upsert_partitioned
 
-    out = os.path.join(tempfile.gettempdir(), "odl_etl_spark_sink", "orders_upsert")
+    out = session_sink_dir(spark, "orders_upsert")
     shutil.rmtree(out, ignore_errors=True)
     base = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
