@@ -101,6 +101,22 @@ def cached_count(spark: SparkSession, sf_dir: str, name: str) -> int:
     return n
 
 
+# Same rationale/cache-lifetime as _COUNT_CACHE, for column MAX bounds
+# used by narrow-type guards (scan_schema_widening's int32 refusal):
+# parquet column statistics make this a footer-only job, but it is
+# still a job, and guards must stay out of the timed build path.
+_MAX_CACHE: dict[tuple[str, str, str], object] = {}
+
+
+def cached_max(spark: SparkSession, sf_dir: str, name: str, column: str):
+    key = (sf_dir, name, column)
+    if key not in _MAX_CACHE:
+        _MAX_CACHE[key] = (
+            load_table(spark, sf_dir, name).agg(F.max(column)).first()[0]
+        )
+    return _MAX_CACHE[key]
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for ``spark.sql``."""
     for name in TABLES:

@@ -555,7 +555,9 @@ def scan_schema_widening(spark, sf_dir):
     # lossless for the fixture at hand: refuse loudly if any custkey
     # exceeds int32 instead of silently wrapping (same posture as
     # assert_scaled_sum_headroom).
-    mx = o.agg(F.max("o_custkey")).first()[0]
+    from odl_etl_spark.io.sources import cached_max
+
+    mx = cached_max(spark, sf_dir, "orders", "o_custkey")
     if mx is not None and mx > 2**31 - 1:
         raise OverflowError(
             f"scan_schema_widening: max o_custkey {mx} exceeds int32 — "
