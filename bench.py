@@ -112,7 +112,17 @@ def main() -> None:
     # comparisons can detect (and discount) a cadence change instead of
     # misreading it as drift.
     extra_reps_under = float(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_UNDER", "1.0"))
-    for name, q in specs.items():
+    # Canonical (alphabetical) suite order, round 13: registry order is
+    # the DRIVER CHECK rotation and reshuffles every round — and the
+    # round-13 reorder demonstrated a 1.3-2x suite-position warm-up
+    # artifact on the first ~30 positions (SCALING.md round-13: every
+    # persistent "mover" was an early-position key; isolated medians all
+    # at historical level). Benchmarks must not inherit that rotation:
+    # a fixed order makes round-over-round per-key diffs order-stable
+    # forever (one-time break this round, which the rotation had
+    # already broken anyway).
+    for name in sorted(specs):
+        q = specs[name]
         q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
         runs = []
         for _ in range(reps):

@@ -91,3 +91,30 @@ def test_hugeint_never_matches_any_spark_type():
     for s in ("tinyint", "smallint", "int", "bigint", "double", "decimal(38,0)"):
         assert spark_type_canon(s) != duck_type_canon("HUGEINT")
     assert spark_type_canon("bigint") != duck_type_canon("UHUGEINT")
+
+
+def test_struct_map_nests_recurse_to_the_leaf():
+    """ADVICE r12 #4 follow-through: STRUCT/MAP types recurse
+    field-by-field, so a nested machine-int width collapses like a
+    top-level one while a nested HUGEINT still reports skew at the
+    precise leaf."""
+    assert (
+        duck_type_canon("STRUCT(a INTEGER, b VARCHAR)")
+        == spark_type_canon("struct<a:int,b:string>")
+    )
+    assert (
+        duck_type_canon("MAP(VARCHAR, BIGINT)")
+        == spark_type_canon("map<string,int>")
+    )
+    # Nested list-of-struct with an int-width difference: still equal.
+    assert (
+        duck_type_canon("STRUCT(xs BIGINT[], d DOUBLE)")
+        == spark_type_canon("struct<xs:array<int>,d:float>")
+    )
+    # A nested HUGEINT leaf must make the whole nest unmatchable.
+    assert (
+        duck_type_canon("STRUCT(a HUGEINT)")
+        != spark_type_canon("struct<a:bigint>")
+    )
+    # Unmapped scalars still fall through raw (= always skew).
+    assert duck_type_canon("BIT") == "bit"
