@@ -68,14 +68,59 @@ def assert_scaled_sum_headroom(
     ``guard_bounded_groups``. On failure, widen to DECIMAL(38,0) on both
     engines or reduce the scale.
     """
-    worst = int(n_rows * max_abs_term * scale)
-    if worst * margin > INT64_MAX:
+    if scaled_sum_needs_decimal(n_rows, max_abs_term, scale, margin):
+        worst = int(n_rows * max_abs_term * scale)
         raise OverflowError(
             f"{what}: worst-case |sum| ~{worst:.3e} leaves < {margin}x headroom "
             f"to int64 ({n_rows} rows x {max_abs_term} x scale {scale:.0e}); "
             "widen the accumulator to DECIMAL(38,0) on both engines or "
             "lower the scale"
         )
+
+
+def scaled_sum_needs_decimal(
+    n_rows: int, max_abs_term: float, scale: int, margin: int = 8
+) -> bool:
+    """True when the worst case ``n_rows * max_abs_term * scale`` does not
+    clear INT64_MAX by ``margin`` — the same bound the refusal guard
+    checks, exposed as a predicate for callers that HAVE a decimal path."""
+    return int(n_rows * max_abs_term * scale) * margin > INT64_MAX
+
+
+def scaled_sum_acc_type(
+    n_rows: int,
+    max_abs_term: float,
+    scale: int,
+    margin: int = 8,
+    what: str = "scaled sum",
+) -> str:
+    """Pick the exact-integer accumulator for a scaled money sum:
+    ``'bigint'`` while the worst case clears INT64_MAX by ``margin``,
+    ``'decimal(38,0)'`` beyond — the widening the refusal message of
+    ``assert_scaled_sum_headroom`` demands, applied automatically by the
+    Q1-shape keys (``agg_groupby``, ``sql_tpch_q1``) whose
+    all-rows-in-one-group worst case genuinely binds at lake scale
+    (ceiling ~10.17M lineitem rows at scale 1e6, ~TPC-H sf1.7).
+
+    Exactness is preserved, not approximated: the per-row term is still
+    the quantized integer ``floor(x*scale + 0.5)`` (a bigint — exact);
+    widening only changes the SUM accumulator, and decimal(38,0)
+    addition is exact integer arithmetic with 10^38 range (Spark's
+    partial/final sums stay associative and order-free, same as int64).
+    Spark nulls a decimal(38,0) sum only past 1e38 — ~10^20x beyond the
+    int64 ceiling, unreachable (6e11 rows at TPC-H sf100k worst-case
+    ~7e22). The final ``SUM/10^n`` division coerces decimal->double the
+    same way bigint->double does, so the result schema is IDENTICAL in
+    both modes. The driver's oracle tie is unaffected: every
+    driver-checked scale (sf<=0.1, 600k rows) picks 'bigint', i.e. the
+    byte-identical plan; past the ceiling there is no oracle (DuckDB's
+    BIGINT SUM raises on overflow — its widened twin would be HUGEINT,
+    out of the driver's type canon by design). ``what`` documents the
+    guarded term at the call site (and keeps call sites greppable).
+    """
+    if scaled_sum_needs_decimal(n_rows, max_abs_term, scale, margin):
+        return "decimal(38,0)"
+    return "bigint"
 
 
 def cents(col: Column, n: int = 2) -> Column:

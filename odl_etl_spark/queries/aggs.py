@@ -57,19 +57,25 @@ from odl_etl_spark.queries.base import spec
 def agg_groupby(spark, sf_dir):
     from odl_etl_spark.functions.numeric import (
         LINEITEM_CHARGE_BOUND,
-        assert_scaled_sum_headroom,
+        scaled_sum_acc_type,
     )
     from odl_etl_spark.io.sources import cached_count
 
     # True charge bound, not a padded power of ten (ADVICE r12 #3):
     # ceiling ~10.17M lineitem rows at scale 1e6 / margin 8, documented
-    # at LINEITEM_CHARGE_BOUND with the DECIMAL(38,0) widening note.
-    assert_scaled_sum_headroom(
+    # at LINEITEM_CHARGE_BOUND. Past the ceiling the accumulators widen
+    # to DECIMAL(38,0) instead of refusing (exact integer sums either
+    # way, identical result schema — see scaled_sum_acc_type); every
+    # driver-checked scale picks bigint, the byte-identical plan.
+    acc_type = scaled_sum_acc_type(
         cached_count(spark, sf_dir, "lineitem"),
         LINEITEM_CHARGE_BOUND,
         10**6,
         what="agg_groupby sum_charge",
     )
+
+    def acc(c):
+        return c.cast("decimal(38,0)") if acc_type != "bigint" else c
     l = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
     )
@@ -81,13 +87,13 @@ def agg_groupby(spark, sf_dir):
     disc_c = cents(F.col("l_discount"), 4)
     n = F.count("*")
     return l.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(qty_i).cast("bigint").alias("sum_qty"),
-        (F.sum(price_c) / F.lit(1e2)).alias("sum_base_price"),
-        (F.sum(disc_price_c) / F.lit(1e4)).alias("sum_disc_price"),
-        (F.sum(charge_c) / F.lit(1e6)).alias("sum_charge"),
-        (F.round(F.sum(qty_i) * F.lit(1e2) / n) / 100).alias("avg_qty"),
-        (F.round(F.sum(price_c) * F.lit(1e0) / n) / 100).alias("avg_price"),
-        (F.round(F.sum(disc_c) * F.lit(1e0) / n) / 10000).alias("avg_disc"),
+        F.sum(acc(qty_i)).cast("bigint").alias("sum_qty"),
+        (F.sum(acc(price_c)) / F.lit(1e2)).alias("sum_base_price"),
+        (F.sum(acc(disc_price_c)) / F.lit(1e4)).alias("sum_disc_price"),
+        (F.sum(acc(charge_c)) / F.lit(1e6)).alias("sum_charge"),
+        (F.round(F.sum(acc(qty_i)) * F.lit(1e2) / n) / 100).alias("avg_qty"),
+        (F.round(F.sum(acc(price_c)) * F.lit(1e0) / n) / 100).alias("avg_price"),
+        (F.round(F.sum(acc(disc_c)) * F.lit(1e0) / n) / 10000).alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
 

@@ -34,21 +34,29 @@ _TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
 # and DuckDB — integer-scaled money sums keep the hash reproducible)
 # --------------------------------------------------------------------------
 
-_Q1_SQL = """
+def _q1_sql(acc: str = "BIGINT") -> str:
+    """Q1 text with the scaled-sum ACCUMULATOR type as the only
+    parameter. The oracle always takes the default BIGINT text (the
+    exact text the driver hashes at every checked scale); the Spark
+    builder swaps in DECIMAL(38,0) past the int64 headroom ceiling
+    (functions/numeric.scaled_sum_acc_type) so the flagship keeps
+    running exactly at lake scale instead of refusing. The outer
+    sum_qty CAST stays BIGINT in both modes — result schema identical."""
+    return f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+           CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS {acc})) AS BIGINT)
              AS sum_qty,
-           SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) / 1e2
+           SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS {acc})) / 1e2
              AS sum_base_price,
            SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
-                    AS BIGINT)) / 1e4 AS sum_disc_price,
+                    AS {acc})) / 1e4 AS sum_disc_price,
            SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                          * 1000000 + 0.5) AS BIGINT)) / 1e6 AS sum_charge,
-           ROUND(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) * 1e2
+                          * 1000000 + 0.5) AS {acc})) / 1e6 AS sum_charge,
+           ROUND(SUM(CAST(FLOOR(l_quantity + 0.5) AS {acc})) * 1e2
                  / COUNT(*)) / 100 AS avg_qty,
-           ROUND(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) * 1e0
+           ROUND(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS {acc})) * 1e0
                  / COUNT(*)) / 100 AS avg_price,
-           ROUND(SUM(CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT)) * 1e0
+           ROUND(SUM(CAST(FLOOR(l_discount * 10000 + 0.5) AS {acc})) * 1e0
                  / COUNT(*)) / 10000 AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
@@ -56,6 +64,9 @@ _Q1_SQL = """
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
 """
+
+
+_Q1_SQL = _q1_sql()
 
 
 @spec(
@@ -78,19 +89,24 @@ def sql_tpch_q1(spark, sf_dir):
     # Worst scaled term: l_extendedprice·(1-disc)·(1+tax)·1e6 at the
     # derived TPC-H bound (LINEITEM_CHARGE_BOUND ≈ 113,400; ADVICE r12
     # #3) ≈ 1.1e11 per row, and one (returnflag, linestatus) group can
-    # see nearly every lineitem row — guard on the table count
+    # see nearly every lineitem row — bound on the table count
     # (metadata-only parquet count). Ceiling ~10.17M rows (~TPC-H sf1.7);
-    # past it this FIRES and tells the user to widen the accumulators
-    # to DECIMAL(38,0), instead of wrapping silently.
-    from odl_etl_spark.functions.numeric import LINEITEM_CHARGE_BOUND
+    # past it the Spark-side accumulators WIDEN to DECIMAL(38,0) (still
+    # exact integer sums, identical result schema) instead of wrapping
+    # silently or refusing; the oracle keeps the BIGINT text, which is
+    # what runs at every driver-checked scale.
+    from odl_etl_spark.functions.numeric import (
+        LINEITEM_CHARGE_BOUND,
+        scaled_sum_acc_type,
+    )
 
-    assert_scaled_sum_headroom(
+    acc = scaled_sum_acc_type(
         cached_count(spark, sf_dir, "lineitem"),
         LINEITEM_CHARGE_BOUND,
         10**6,
         what="sql_tpch_q1 sum_charge",
     )
-    return spark.sql(_Q1_SQL)
+    return spark.sql(_q1_sql("DECIMAL(38,0)" if acc != "bigint" else "BIGINT"))
 
 
 _Q5_SQL = """

@@ -20,8 +20,15 @@ _GUARDED = {
     "agg_weighted": ("odl_etl_spark.queries.extras", "agg_weighted"),
     "text_entropy": ("odl_etl_spark.queries.extras", "text_entropy"),
     "emb_norm_stats": ("odl_etl_spark.queries.extras", "emb_norm_stats"),
-    "sql_tpch_q1": ("odl_etl_spark.queries.extras", "sql_tpch_q1"),
     "graph_pagerank": ("odl_etl_spark.functions.numeric", "pagerank"),
+}
+
+# Q1-shape keys route through scaled_sum_acc_type instead (they widen to
+# DECIMAL(38,0) past the ceiling rather than refusing); both import it
+# from functions.numeric at call time, so the patch point is the module.
+_WIDENED = {
+    "agg_groupby": "agg_groupby sum_charge",
+    "sql_tpch_q1": "sql_tpch_q1 sum_charge",
 }
 
 
@@ -43,6 +50,46 @@ def test_scaled_bigint_key_calls_headroom_guard(key, spark, sf_dir, monkeypatch)
     df = registry()[key].build(spark, sf_dir)
     assert any(what_substr in w for w in calls), (key, calls)
     assert df.columns  # the build returned a real plan
+
+
+@pytest.mark.parametrize("key", sorted(_WIDENED))
+def test_widening_key_calls_acc_type_guard(key, spark, sf_dir, monkeypatch):
+    import odl_etl_spark.functions.numeric as num
+    from odl_etl_spark.queries import registry
+
+    calls: list[str] = []
+    real = num.scaled_sum_acc_type
+
+    def recording(n_rows, max_abs_term, scale, margin=8, what="scaled sum"):
+        calls.append(what)
+        return real(n_rows, max_abs_term, scale, margin, what)
+
+    monkeypatch.setattr(num, "scaled_sum_acc_type", recording)
+    df = registry()[key].build(spark, sf_dir)
+    assert any(_WIDENED[key] in w for w in calls), (key, calls)
+    assert df.columns
+
+
+@pytest.mark.parametrize("key", sorted(_WIDENED))
+def test_widened_decimal_sums_match_bigint_exactly(key, spark, sf_dir, monkeypatch):
+    """Force the DECIMAL(38,0) branch by shrinking the ceiling and prove
+    the widened plan returns the bit-identical rows AND schema as the
+    int64 plan at a scale where int64 is provably exact — the widening
+    changes only the accumulator's range, never a value."""
+    import odl_etl_spark.functions.numeric as num
+    from odl_etl_spark.queries import registry
+
+    q = registry()[key]
+    narrow = q.build(spark, sf_dir)
+    keys = ["l_returnflag", "l_linestatus"]
+    narrow_rows = [tuple(r) for r in narrow.orderBy(*keys).collect()]
+    narrow_schema = narrow.schema
+
+    monkeypatch.setattr(num, "INT64_MAX", 10**9)  # any sf trips this
+    assert num.scaled_sum_needs_decimal(6000, 113_400.0, 10**6)
+    wide = q.build(spark, sf_dir)
+    assert wide.schema == narrow_schema
+    assert [tuple(r) for r in wide.orderBy(*keys).collect()] == narrow_rows
 
 
 # --- synthetic overflow per family -----------------------------------
@@ -71,6 +118,20 @@ def test_corpus_count_family_trips_at_scale():
         assert_scaled_sum_headroom(
             600_000_000_000, LINEITEM_CHARGE_BOUND, 10**6, what="sql_tpch_q1 sum_charge"
         )
+    # The widening predicate flips at the SAME both-sides-pinned ceiling,
+    # and picks decimal(38,0) where the refusal guard raises — including
+    # the 100 TB count (worst case ~7e22, far under decimal38's 1e38).
+    from odl_etl_spark.functions.numeric import scaled_sum_acc_type
+
+    assert scaled_sum_acc_type(10_100_000, LINEITEM_CHARGE_BOUND, 10**6) == "bigint"
+    assert (
+        scaled_sum_acc_type(10_200_000, LINEITEM_CHARGE_BOUND, 10**6)
+        == "decimal(38,0)"
+    )
+    assert (
+        scaled_sum_acc_type(600_000_000_000, LINEITEM_CHARGE_BOUND, 10**6)
+        == "decimal(38,0)"
+    )
     with pytest.raises(OverflowError, match="emb_covariance"):
         assert_scaled_sum_headroom(
             10**12, 16.0, 10**9, what="emb_covariance (i,j) product sum"
