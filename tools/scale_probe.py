@@ -45,6 +45,13 @@ SRC = "/root/testdata/sf0.1"
 ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale")
 FACTOR = 10
 
+# Probe datasets: tag -> replication factor. sf10p (100x sf0.1, round 13)
+# extends the ladder to TWO decades so scaling exponents come from a fit,
+# not one ratio — and its 60M-row lineitem sits PAST the int64 money-sum
+# ceiling (~10.17M rows), so the Q1-shape keys exercise the DECIMAL(38,0)
+# widened accumulators live rather than only in a forced unit test.
+TAG_FACTORS = {"sf0.1p": 1, "sf1p": FACTOR, "sf10p": 100}
+
 # The ten heaviest keys of BENCH_r04 (sum-of-medians ranking).
 PROBE_KEYS = [
     "graph_pagerank",
@@ -131,9 +138,10 @@ def _replicate(spark: SparkSession, name: str, factor: int) -> DataFrame:
     return out.drop("_r")
 
 
-def gen(spark: SparkSession) -> None:
+def gen(spark: SparkSession, tags: list[str] | None = None) -> None:
     tables = "region nation customer supplier part orders lineitem events documents embeddings".split()
-    for tag, factor in (("sf0.1p", 1), ("sf1p", FACTOR)):
+    for tag in tags or ["sf0.1p", "sf1p"]:
+        factor = TAG_FACTORS[tag]
         out_dir = os.path.join(ROOT, tag)
         shutil.rmtree(out_dir, ignore_errors=True)
         os.makedirs(out_dir, exist_ok=True)
@@ -144,12 +152,16 @@ def gen(spark: SparkSession) -> None:
         print(f"wrote {out_dir}", flush=True)
 
 
-def run(spark: SparkSession, keys: list[str] | None = None) -> dict:
+def run(
+    spark: SparkSession,
+    keys: list[str] | None = None,
+    tags: tuple[str, ...] = ("sf0.1p", "sf1p"),
+) -> dict:
     from odl_etl_spark.queries import registry
 
     specs = registry()
     result: dict[str, dict[str, float]] = {}
-    for tag in ("sf0.1p", "sf1p"):
+    for tag in tags:
         sf_dir = os.path.join(ROOT, tag)
         for name in keys or PROBE_KEYS:
             q = specs[name]
@@ -159,8 +171,12 @@ def run(spark: SparkSession, keys: list[str] | None = None) -> dict:
             dt = round(time.perf_counter() - t0, 3)
             result.setdefault(name, {})[tag] = dt
             print(f"{tag} {name}: {dt}s", flush=True)
+    # Per-decade ratios between adjacent measured tags (10x data per step).
     for name, row in result.items():
-        row["ratio"] = round(row["sf1p"] / max(row["sf0.1p"], 1e-9), 2)
+        for lo, hi in zip(tags, tags[1:]):
+            row[f"ratio_{hi}/{lo}"] = round(row[hi] / max(row[lo], 1e-9), 2)
+        if "sf1p" in row and "sf0.1p" in row:
+            row["ratio"] = row["ratio_sf1p/sf0.1p"]  # legacy field name
     return result
 
 
@@ -214,10 +230,11 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     if cmd == "gen":
-        gen(spark)
+        gen(spark, sys.argv[2].split(",") if len(sys.argv) > 2 else None)
     elif cmd == "run":
         keys = sys.argv[2].split(",") if len(sys.argv) > 2 else None
-        print(json.dumps(run(spark, keys)))
+        tags = tuple(sys.argv[3].split(",")) if len(sys.argv) > 3 else ("sf0.1p", "sf1p")
+        print(json.dumps(run(spark, keys, tags)))
     elif cmd == "curation":
         print(json.dumps(curation(spark)))
     else:
