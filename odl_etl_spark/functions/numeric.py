@@ -91,7 +91,7 @@ def scaled_sum_acc_type(
     n_rows: int,
     max_abs_term: float,
     scale: int,
-    margin: int = 8,
+    margin: int = 2,
     what: str = "scaled sum",
 ) -> str:
     """Pick the exact-integer accumulator for a scaled money sum:
@@ -99,8 +99,22 @@ def scaled_sum_acc_type(
     ``'decimal(38,0)'`` beyond — the widening the refusal message of
     ``assert_scaled_sum_headroom`` demands, applied automatically by the
     Q1-shape keys (``agg_groupby``, ``sql_tpch_q1``) whose
-    all-rows-in-one-group worst case genuinely binds at lake scale
-    (ceiling ~10.17M lineitem rows at scale 1e6, ~TPC-H sf1.7).
+    all-rows-in-one-group worst case genuinely binds at lake scale.
+
+    The margin here is 2, NOT the refusal guard's 8, and the difference
+    is a measured ×5: decimal(38,0) aggregation leaves whole-stage
+    codegen's primitive lane (16-byte unscaled values are object-backed
+    BigDecimals past precision 18 — the same lane exit as
+    ROUND(double)), and the sf10p A/B measured 14.0s vs 2.8s on
+    agg_groupby / 8.2s vs 1.8s on sql_tpch_q1 at 60M rows, identical
+    values (SCALING.md round-13). Deferring the widening costs nothing
+    in exactness — ``n_rows × max_abs_term`` is a HARD bound (analytic
+    charge bound, exact row count), so any margin ≥ 1 provably cannot
+    wrap; margin 2 covers the bound arithmetic's float slop a
+    thousandfold. Resulting ceiling at scale 1e6: ~40.7M lineitem rows
+    (~TPC-H sf6.8), pinned from both sides in test_overflow_guards. The
+    8× margin stays on ``assert_scaled_sum_headroom`` because refusal
+    sites have no automatic remedy — conservatism is the point there.
 
     Exactness is preserved, not approximated: the per-row term is still
     the quantized integer ``floor(x*scale + 0.5)`` (a bigint — exact);

@@ -61,12 +61,13 @@ def agg_groupby(spark, sf_dir):
     )
     from odl_etl_spark.io.sources import cached_count
 
-    # True charge bound, not a padded power of ten (ADVICE r12 #3):
-    # ceiling ~10.17M lineitem rows at scale 1e6 / margin 8, documented
-    # at LINEITEM_CHARGE_BOUND. Past the ceiling the accumulators widen
-    # to DECIMAL(38,0) instead of refusing (exact integer sums either
-    # way, identical result schema — see scaled_sum_acc_type); every
-    # driver-checked scale picks bigint, the byte-identical plan.
+    # True charge bound, not a padded power of ten (ADVICE r12 #3),
+    # documented at LINEITEM_CHARGE_BOUND. Past ~40.7M lineitem rows
+    # (margin-2 widening ceiling — the last provably-exact int64 row)
+    # the accumulators widen to DECIMAL(38,0) instead of refusing:
+    # exact integer sums either way, identical result schema, but a
+    # measured x5 slower (BigDecimal lane) — see scaled_sum_acc_type.
+    # Every driver-checked scale picks bigint, the byte-identical plan.
     acc_type = scaled_sum_acc_type(
         cached_count(spark, sf_dir, "lineitem"),
         LINEITEM_CHARGE_BOUND,

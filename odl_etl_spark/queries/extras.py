@@ -90,11 +90,12 @@ def sql_tpch_q1(spark, sf_dir):
     # derived TPC-H bound (LINEITEM_CHARGE_BOUND ≈ 113,400; ADVICE r12
     # #3) ≈ 1.1e11 per row, and one (returnflag, linestatus) group can
     # see nearly every lineitem row — bound on the table count
-    # (metadata-only parquet count). Ceiling ~10.17M rows (~TPC-H sf1.7);
-    # past it the Spark-side accumulators WIDEN to DECIMAL(38,0) (still
-    # exact integer sums, identical result schema) instead of wrapping
-    # silently or refusing; the oracle keeps the BIGINT text, which is
-    # what runs at every driver-checked scale.
+    # (metadata-only parquet count). Past the margin-2 widening ceiling
+    # (~40.7M rows — the last provably-exact int64 row) the Spark-side
+    # accumulators WIDEN to DECIMAL(38,0) (still exact integer sums,
+    # identical result schema, measured x5 slower — scaled_sum_acc_type)
+    # instead of wrapping silently or refusing; the oracle keeps the
+    # BIGINT text, which is what runs at every driver-checked scale.
     from odl_etl_spark.functions.numeric import (
         LINEITEM_CHARGE_BOUND,
         scaled_sum_acc_type,

@@ -118,14 +118,19 @@ def test_corpus_count_family_trips_at_scale():
         assert_scaled_sum_headroom(
             600_000_000_000, LINEITEM_CHARGE_BOUND, 10**6, what="sql_tpch_q1 sum_charge"
         )
-    # The widening predicate flips at the SAME both-sides-pinned ceiling,
-    # and picks decimal(38,0) where the refusal guard raises — including
-    # the 100 TB count (worst case ~7e22, far under decimal38's 1e38).
+    # The widening predicate uses margin 2, not the refusal guard's 8:
+    # the worst-case bound is HARD (analytic charge bound x exact count),
+    # so int64 provably cannot wrap at any margin >= 1, and the decimal
+    # lane costs a measured x5 (sf10p A/B, SCALING.md round-13) — widen
+    # at the last provably-exact row, not eight times early. Ceiling
+    # INT64_MAX/(2*113,400*1e6) ~ 40.67M rows (~TPC-H sf6.8), pinned
+    # from both sides; the 100 TB count still widens (worst ~7e22, far
+    # under decimal38's 1e38).
     from odl_etl_spark.functions.numeric import scaled_sum_acc_type
 
-    assert scaled_sum_acc_type(10_100_000, LINEITEM_CHARGE_BOUND, 10**6) == "bigint"
+    assert scaled_sum_acc_type(40_600_000, LINEITEM_CHARGE_BOUND, 10**6) == "bigint"
     assert (
-        scaled_sum_acc_type(10_200_000, LINEITEM_CHARGE_BOUND, 10**6)
+        scaled_sum_acc_type(40_700_000, LINEITEM_CHARGE_BOUND, 10**6)
         == "decimal(38,0)"
     )
     assert (
