@@ -67,10 +67,12 @@ def main() -> None:
     )
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
-        )
+        # Driver testdata is one file per table; probe dirs (.scale/*) are
+        # Spark-written parquet DIRECTORIES — glob their part files.
+        p = os.path.join(sf_dir, t + ".parquet")
+        if os.path.isdir(p):
+            p = os.path.join(p, "*.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, osql = E.queries(), E.oracle_sql()
     if len(sys.argv) > 3:
