@@ -47,6 +47,26 @@ INT64_MAX = 2**63 - 1
 # all-in-one-group bound, not the expected value).
 LINEITEM_CHARGE_BOUND = 105_000.0 * 1.08
 
+# Sibling hard bounds for the other money columns the fixed-SQL keys
+# accumulate (same derivation posture: analytic TPC-H bound, verified
+# against the fixture in test_overflow_guards):
+#   o_totalprice  — an order totals <= 7 lineitems' charges (TPC-H order
+#                   size bound), so < 7 x 113,400 = 793,800 (fixture max
+#                   499,993.18 at sf0.1);
+#   c_acctbal     — spec range [-999.99, 9999.99] -> |.| < 10,000
+#                   (fixture max 9,999.80);
+#   p_retailprice — < 2,100 (the retailprice bound already used to
+#                   derive the charge bound; fixture max 999.90);
+#   events.value  — |value| <= 1,000 fixture contract (max 560.21), the
+#                   bound agg_corr's guard already uses;
+#   l_extendedprice*l_quantity — < 105,000 x 50 = 5,250,000 (fixture max
+#                   5,249,891.00).
+ORDERS_TOTALPRICE_BOUND = 7 * LINEITEM_CHARGE_BOUND
+CUSTOMER_ACCTBAL_BOUND = 10_000.0
+PART_RETAILPRICE_BOUND = 2_100.0
+EVENTS_VALUE_BOUND = 1_000.0
+LINEITEM_PRICEQTY_BOUND = 105_000.0 * 50
+
 
 def assert_scaled_sum_headroom(
     n_rows: int,
@@ -167,13 +187,19 @@ def cents(col: Column, n: int = 2) -> Column:
     return F.floor(col * p + F.lit(0.5)).cast("bigint")
 
 
-def sql_cents(expr: str, n: int = 2) -> str:
-    """Oracle-side twin of ``cents`` (same IEEE ops, ANSI text)."""
+def sql_cents(expr: str, n: int = 2, acc: str = "BIGINT") -> str:
+    """Oracle-side twin of ``cents`` (same IEEE ops, ANSI text).
+
+    ``acc`` is the cast target. The default BIGINT is what every oracle
+    string and every driver-checked Spark plan uses; Spark-side builders
+    of money SUMs pass ``scaled_sum_acc_type``'s pick so the accumulator
+    widens to DECIMAL(38,0) past the last provably-exact int64 row
+    (per-row terms always fit — only the SUM can outgrow int64)."""
     p = 10**n
-    return f"CAST(FLOOR(({expr}) * {p} + 0.5) AS BIGINT)"
+    return f"CAST(FLOOR(({expr}) * {p} + 0.5) AS {acc})"
 
 
-def sum_cents(col: Column, n: int = 2) -> Column:
+def sum_cents(col: Column, n: int = 2, acc: str = "bigint") -> Column:
     """Order-free money sum: per-row scale-to-integer quantization
     (identical IEEE multiply/add/floor on every engine, even exactly on
     a .5 boundary — see ``cents``), BIGINT accumulation (exact,
@@ -181,8 +207,15 @@ def sum_cents(col: Column, n: int = 2) -> Column:
     -> identical double). The round-12 exposure audit's migration
     target for SUM(double) money columns whose values live OFF the cent
     grid (o_totalprice) or on a finer grid containing exact .5 rounding
-    boundaries."""
-    return F.sum(cents(col, n)) / float(10**n)
+    boundaries.
+
+    ``acc`` widens the accumulator to DECIMAL(38,0) when the caller's
+    ``scaled_sum_acc_type`` decision says the int64 worst case no longer
+    provably fits; the division result is double either way."""
+    term = cents(col, n)
+    if acc.lower() != "bigint":
+        term = term.cast("decimal(38,0)")
+    return F.sum(term) / float(10**n)
 
 
 def sql_sum_cents(expr: str, n: int = 2) -> str:

@@ -101,6 +101,29 @@ def cached_count(spark: SparkSession, sf_dir: str, name: str) -> int:
     return n
 
 
+def money_acc(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    bound: float,
+    scale: int,
+    what: str,
+) -> str:
+    """SUM-accumulator decision for a scaled money column of ``table``:
+    'bigint' while the all-rows-in-one-group worst case provably fits
+    int64 (margin 2 on the hard ``bound``), 'decimal(38,0)' past it —
+    functions/numeric.scaled_sum_acc_type married to the process-level
+    cached_count so the decision costs zero jobs after the first build.
+    Driver-checked scales always pick bigint (the byte-identical plan);
+    the widened exact accumulator replaces both silent int64 wrap and
+    the old refusal posture at lake scale."""
+    from odl_etl_spark.functions.numeric import scaled_sum_acc_type
+
+    return scaled_sum_acc_type(
+        cached_count(spark, sf_dir, table), bound, scale, what=what
+    )
+
+
 # Same rationale/cache-lifetime as _COUNT_CACHE, for column MAX bounds
 # used by narrow-type guards (scan_schema_widening's int32 refusal):
 # parquet column statistics make this a footer-only job, but it is

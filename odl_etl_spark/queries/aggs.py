@@ -10,8 +10,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from odl_etl_spark.functions.numeric import cents, roundn, sum_cents
-from odl_etl_spark.io.sources import load_table
+from odl_etl_spark.functions.numeric import (
+    ORDERS_TOTALPRICE_BOUND,
+    cents,
+    roundn,
+    sum_cents,
+)
+from odl_etl_spark.io.sources import load_table, money_acc
 from odl_etl_spark.queries.base import spec
 
 
@@ -172,7 +177,13 @@ def agg_approx_distinct(spark, sf_dir):
 def agg_rollup(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n"), sum_cents(F.col("o_totalprice")).alias("total")
+        F.count("*").alias("n"), sum_cents(
+            F.col("o_totalprice"),
+            acc=money_acc(
+                spark, sf_dir, "orders", ORDERS_TOTALPRICE_BOUND, 10**2,
+                what="agg_rollup total",
+            ),
+        ).alias("total")
     )
 
 
@@ -188,7 +199,13 @@ def agg_rollup(spark, sf_dir):
 def agg_cube(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n"), sum_cents(F.col("o_totalprice")).alias("total")
+        F.count("*").alias("n"), sum_cents(
+            F.col("o_totalprice"),
+            acc=money_acc(
+                spark, sf_dir, "orders", ORDERS_TOTALPRICE_BOUND, 10**2,
+                what="agg_cube total",
+            ),
+        ).alias("total")
     )
 
 
@@ -472,7 +489,13 @@ def agg_histogram(spark, sf_dir):
     )
     return o.groupBy(bucket.alias("bucket")).agg(
         F.count("*").alias("n"),
-        sum_cents(F.col("o_totalprice")).alias("total"),
+        sum_cents(
+            F.col("o_totalprice"),
+            acc=money_acc(
+                spark, sf_dir, "orders", ORDERS_TOTALPRICE_BOUND, 10**2,
+                what="agg_histogram total",
+            ),
+        ).alias("total"),
     )
 
 

@@ -18,9 +18,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from odl_etl_spark.functions.numeric import roundn
+from odl_etl_spark.functions.numeric import (
+    EVENTS_VALUE_BOUND,
+    ORDERS_TOTALPRICE_BOUND,
+    roundn,
+)
 from odl_etl_spark.io.sinks import session_sink_dir
-from odl_etl_spark.io.sources import load_table
+from odl_etl_spark.io.sources import load_table, money_acc
 from odl_etl_spark.operators import dedup as D
 from odl_etl_spark.queries.base import spec
 from odl_etl_spark.queries.similarity import (
@@ -492,7 +496,13 @@ def scan_schema_evolution(spark, sf_dir):
         .agg(
             F.count("*").alias("n"),
             F.count("o_orderpriority").alias("n_with_priority"),
-            sum_cents(F.col("o_totalprice")).alias("total"),
+            sum_cents(
+                F.col("o_totalprice"),
+                acc=money_acc(
+                    spark, sf_dir, "orders", ORDERS_TOTALPRICE_BOUND, 10**2,
+                    what="scan_schema_evolution total",
+                ),
+            ).alias("total"),
         )
     )
 
@@ -582,7 +592,13 @@ def scan_schema_widening(spark, sf_dir):
         .agg(
             F.count("*").alias("n"),
             F.sum("cust").cast("bigint").alias("sum_cust"),
-            sum_cents(F.col("o_totalprice")).alias("total"),
+            sum_cents(
+                F.col("o_totalprice"),
+                acc=money_acc(
+                    spark, sf_dir, "orders", ORDERS_TOTALPRICE_BOUND, 10**2,
+                    what="scan_schema_widening total",
+                ),
+            ).alias("total"),
         )
     )
 
@@ -677,7 +693,13 @@ def stream_late_drop(spark, sf_dir):
         admitted.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            sum_cents(F.col("value")).alias("sum_value"),
+            sum_cents(
+                F.col("value"),
+                acc=money_acc(
+                    spark, sf_dir, "events", EVENTS_VALUE_BOUND, 10**2,
+                    what="stream_late_drop sum_value",
+                ),
+            ).alias("sum_value"),
         )
         .select(
             F.unix_micros("w.start").alias("window_us"),

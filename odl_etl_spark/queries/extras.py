@@ -22,12 +22,39 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from odl_etl_spark.functions import text as T
-from odl_etl_spark.functions.numeric import assert_scaled_sum_headroom, cents, roundn
+from odl_etl_spark.functions.numeric import (
+    LINEITEM_CHARGE_BOUND,
+    LINEITEM_PRICEQTY_BOUND,
+    ORDERS_TOTALPRICE_BOUND,
+    assert_scaled_sum_headroom,
+    cents,
+    roundn,
+    scaled_sum_acc_type,
+)
 from odl_etl_spark.io.sources import cached_count, load_table, register_views, spread
 from odl_etl_spark.operators.materialize import materialize
 from odl_etl_spark.queries.base import spec
 
 _TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+
+def _lineitem_money_acc(spark, sf_dir, what: str, scale: int = 10**4) -> str:
+    """SUM accumulator for lineitem money terms: BIGINT to the last
+    provably-exact row, DECIMAL(38,0) past it (scaled_sum_acc_type —
+    the tpch.py `_money_acc` posture; the oracle text stays BIGINT,
+    which is the plan at every driver-checked scale)."""
+    return scaled_sum_acc_type(
+        cached_count(spark, sf_dir, "lineitem"), LINEITEM_CHARGE_BOUND, scale, what=what
+    ).upper()
+
+
+def _orders_money_acc(spark, sf_dir, what: str, scale: int = 10**2) -> str:
+    """Same for o_totalprice sums (bound: an order totals <= 7 lineitem
+    charges — functions/numeric.ORDERS_TOTALPRICE_BOUND); margin-2
+    ceiling ~5.8e10 orders rows, genuinely reachable at ~100 TB."""
+    return scaled_sum_acc_type(
+        cached_count(spark, sf_dir, "orders"), ORDERS_TOTALPRICE_BOUND, scale, what=what
+    ).upper()
 
 # --------------------------------------------------------------------------
 # TPC-H report shapes (SQL passthrough: the IDENTICAL text runs on Spark
@@ -96,23 +123,14 @@ def sql_tpch_q1(spark, sf_dir):
     # identical result schema, measured x5 slower — scaled_sum_acc_type)
     # instead of wrapping silently or refusing; the oracle keeps the
     # BIGINT text, which is what runs at every driver-checked scale.
-    from odl_etl_spark.functions.numeric import (
-        LINEITEM_CHARGE_BOUND,
-        scaled_sum_acc_type,
-    )
-
-    acc = scaled_sum_acc_type(
-        cached_count(spark, sf_dir, "lineitem"),
-        LINEITEM_CHARGE_BOUND,
-        10**6,
-        what="sql_tpch_q1 sum_charge",
-    )
-    return spark.sql(_q1_sql("DECIMAL(38,0)" if acc != "bigint" else "BIGINT"))
+    acc = _lineitem_money_acc(spark, sf_dir, "sql_tpch_q1 sum_charge", scale=10**6)
+    return spark.sql(_q1_sql(acc))
 
 
-_Q5_SQL = """
+def _q5_sql(acc: str = "BIGINT") -> str:
+    return f"""
     SELECT n_name,
-           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT))
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS {acc}))
              / 1e4 AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey
@@ -129,6 +147,9 @@ _Q5_SQL = """
 """
 
 
+_Q5_SQL = _q5_sql()
+
+
 @spec(
     "sql_tpch_q5",
     _Q5_SQL,
@@ -141,8 +162,9 @@ _Q5_SQL = """
     ),
 )
 def sql_tpch_q5(spark, sf_dir):
+    acc = _lineitem_money_acc(spark, sf_dir, "sql_tpch_q5 revenue")
     register_views(spark, sf_dir)
-    return spark.sql(_Q5_SQL)
+    return spark.sql(_q5_sql(acc))
 
 
 _Q18_SQL = """
@@ -520,12 +542,19 @@ def events_rfm(spark, sf_dir):
     from odl_etl_spark.operators.ranking import ntile_exact
 
     o = load_table(spark, sf_dir, "orders")
+    # o_totalprice cents sum: widen past the margin-2 ceiling (~5.8e10
+    # orders rows) instead of wrapping; ntile ordering and the /100.0
+    # finalization are type-agnostic, so the schema is mode-invariant.
+    acc_type = _orders_money_acc(spark, sf_dir, "events_rfm monet_c")
+    monet = cents(F.col("o_totalprice"))
+    if acc_type != "BIGINT":
+        monet = monet.cast("decimal(38,0)")
     rfm = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.datediff(
             F.lit("2001-08-02").cast("timestamp"), F.max("o_orderdate")
         ).alias("rec_days"),
         F.count("*").alias("freq"),
-        F.sum(cents(F.col("o_totalprice"))).alias("monet_c"),
+        F.sum(monet).alias("monet_c"),
     )
     rfm = rfm.withColumn("_negf", -F.col("freq")).withColumn(
         "_negm", -F.col("monet_c")
@@ -688,19 +717,29 @@ def agg_weighted(spark, sf_dir):
     # TPC-H bounds: l_extendedprice < 1.05e5 (the derived bound behind
     # LINEITEM_CHARGE_BOUND), l_quantity <= 50 → one scaled term
     # ≤ 5.25e6·100 = 5.25e8; a single brand group can in the worst case
-    # see every lineitem row, so guard on the table count (metadata-only).
-    assert_scaled_sum_headroom(
+    # see every lineitem row, so the decision is on the table count
+    # (metadata-only). Past the margin-2 ceiling the accumulators WIDEN
+    # to DECIMAL(38,0) (exact either way; total_qty re-cast keeps the
+    # result schema identical — see scaled_sum_acc_type).
+    acc_type = scaled_sum_acc_type(
         cached_count(spark, sf_dir, "lineitem"),
-        1.05e5 * 50,
+        LINEITEM_PRICEQTY_BOUND,
         100,
         what="agg_weighted price*qty sum",
     )
+
+    def acc(c):
+        return c.cast("decimal(38,0)") if acc_type != "bigint" else c
+
     j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
     qty = cents(F.col("l_quantity"), 0)
     pq = cents(F.col("l_extendedprice") * F.col("l_quantity"), 2)
     return (
         j.groupBy("p_brand")
-        .agg(F.sum(qty).alias("total_qty"), F.sum(pq).alias("_spq"))
+        .agg(
+            F.sum(acc(qty)).cast("bigint").alias("total_qty"),
+            F.sum(acc(pq)).alias("_spq"),
+        )
         .select(
             "p_brand",
             "total_qty",
@@ -834,7 +873,8 @@ def text_ngram_profile(spark, sf_dir):
 # grouping sets with grouping_id
 # --------------------------------------------------------------------------
 
-_GID_SQL = """
+def _gid_sql(acc: str = "BIGINT") -> str:
+    return f"""
     SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
                 ELSE o_orderpriority END AS priority,
            CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
@@ -842,11 +882,14 @@ _GID_SQL = """
            CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
                 AS BIGINT) AS gid,
            COUNT(*) AS n,
-           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 1e2 AS total
+           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS {acc})) / 1e2 AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
                             (o_orderpriority), (o_orderstatus), ())
 """
+
+
+_GID_SQL = _gid_sql()
 
 
 @spec(
@@ -862,8 +905,9 @@ _GID_SQL = """
     ),
 )
 def agg_grouping_id(spark, sf_dir):
+    acc = _orders_money_acc(spark, sf_dir, "agg_grouping_id total")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("_gid_orders")
-    return spark.sql(_GID_SQL.replace("FROM orders", "FROM _gid_orders"))
+    return spark.sql(_gid_sql(acc).replace("FROM orders", "FROM _gid_orders"))
 
 
 # --------------------------------------------------------------------------
@@ -1188,9 +1232,16 @@ def orders_backlog(spark, sf_dir):
     from odl_etl_spark.operators.ranking import global_cumsum
 
     o = load_table(spark, sf_dir, "orders")
+    # Widen the per-day cents sum past the margin-2 orders ceiling; the
+    # running total then accumulates decimals exactly too, and cum_value
+    # divides to the same double either way.
+    acc_type = _orders_money_acc(spark, sf_dir, "orders_backlog val_c")
+    val = cents(F.col("o_totalprice"))
+    if acc_type != "BIGINT":
+        val = val.cast("decimal(38,0)")
     d = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.count("*").alias("n_orders"),
-        F.sum(cents(F.col("o_totalprice"))).alias("val_c"),
+        F.sum(val).alias("val_c"),
     )
     d = global_cumsum(d, ["day"], "n_orders", cum_col="_co")
     d = global_cumsum(d, ["day"], "val_c", cum_col="_cv")
@@ -1202,9 +1253,10 @@ def orders_backlog(spark, sf_dir):
     ).orderBy("day")
 
 
-_Q10_SQL = """
+def _q10_sql(acc: str = "BIGINT") -> str:
+    return f"""
     SELECT c_custkey, c_name,
-           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT))
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS {acc}))
              / 1e4 AS revenue,
            FLOOR(c_acctbal * 100 + 0.5) / 100 AS acctbal,
            n_name
@@ -1221,6 +1273,9 @@ _Q10_SQL = """
 """
 
 
+_Q10_SQL = _q10_sql()
+
+
 @spec(
     "sql_tpch_q10",
     _Q10_SQL,
@@ -1233,8 +1288,9 @@ _Q10_SQL = """
     ),
 )
 def sql_tpch_q10(spark, sf_dir):
+    acc = _lineitem_money_acc(spark, sf_dir, "sql_tpch_q10 revenue")
     register_views(spark, sf_dir)
-    return spark.sql(_Q10_SQL)
+    return spark.sql(_q10_sql(acc))
 
 
 _RECURSIVE_SQL = """

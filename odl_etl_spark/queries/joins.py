@@ -12,8 +12,28 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from odl_etl_spark.functions.numeric import cents, roundn
-from odl_etl_spark.io.sources import load_table
+from odl_etl_spark.functions.numeric import (
+    LINEITEM_CHARGE_BOUND,
+    cents,
+    roundn,
+    scaled_sum_acc_type,
+)
+from odl_etl_spark.io.sources import cached_count, load_table
+
+
+def _rev_sum(spark, sf_dir, what):
+    """Scaled 4-decimal lineitem revenue term for a money SUM: bigint
+    cents to the last provably-exact row, DECIMAL(38,0)-widened past it
+    (functions/numeric.scaled_sum_acc_type; driver scales always pick
+    bigint — the byte-identical plan)."""
+    term = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    acc = scaled_sum_acc_type(
+        cached_count(spark, sf_dir, "lineitem"),
+        LINEITEM_CHARGE_BOUND,
+        10**4,
+        what=what,
+    )
+    return term.cast("decimal(38,0)") if acc != "bigint" else term
 from odl_etl_spark.operators.asof import asof_join
 from odl_etl_spark.queries.base import spec
 
@@ -67,13 +87,7 @@ def join_broadcast(spark, sf_dir):
             F.count("*").alias("n_items"),
             (
                 F.round(
-                    F.sum(
-                        cents(
-                            F.col("l_extendedprice")
-                            * (1 - F.col("l_discount")),
-                            4,
-                        )
-                    )
+                    F.sum(_rev_sum(spark, sf_dir, "join_broadcast revenue"))
                     / F.lit(1e2)
                 )
                 / 100
@@ -190,13 +204,7 @@ def join_multiway(spark, sf_dir):
             F.count("*").alias("n_lineitems"),
             (
                 F.round(
-                    F.sum(
-                        cents(
-                            F.col("l_extendedprice")
-                            * (1 - F.col("l_discount")),
-                            4,
-                        )
-                    )
+                    F.sum(_rev_sum(spark, sf_dir, "join_multiway revenue"))
                     / F.lit(1e2)
                 )
                 / 100

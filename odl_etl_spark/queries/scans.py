@@ -17,8 +17,13 @@ import tempfile
 from pyspark.sql import functions as F
 
 from odl_etl_spark.io.sinks import partitioned_write, session_sink_dir
-from odl_etl_spark.io.sources import load_table
-from odl_etl_spark.functions.numeric import roundn, sum_cents
+from odl_etl_spark.io.sources import load_table, money_acc
+from odl_etl_spark.functions.numeric import (
+    LINEITEM_CHARGE_BOUND,
+    ORDERS_TOTALPRICE_BOUND,
+    roundn,
+    sum_cents,
+)
 from odl_etl_spark.queries.base import spec
 
 
@@ -84,7 +89,16 @@ def sink_partitioned(spark, sf_dir):
     return (
         spark.read.parquet(out)
         .groupBy("ds")
-        .agg(F.count("*").alias("n"), sum_cents(F.col("o_totalprice")).alias("total"))
+        .agg(
+            F.count("*").alias("n"),
+            sum_cents(
+                F.col("o_totalprice"),
+                acc=money_acc(
+                    spark, sf_dir, "orders", ORDERS_TOTALPRICE_BOUND, 10**2,
+                    what="sink_partitioned total",
+                ),
+            ).alias("total"),
+        )
         .select(F.col("ds").cast("string").alias("ds"), "n", "total")
     )
 
@@ -179,7 +193,13 @@ def sink_orc_roundtrip(spark, sf_dir):
     ).orc(out)
     return back.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"),
-        sum_cents(F.col("o_totalprice")).alias("total_price"),
+        sum_cents(
+            F.col("o_totalprice"),
+            acc=money_acc(
+                spark, sf_dir, "orders", ORDERS_TOTALPRICE_BOUND, 10**2,
+                what="sink_orc_roundtrip total_price",
+            ),
+        ).alias("total_price"),
     )
 
 
@@ -244,15 +264,22 @@ def sink_upsert(spark, sf_dir):
         .groupBy(F.col("ds").cast("string").alias("ds"))
         .agg(
             F.count("*").alias("n"),
-            sum_cents(F.col("o_totalprice")).alias("total"),
+            sum_cents(
+                F.col("o_totalprice"),
+                acc=money_acc(
+                    spark, sf_dir, "orders", ORDERS_TOTALPRICE_BOUND, 10**2,
+                    what="sink_upsert total",
+                ),
+            ).alias("total"),
         )
     )
 
 
-_Q3_SQL = """
+def _q3_sql(acc: str = "BIGINT") -> str:
+    return f"""
     SELECT l_orderkey,
            SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
-                    AS BIGINT)) / 1e4 AS revenue
+                    AS {acc})) / 1e4 AS revenue
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING'
       AND c_custkey = o_custkey
@@ -263,6 +290,9 @@ _Q3_SQL = """
     ORDER BY revenue DESC, l_orderkey
     LIMIT 10
 """
+
+
+_Q3_SQL = _q3_sql()
 
 
 @spec(
@@ -284,8 +314,12 @@ _Q3_SQL = """
 def sql_tpch_q3(spark, sf_dir):
     from odl_etl_spark.io.sources import register_views
 
+    acc = money_acc(
+        spark, sf_dir, "lineitem", LINEITEM_CHARGE_BOUND, 10**4,
+        what="sql_tpch_q3 revenue",
+    ).upper()
     register_views(spark, sf_dir)
-    return spark.sql(_Q3_SQL)
+    return spark.sql(_q3_sql(acc))
 
 
 _ZBITS = 8  # bits interleaved per key → 16-bit z-value

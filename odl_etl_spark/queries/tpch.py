@@ -40,8 +40,9 @@ to the canonical decision-support suite, per SURVEY.md §2B/§8.
 from __future__ import annotations
 
 from odl_etl_spark.functions.numeric import (
+    CUSTOMER_ACCTBAL_BOUND,
     LINEITEM_CHARGE_BOUND,
-    assert_scaled_sum_headroom,
+    scaled_sum_acc_type,
     sql_cents,
 )
 from odl_etl_spark.io.sources import cached_count, load_table, register_views
@@ -57,23 +58,39 @@ from odl_etl_spark.queries.base import spec
 # unchanged. Values are unchanged off .5 boundaries; every column this
 # fragment scales is on a decimal grid whose scaled form never lands
 # near .5 (round-12 exposure audit).
-_REV_C = sql_cents("l_extendedprice * (1 - l_discount)", 4)
+def _rev_c(acc: str = "BIGINT") -> str:
+    return sql_cents("l_extendedprice * (1 - l_discount)", 4, acc)
 
 
-def _guard_lineitem_money(spark, sf_dir, what: str, scale: int = 10**4) -> None:
-    """Worst case: one group sees every lineitem row at max |charge|·scale
-    (``LINEITEM_CHARGE_BOUND`` — the derived TPC-H bound, ADVICE r12 #3,
-    which also dominates every smaller money term these queries scale).
+_REV_C = _rev_c()
+
+
+def _money_acc(
+    spark,
+    sf_dir,
+    what: str,
+    scale: int = 10**4,
+    table: str = "lineitem",
+    bound: float = LINEITEM_CHARGE_BOUND,
+) -> str:
+    """Accumulator type for this query's scaled money SUMs: 'BIGINT'
+    while the all-rows-in-one-group worst case (``bound``·``scale`` per
+    row × the table count) provably fits int64, 'DECIMAL(38,0)' past it
+    (functions/numeric.scaled_sum_acc_type — margin 2 on a HARD bound,
+    the measured ×5 decimal tax deferred to the last exact row). This
+    replaced the round-12 refusal guard: at lake scale the money keys
+    now RUN on the widened exact accumulator instead of raising.
+    ``LINEITEM_CHARGE_BOUND`` dominates every smaller lineitem money
+    term these queries scale. Quantity-only sums (q18/q20 HAVING,
+    bound 50/row, margin-2 ceiling ~9e16 rows) stay BIGINT by
+    arithmetic and are not routed through this.
 
     The row count comes from the process-lifetime ``cached_count`` —
     one count() job per (sf_dir, table), not one per guarded query
     build (VERDICT r5 #5)."""
-    assert_scaled_sum_headroom(
-        cached_count(spark, sf_dir, "lineitem"),
-        LINEITEM_CHARGE_BOUND,
-        scale,
-        what=what,
-    )
+    return scaled_sum_acc_type(
+        cached_count(spark, sf_dir, table), bound, scale, what=what
+    ).upper()
 
 
 _Q2_SQL = f"""
@@ -149,8 +166,9 @@ def sql_tpch_q4(spark, sf_dir):
     return spark.sql(_Q4_SQL)
 
 
-_Q6_SQL = """
-    SELECT SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000 + 0.5) AS BIGINT))
+def _q6_sql(acc: str = "BIGINT") -> str:
+    return f"""
+    SELECT SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000 + 0.5) AS {acc}))
              / 1e4 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -158,6 +176,9 @@ _Q6_SQL = """
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
 """
+
+
+_Q6_SQL = _q6_sql()
 
 
 @spec(
@@ -173,17 +194,18 @@ _Q6_SQL = """
     ),
 )
 def sql_tpch_q6(spark, sf_dir):
-    _guard_lineitem_money(spark, sf_dir, "sql_tpch_q6 revenue")
+    acc = _money_acc(spark, sf_dir, "sql_tpch_q6 revenue")
     register_views(spark, sf_dir)
-    return spark.sql(_Q6_SQL)
+    return spark.sql(_q6_sql(acc))
 
 
-_Q7_SQL = f"""
+def _q7_sql(acc: str = "BIGINT") -> str:
+    return f"""
     SELECT supp_nation, cust_nation, l_year, SUM(volume_c) / 1e4 AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
-             {_REV_C} AS volume_c
+             {_rev_c(acc)} AS volume_c
       FROM supplier, lineitem, orders, customer, nation n1, nation n2
       WHERE s_suppkey = l_suppkey
         AND o_orderkey = l_orderkey
@@ -200,6 +222,9 @@ _Q7_SQL = f"""
 """
 
 
+_Q7_SQL = _q7_sql()
+
+
 @spec(
     "sql_tpch_q7",
     _Q7_SQL,
@@ -213,17 +238,19 @@ _Q7_SQL = f"""
     ),
 )
 def sql_tpch_q7(spark, sf_dir):
+    acc = _money_acc(spark, sf_dir, "sql_tpch_q7 revenue")
     register_views(spark, sf_dir)
-    return spark.sql(_Q7_SQL)
+    return spark.sql(_q7_sql(acc))
 
 
-_Q8_SQL = f"""
+def _q8_sql(acc: str = "BIGINT") -> str:
+    return f"""
     SELECT o_year,
            ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume_c ELSE 0 END)
                  * 1e0 / SUM(volume_c) * 10000) / 10000 AS mkt_share
     FROM (
       SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
-             {_REV_C} AS volume_c,
+             {_rev_c(acc)} AS volume_c,
              n2.n_name AS nation
       FROM part, supplier, lineitem, orders, customer, nation n1,
            nation n2, region
@@ -244,6 +271,9 @@ _Q8_SQL = f"""
 """
 
 
+_Q8_SQL = _q8_sql()
+
+
 @spec(
     "sql_tpch_q8",
     _Q8_SQL,
@@ -257,19 +287,20 @@ _Q8_SQL = f"""
     ),
 )
 def sql_tpch_q8(spark, sf_dir):
-    _guard_lineitem_money(spark, sf_dir, "sql_tpch_q8 volume")
+    acc = _money_acc(spark, sf_dir, "sql_tpch_q8 volume")
     register_views(spark, sf_dir)
-    return spark.sql(_Q8_SQL)
+    return spark.sql(_q8_sql(acc))
 
 
-_Q9_SQL = """
+def _q9_sql(acc: str = "BIGINT") -> str:
+    return f"""
     SELECT nation, o_year, SUM(amount_c) / 1e4 AS sum_profit
     FROM (
       SELECT n_name AS nation,
              CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
              CAST(FLOOR((l_extendedprice * (1 - l_discount)
                          - 0.1 * p_retailprice * l_quantity) * 10000 + 0.5)
-                  AS BIGINT) AS amount_c
+                  AS {acc}) AS amount_c
       FROM part, supplier, lineitem, orders, nation
       WHERE s_suppkey = l_suppkey
         AND p_partkey = l_partkey
@@ -280,6 +311,9 @@ _Q9_SQL = """
     GROUP BY nation, o_year
     ORDER BY nation, o_year DESC
 """
+
+
+_Q9_SQL = _q9_sql()
 
 
 @spec(
@@ -296,28 +330,32 @@ _Q9_SQL = """
     ),
 )
 def sql_tpch_q9(spark, sf_dir):
-    _guard_lineitem_money(spark, sf_dir, "sql_tpch_q9 amount")
+    acc = _money_acc(spark, sf_dir, "sql_tpch_q9 amount")
     register_views(spark, sf_dir)
-    return spark.sql(_Q9_SQL)
+    return spark.sql(_q9_sql(acc))
 
 
 _Q11_NATIONS = "('NATION_5', 'NATION_6', 'NATION_7')"
 
-_Q11_SQL = f"""
-    SELECT l_partkey AS ps_partkey, SUM({_REV_C}) / 1e4 AS value
+def _q11_sql(acc: str = "BIGINT") -> str:
+    return f"""
+    SELECT l_partkey AS ps_partkey, SUM({_rev_c(acc)}) / 1e4 AS value
     FROM lineitem, supplier, nation
     WHERE l_suppkey = s_suppkey
       AND s_nationkey = n_nationkey
       AND n_name IN {_Q11_NATIONS}
     GROUP BY l_partkey
-    HAVING SUM({_REV_C}) > (
-        SELECT SUM({_REV_C}) * 1e-3
+    HAVING SUM({_rev_c(acc)}) > (
+        SELECT SUM({_rev_c(acc)}) * 1e-3
         FROM lineitem, supplier, nation
         WHERE l_suppkey = s_suppkey
           AND s_nationkey = n_nationkey
           AND n_name IN {_Q11_NATIONS})
     ORDER BY value DESC, ps_partkey
 """
+
+
+_Q11_SQL = _q11_sql()
 
 
 @spec(
@@ -334,9 +372,9 @@ _Q11_SQL = f"""
     ),
 )
 def sql_tpch_q11(spark, sf_dir):
-    _guard_lineitem_money(spark, sf_dir, "sql_tpch_q11 value")
+    acc = _money_acc(spark, sf_dir, "sql_tpch_q11 value")
     register_views(spark, sf_dir)
-    return spark.sql(_Q11_SQL)
+    return spark.sql(_q11_sql(acc))
 
 
 _Q12_SQL = """
@@ -401,18 +439,22 @@ def sql_tpch_q13(spark, sf_dir):
     return spark.sql(_Q13_SQL)
 
 
-_Q14_SQL = f"""
+def _q14_sql(acc: str = "BIGINT") -> str:
+    return f"""
     SELECT ROUND(1e2
                  * SUM(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END)
                  / SUM(rev_c) * 10000) / 10000 AS promo_revenue
     FROM (
-      SELECT p_type, {_REV_C} AS rev_c
+      SELECT p_type, {_rev_c(acc)} AS rev_c
       FROM lineitem, part
       WHERE l_partkey = p_partkey
         AND l_shipdate >= TIMESTAMP '1997-09-01'
         AND l_shipdate < TIMESTAMP '1997-10-01'
     ) priced
 """
+
+
+_Q14_SQL = _q14_sql()
 
 
 @spec(
@@ -428,15 +470,16 @@ _Q14_SQL = f"""
     ),
 )
 def sql_tpch_q14(spark, sf_dir):
-    _guard_lineitem_money(spark, sf_dir, "sql_tpch_q14 revenue")
+    acc = _money_acc(spark, sf_dir, "sql_tpch_q14 revenue")
     register_views(spark, sf_dir)
-    return spark.sql(_Q14_SQL)
+    return spark.sql(_q14_sql(acc))
 
 
-_Q15_SQL = f"""
+def _q15_sql(acc: str = "BIGINT") -> str:
+    return f"""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             SUM({_REV_C}) AS total_revenue_c
+             SUM({_rev_c(acc)}) AS total_revenue_c
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -448,6 +491,9 @@ _Q15_SQL = f"""
       AND total_revenue_c = (SELECT MAX(total_revenue_c) FROM revenue)
     ORDER BY s_suppkey
 """
+
+
+_Q15_SQL = _q15_sql()
 
 
 @spec(
@@ -463,8 +509,9 @@ _Q15_SQL = f"""
     ),
 )
 def sql_tpch_q15(spark, sf_dir):
+    acc = _money_acc(spark, sf_dir, "sql_tpch_q15 total_revenue")
     register_views(spark, sf_dir)
-    return spark.sql(_Q15_SQL)
+    return spark.sql(_q15_sql(acc))
 
 
 _Q16_SQL = """
@@ -499,8 +546,9 @@ def sql_tpch_q16(spark, sf_dir):
     return spark.sql(_Q16_SQL)
 
 
-_Q17_SQL = """
-    SELECT SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) / 1e2 / 7.0
+def _q17_sql(acc: str = "BIGINT") -> str:
+    return f"""
+    SELECT SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS {acc})) / 1e2 / 7.0
              AS avg_yearly
     FROM lineitem, part
     WHERE p_partkey = l_partkey
@@ -510,6 +558,9 @@ _Q17_SQL = """
             FROM lineitem l2
             WHERE l2.l_partkey = p_partkey)
 """
+
+
+_Q17_SQL = _q17_sql()
 
 
 @spec(
@@ -525,13 +576,14 @@ _Q17_SQL = """
     ),
 )
 def sql_tpch_q17(spark, sf_dir):
-    _guard_lineitem_money(spark, sf_dir, "sql_tpch_q17 revenue", scale=10**2)
+    acc = _money_acc(spark, sf_dir, "sql_tpch_q17 revenue", scale=10**2)
     register_views(spark, sf_dir)
-    return spark.sql(_Q17_SQL)
+    return spark.sql(_q17_sql(acc))
 
 
-_Q19_SQL = f"""
-    SELECT SUM({_REV_C}) / 1e4 AS revenue
+def _q19_sql(acc: str = "BIGINT") -> str:
+    return f"""
+    SELECT SUM({_rev_c(acc)}) / 1e4 AS revenue
     FROM lineitem, part
     WHERE p_partkey = l_partkey
       AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
@@ -541,6 +593,9 @@ _Q19_SQL = f"""
         OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
             AND l_quantity >= 20 AND l_quantity <= 30))
 """
+
+
+_Q19_SQL = _q19_sql()
 
 
 @spec(
@@ -557,9 +612,9 @@ _Q19_SQL = f"""
     ),
 )
 def sql_tpch_q19(spark, sf_dir):
-    _guard_lineitem_money(spark, sf_dir, "sql_tpch_q19 revenue")
+    acc = _money_acc(spark, sf_dir, "sql_tpch_q19 revenue")
     register_views(spark, sf_dir)
-    return spark.sql(_Q19_SQL)
+    return spark.sql(_q19_sql(acc))
 
 
 _Q20_SQL = """
@@ -640,16 +695,17 @@ def sql_tpch_q21(spark, sf_dir):
     return spark.sql(_Q21_SQL)
 
 
-_Q22_SQL = """
+def _q22_sql(acc: str = "BIGINT") -> str:
+    return f"""
     SELECT cntrycode, COUNT(*) AS numcust,
-           SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) / 1e2 AS totacctbal
+           SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS {acc})) / 1e2 AS totacctbal
     FROM (
       SELECT SUBSTR(c_name, 15, 2) AS cntrycode, c_acctbal
       FROM customer
       WHERE SUBSTR(c_name, 15, 2)
               IN ('00', '02', '04', '06', '08', '10', '12')
         AND c_acctbal > (
-              SELECT SUM(CAST(FLOOR(c2.c_acctbal * 100 + 0.5) AS BIGINT)) * 1e0
+              SELECT SUM(CAST(FLOOR(c2.c_acctbal * 100 + 0.5) AS {acc})) * 1e0
                      / COUNT(*) / 100
               FROM customer c2
               WHERE c2.c_acctbal > 0)
@@ -661,6 +717,9 @@ _Q22_SQL = """
     GROUP BY cntrycode
     ORDER BY cntrycode
 """
+
+
+_Q22_SQL = _q22_sql()
 
 
 @spec(
@@ -678,8 +737,16 @@ _Q22_SQL = """
     ),
 )
 def sql_tpch_q22(spark, sf_dir):
+    acc = _money_acc(
+        spark,
+        sf_dir,
+        "sql_tpch_q22 totacctbal",
+        scale=10**2,
+        table="customer",
+        bound=CUSTOMER_ACCTBAL_BOUND,
+    )
     register_views(spark, sf_dir)
-    return spark.sql(_Q22_SQL)
+    return spark.sql(_q22_sql(acc))
 
 
 SPECS = [

@@ -17,19 +17,57 @@ from odl_etl_spark.functions.numeric import assert_scaled_sum_headroom
 # key -> (module holding the imported guard name, substring of `what`)
 _GUARDED = {
     "emb_covariance": ("odl_etl_spark.queries.ml", "emb_covariance"),
-    "agg_weighted": ("odl_etl_spark.queries.extras", "agg_weighted"),
     "text_entropy": ("odl_etl_spark.queries.extras", "text_entropy"),
     "emb_norm_stats": ("odl_etl_spark.queries.extras", "emb_norm_stats"),
     "graph_pagerank": ("odl_etl_spark.functions.numeric", "pagerank"),
 }
 
-# Q1-shape keys route through scaled_sum_acc_type instead (they widen to
-# DECIMAL(38,0) past the ceiling rather than refusing); both import it
-# from functions.numeric at call time, so the patch point is the module.
+# Money-sum keys route through scaled_sum_acc_type instead (they widen
+# to DECIMAL(38,0) past the ceiling rather than refusing). Patch point:
+# agg_groupby imports it from functions.numeric at call time; the
+# extras/tpch/sources helpers bound it at module import.
 _WIDENED = {
-    "agg_groupby": "agg_groupby sum_charge",
-    "sql_tpch_q1": "sql_tpch_q1 sum_charge",
+    "agg_groupby": ("odl_etl_spark.functions.numeric", "agg_groupby sum_charge"),
+    "sql_tpch_q1": ("odl_etl_spark.queries.extras", "sql_tpch_q1 sum_charge"),
+    "sql_tpch_q9": ("odl_etl_spark.queries.tpch", "sql_tpch_q9 amount"),
+    "agg_weighted": ("odl_etl_spark.queries.extras", "agg_weighted price*qty"),
+    # io.sources.money_acc imports the helper lazily at call time, so
+    # the patch point for keys routed through it is functions.numeric.
+    "agg_rollup": ("odl_etl_spark.functions.numeric", "agg_rollup total"),
 }
+
+# Every key whose scaled money SUM can outgrow int64 below ~1e12 rows
+# now widens; the sweep proves widened == narrow bit-for-bit (rows AND
+# schema) at a scale where int64 is provably exact. Sink/stream
+# composites carry the same sum_cents acc plumbing but are exercised by
+# their own roundtrip tests (building them twice here would double
+# their scratch-layout writes for no added numeric coverage).
+_WIDEN_SWEEP = [
+    "sql_tpch_q1",
+    "sql_tpch_q3",
+    "sql_tpch_q5",
+    "sql_tpch_q6",
+    "sql_tpch_q7",
+    "sql_tpch_q8",
+    "sql_tpch_q9",
+    "sql_tpch_q10",
+    "sql_tpch_q11",
+    "sql_tpch_q14",
+    "sql_tpch_q15",
+    "sql_tpch_q17",
+    "sql_tpch_q19",
+    "sql_tpch_q22",
+    "agg_groupby",
+    "agg_rollup",
+    "agg_cube",
+    "agg_histogram",
+    "agg_grouping_id",
+    "agg_weighted",
+    "events_rfm",
+    "orders_backlog",
+    "join_broadcast",
+    "join_multiway",
+]
 
 
 @pytest.mark.parametrize("key", sorted(_GUARDED))
@@ -54,42 +92,58 @@ def test_scaled_bigint_key_calls_headroom_guard(key, spark, sf_dir, monkeypatch)
 
 @pytest.mark.parametrize("key", sorted(_WIDENED))
 def test_widening_key_calls_acc_type_guard(key, spark, sf_dir, monkeypatch):
-    import odl_etl_spark.functions.numeric as num
+    import importlib
+
+    from odl_etl_spark.functions.numeric import scaled_sum_acc_type
     from odl_etl_spark.queries import registry
 
+    mod = importlib.import_module(_WIDENED[key][0])
     calls: list[str] = []
-    real = num.scaled_sum_acc_type
 
-    def recording(n_rows, max_abs_term, scale, margin=8, what="scaled sum"):
+    def recording(n_rows, max_abs_term, scale, margin=2, what="scaled sum"):
         calls.append(what)
-        return real(n_rows, max_abs_term, scale, margin, what)
+        return scaled_sum_acc_type(n_rows, max_abs_term, scale, margin, what)
 
-    monkeypatch.setattr(num, "scaled_sum_acc_type", recording)
+    monkeypatch.setattr(mod, "scaled_sum_acc_type", recording)
     df = registry()[key].build(spark, sf_dir)
-    assert any(_WIDENED[key] in w for w in calls), (key, calls)
+    assert any(_WIDENED[key][1] in w for w in calls), (key, calls)
     assert df.columns
 
 
-@pytest.mark.parametrize("key", sorted(_WIDENED))
-def test_widened_decimal_sums_match_bigint_exactly(key, spark, sf_dir, monkeypatch):
+def test_widened_decimal_sums_match_bigint_exactly(spark, sf_dir):
     """Force the DECIMAL(38,0) branch by shrinking the ceiling and prove
-    the widened plan returns the bit-identical rows AND schema as the
+    every widened plan returns the bit-identical rows AND schema as its
     int64 plan at a scale where int64 is provably exact — the widening
-    changes only the accumulator's range, never a value."""
+    changes only the accumulator's range, never a value. (Module-global
+    patch, not monkeypatch per key: scaled_sum_needs_decimal reads
+    numeric.INT64_MAX at call time wherever the helper was imported.)"""
     import odl_etl_spark.functions.numeric as num
     from odl_etl_spark.queries import registry
 
-    q = registry()[key]
-    narrow = q.build(spark, sf_dir)
-    keys = ["l_returnflag", "l_linestatus"]
-    narrow_rows = [tuple(r) for r in narrow.orderBy(*keys).collect()]
-    narrow_schema = narrow.schema
-
-    monkeypatch.setattr(num, "INT64_MAX", 10**9)  # any sf trips this
-    assert num.scaled_sum_needs_decimal(6000, 113_400.0, 10**6)
-    wide = q.build(spark, sf_dir)
-    assert wide.schema == narrow_schema
-    assert [tuple(r) for r in wide.orderBy(*keys).collect()] == narrow_rows
+    specs = registry()
+    orig = num.INT64_MAX
+    failures = []
+    for key in _WIDEN_SWEEP:
+        q = specs[key]
+        narrow = q.build(spark, sf_dir)
+        narrow_rows = sorted((tuple(r) for r in narrow.collect()), key=repr)
+        narrow_schema = narrow.schema
+        try:
+            num.INT64_MAX = 10**9  # any sf trips the widening
+            assert num.scaled_sum_needs_decimal(6000, 113_400.0, 10**6)
+            wide = q.build(spark, sf_dir)
+            wide_schema = wide.schema
+            wide_rows = sorted((tuple(r) for r in wide.collect()), key=repr)
+        finally:
+            num.INT64_MAX = orig
+        if wide_schema != narrow_schema:
+            failures.append((key, "schema", wide_schema, narrow_schema))
+        elif wide_rows != narrow_rows:
+            diff = [
+                (a, b) for a, b in zip(narrow_rows, wide_rows) if a != b
+            ][:3]
+            failures.append((key, "values", diff))
+    assert not failures, failures
 
 
 # --- synthetic overflow per family -----------------------------------
