@@ -87,7 +87,14 @@ def jaccard_pairs(
     Shuffles on the shingle (postings join) then on the pair (agg) — both
     standard hash exchanges, AQE handles residual skew.
     """
-    sh = _shingle_postings(df, id_col, text_col, n, max_df)
+    # Materialize the capped postings: they feed THREE consumers (the
+    # per-doc size agg and both self-join sides), and the upstream
+    # shingle pipeline (tokenize + per-doc window) is the dominant cost
+    # — the sf10p probe measured the un-materialized key at ~3x one
+    # shingle pass (138s vs a 40s postings build; SCALING.md round-13
+    # 100x probe). Postings are max_df-capped, so the materialized set
+    # is O(corpus) rows of two longs — small relative to the text.
+    sh = materialize(_shingle_postings(df, id_col, text_col, n, max_df))
     cnt = sh.groupBy("_id").agg(F.count("*").alias("_n"))
     # Postings are O(total shingles) — never a broadcast candidate; the
     # hint makes the intended hash exchange explicit (the planner's size
@@ -520,23 +527,56 @@ def simhash_pairs(
     max_hamming: int = 6,
     token_hash: str = "xxhash64",
 ) -> DataFrame:
-    """SimHash near-dup pairs: block on 16-bit signature chunks (a pair
-    within hamming distance 3 of a 64-bit hash must agree on at least one
-    of 4 chunks — pigeonhole, so recall is EXACT for max_hamming <= 3;
-    larger distances keep 4-chunk blocking as a high-recall heuristic),
-    verify with exact hamming distance."""
-    sig = simhash_signatures(df, id_col, text_col, token_hash=token_hash)
+    """SimHash near-dup pairs with exact-recall blocking, verified with
+    exact hamming distance.
+
+    Blocking (max_hamming <= 3, the registry contract): Manku-style
+    COMBINATION blocking — the 64 bits split into 6 blocks (4x11 + 2x10
+    bits); <= 3 bit errors damage <= 3 blocks, so >= 3 blocks survive
+    intact and the pair agrees exactly on at least one of the C(6,3)=20
+    3-block combinations (pigeonhole — recall EXACT, same as the old
+    4x16-bit chunk scheme). The win is the key width: agreement is now
+    on ~32 packed bits instead of 16, so the random/skew collision term
+    of bucket joins drops by the joint distribution of three blocks.
+    Measured at the 100x probe corpus (500k docs): 46.2M candidate
+    pairs under 16-bit chunks — growing x12.5 per data decade, the
+    n^2/2^16 term — vs the combination scheme's near-linear candidate
+    volume (SCALING.md round-13). Cost: 20 exploded rows/doc vs 4, two
+    longs each — linear and tiny next to the quadratic it removes.
+
+    For max_hamming in (4, 6] the old 4-chunk blocking is kept as the
+    documented high-recall heuristic (6 blocks choose 3 only guarantees
+    recall through hamming 3); beyond 6 the pigeonhole gives nothing.
+    The signature table is materialized: it feeds both self-join sides,
+    and the vote pipeline (tokenize + 64 partial-combined sums) is the
+    expensive stage."""
+    sig = materialize(
+        simhash_signatures(df, id_col, text_col, token_hash=token_hash)
+    )
+    if max_hamming <= 3:
+        from itertools import combinations
+
+        # (offset, width) for 6 blocks covering all 64 bits.
+        bounds = [(0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10)]
+        blocks = [
+            F.shiftrightunsigned(F.col("_sig"), off).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+            for off, width in bounds
+        ]
+        packed = [
+            blocks[i] * F.lit(1 << 22) + blocks[j] * F.lit(1 << 11) + blocks[k]
+            for i, j, k in combinations(range(6), 3)
+        ]
+    else:
+        packed = [
+            F.shiftrightunsigned(F.col("_sig"), k * 16).bitwiseAND(F.lit(0xFFFF))
+            for k in range(4)
+        ]
     chunks = sig.select(
         "_id",
         "_sig",
-        F.posexplode(
-            F.array(
-                *[
-                    (F.shiftrightunsigned(F.col("_sig"), k * 16).bitwiseAND(F.lit(0xFFFF)))
-                    for k in range(4)
-                ]
-            )
-        ).alias("_chunk", "_ch"),
+        F.posexplode(F.array(*packed)).alias("_chunk", "_ch"),
     )
     # Chunk rows are O(4N) — same shuffle-not-broadcast posture as the
     # minhash banded self-join (SCALING.md).
