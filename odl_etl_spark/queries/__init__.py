@@ -115,7 +115,16 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
     Round-14 PRE-VERIFICATION (round-13 end, the standing pattern):
     the exact 50-key candidate list above ran values+types green
     through the plain-session type-aware replica at round-13 HEAD —
-    see the round-13 SCALING.md entry for the run log."""
+    see the round-13 SCALING.md entry for the run log. RE-VERIFIED
+    after the same-round widening/LSH changes (commits 0856144,
+    89c9c99): every touched key (the 30 widened-money keys, the 3
+    dedup keys), the full 50-key r13 window, and the r14 head
+    (widening + late_drop + all 17 _REV_C-migrated + recursive_cte +
+    q18 + q20) each ran plain-session values+types green at the
+    post-change HEAD, alongside tri-scale 190/190×3 selfchecks and a
+    451-passed full pytest — the SQL text the oracle hashes is
+    byte-identical (checked programmatically); only the Spark-side
+    accumulator widens, and only past driver scales."""
     first = [
         # --- the 38 remaining r9-stale keys, registry order ---
         "join_skew_salted",
