@@ -75,6 +75,24 @@ def test_simhash_finds_planted_near_dups(spark, sf_dir):
         assert recall >= 0.5, f"simhash recall {recall} over {len(exact)} pairs"
 
 
+def test_simhash_blocking_width_is_the_scale_property(spark, sf_dir):
+    """Exact-recall equality CANNOT catch a revert from combination
+    blocking to 16-bit chunks — both block schemes are exact for
+    hamming <= 3; what differs is the candidate volume (n²/2^16 vs the
+    joint three-block distribution; the 100× probe measured 46.2M vs
+    near-linear candidates at 500k docs — SCALING.md round-13). Pin
+    the STRUCTURE: hamming<=3 plans must explode C(6,3)=20 combination
+    keys per doc, the >3 fallback keeps the 4 legacy chunks."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan3 = simhash_pairs(docs, "doc_id", "text", max_hamming=3)._jdf.queryExecution().analyzed().toString()
+    plan6 = simhash_pairs(docs, "doc_id", "text", max_hamming=6)._jdf.queryExecution().analyzed().toString()
+    # posexplode over an N-element array appears as N array entries;
+    # count the per-side explode width via the packed-key multipliers
+    # (1 << 22 = 4194304 appears once per combination table).
+    assert plan3.count("4194304") >= 20 * 2, "combination blocking missing"
+    assert "4194304" not in plan6 and plan6.count("65535") >= 4 * 2
+
+
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     probe = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
