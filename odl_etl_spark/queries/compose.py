@@ -430,6 +430,21 @@ def dedup_cluster_incremental(spark, sf_dir):
     )
 
 
+def era_split(o, cut):
+    """Partition ``o`` into (era1, era2) on ``o_orderdate < cut``.
+
+    NULL orderdates belong to era 2, matching the oracle CASE's ELSE
+    branch (ADVICE r13 #1). The two predicates are an exact partition:
+    every row lands in exactly one era regardless of NULLs — pinned by
+    tests/test_compose.py::test_era_split_partitions_nulls_to_era2.
+    """
+    era1 = o.where(F.col("o_orderdate") < cut)
+    era2 = o.where(F.col("o_orderdate").isNull() | (F.col("o_orderdate") >= cut))
+    return era1, era2
+
+
+
+
 @spec(
     "scan_schema_evolution",
     """
@@ -478,15 +493,14 @@ def scan_schema_evolution(spark, sf_dir):
     shutil.rmtree(out, ignore_errors=True)
     o = load_table(spark, sf_dir, "orders")
     cut = F.lit("1996-01-01").cast("timestamp")
+    era1, era2 = era_split(o, cut)
     (
-        o.where(F.col("o_orderdate") < cut)
-        .select("o_orderkey", "o_totalprice")
+        era1.select("o_orderkey", "o_totalprice")
         .write.mode("overwrite")
         .parquet(os.path.join(out, "era=1"))
     )
     (
-        o.where(~(F.col("o_orderdate") < cut))
-        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        era2.select("o_orderkey", "o_totalprice", "o_orderpriority")
         .write.mode("overwrite")
         .parquet(os.path.join(out, "era=2"))
     )
@@ -574,15 +588,14 @@ def scan_schema_widening(spark, sf_dir):
             "the era-1 narrow-type emulation would wrap; regenerate the "
             "era layout with a wider historical type"
         )
+    era1, era2 = era_split(o, cut)
     (
-        o.where(F.col("o_orderdate") < cut)
-        .select(F.col("o_custkey").cast("int").alias("cust"), "o_totalprice")
+        era1.select(F.col("o_custkey").cast("int").alias("cust"), "o_totalprice")
         .write.mode("overwrite")
         .parquet(os.path.join(out, "era=1"))
     )
     (
-        o.where(~(F.col("o_orderdate") < cut))
-        .select(F.col("o_custkey").cast("bigint").alias("cust"), "o_totalprice")
+        era2.select(F.col("o_custkey").cast("bigint").alias("cust"), "o_totalprice")
         .write.mode("overwrite")
         .parquet(os.path.join(out, "era=2"))
     )

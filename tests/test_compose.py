@@ -117,3 +117,28 @@ def test_curation_funnel_no_cartesian_all_joins_hashed(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_era_split_partitions_nulls_to_era2(spark):
+    # ADVICE r13 #1: `~(col < cut)` silently dropped NULL orderdates
+    # from BOTH eras. era_split must be an exact partition — every row
+    # in exactly one era — with NULLs in era 2, matching the oracle's
+    # CASE WHEN date < cut THEN 1 ELSE 2.
+    import datetime
+
+    from odl_etl_spark.queries.compose import era_split
+
+    rows = [
+        (1, datetime.datetime(1995, 6, 1)),
+        (2, datetime.datetime(1996, 6, 1)),
+        (3, None),
+        (4, datetime.datetime(1996, 1, 1)),  # boundary: >= cut -> era 2
+    ]
+    o = spark.createDataFrame(rows, "o_orderkey int, o_orderdate timestamp")
+    cut = F.lit("1996-01-01").cast("timestamp")
+    era1, era2 = era_split(o, cut)
+    k1 = {r.o_orderkey for r in era1.collect()}
+    k2 = {r.o_orderkey for r in era2.collect()}
+    assert k1 == {1}
+    assert k2 == {2, 3, 4}
+    assert k1 | k2 == {1, 2, 3, 4} and not (k1 & k2)
