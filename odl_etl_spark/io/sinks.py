@@ -20,6 +20,44 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+_SINK_GC_DONE = False
+_SINK_GC_MAX_AGE_S = 2 * 24 * 3600  # two days — far past any live session
+
+
+def _gc_stale_sink_dirs(root: str, keep_app_id: str) -> None:
+    """Prune sibling sessions' leftover scratch dirs (ADVICE r13 #2).
+
+    Session-keyed dirs stopped self-overwriting when the fixed path
+    went per-applicationId, so dead sessions leave full table copies
+    under the shared root forever. On first use per process, remove
+    siblings untouched for >2 days; a dir that old cannot belong to a
+    live session (builders rewrite their dir on every run, refreshing
+    mtime), so this never races a concurrent reader — the hazard the
+    per-session keying exists to prevent. Best-effort: GC failure
+    must never fail the write that triggered it.
+    """
+    import os
+    import shutil
+    import time
+
+    global _SINK_GC_DONE
+    if _SINK_GC_DONE:
+        return
+    _SINK_GC_DONE = True
+    try:
+        now = time.time()
+        for entry in os.scandir(root):
+            if not entry.is_dir() or entry.name.endswith(keep_app_id):
+                continue
+            try:
+                if now - entry.stat().st_mtime > _SINK_GC_MAX_AGE_S:
+                    shutil.rmtree(entry.path, ignore_errors=True)
+            except OSError:
+                continue
+    except OSError:
+        pass
+
+
 def session_sink_dir(spark: SparkSession, name: str) -> str:
     """Session-unique scratch sink dir for roundtrip/sink query keys.
 
@@ -29,15 +67,16 @@ def session_sink_dir(spark: SparkSession, name: str) -> str:
     session rewrote the layout). applicationId is stable within a
     session — each builder still overwrites its own dir on re-run —
     and unique across sessions, so concurrent sessions cannot collide.
+    Stale sibling-session dirs are pruned once per process on first
+    use (``_gc_stale_sink_dirs``).
     """
     import os
     import tempfile
 
-    return os.path.join(
-        tempfile.gettempdir(),
-        "odl_etl_spark_sink",
-        f"{name}_{spark.sparkContext.applicationId}",
-    )
+    root = os.path.join(tempfile.gettempdir(), "odl_etl_spark_sink")
+    app_id = spark.sparkContext.applicationId
+    _gc_stale_sink_dirs(root, app_id)
+    return os.path.join(root, f"{name}_{app_id}")
 
 
 def partitioned_write(

@@ -332,3 +332,38 @@ def test_cached_count_runs_one_job_per_table(spark, sf_dir):
     assert sources.cached_count(spark, sf_dir, "region") == n1 + 41
     sources._COUNT_CACHE.clear()
     assert sources.cached_count(spark, sf_dir, "region") == n1
+
+
+def test_sink_dir_gc_prunes_only_stale_foreign_sessions(tmp_path):
+    # ADVICE r13 #2: per-applicationId scratch dirs never self-overwrite,
+    # so dead sessions accumulate full table copies. GC removes siblings
+    # untouched >2 days; keeps the live session's dirs (any age) and any
+    # recently-touched foreign dir (could be a live concurrent session).
+    import os
+    import time
+
+    from odl_etl_spark.io import sinks
+
+    root = tmp_path / "odl_etl_spark_sink"
+    root.mkdir()
+    old_foreign = root / "orders_app-dead"
+    new_foreign = root / "orders_app-live"
+    own_old = root / "orders_app-me"
+    for d in (old_foreign, new_foreign, own_old):
+        d.mkdir()
+        (d / "part-0.parquet").write_bytes(b"x")
+    stale = time.time() - 3 * 24 * 3600
+    os.utime(old_foreign, (stale, stale))
+    os.utime(own_old, (stale, stale))
+
+    sinks._SINK_GC_DONE = False
+    sinks._gc_stale_sink_dirs(str(root), "app-me")
+    assert not old_foreign.exists()
+    assert new_foreign.exists()
+    assert own_old.exists()
+
+    # once-per-process: a second call is a no-op even for newly-stale dirs
+    os.utime(new_foreign, (stale, stale))
+    sinks._gc_stale_sink_dirs(str(root), "app-me")
+    assert new_foreign.exists()
+    sinks._SINK_GC_DONE = False
