@@ -118,3 +118,20 @@ def test_struct_map_nests_recurse_to_the_leaf():
     )
     # Unmapped scalars still fall through raw (= always skew).
     assert duck_type_canon("BIT") == "bit"
+
+
+def test_quoted_struct_field_names_canonicalize_symmetrically():
+    # ADVICE r13 #3: a quoted duck identifier with mixed case and an
+    # embedded space mis-split at the first space ('"MY FIELD" VARCHAR'
+    # -> name '"MY', type 'FIELD" VARCHAR') and reported a false skew.
+    # Both sides must land on the same lowercase name:type form.
+    assert (
+        duck_type_canon('STRUCT("My Field" VARCHAR, n BIGINT)')
+        == spark_type_canon("struct<My Field:string,n:bigint>")
+    )
+    # multi-word TYPE still splits at the first space after the name
+    got = duck_type_canon("STRUCT(ts TIMESTAMP WITH TIME ZONE)")
+    assert got.startswith("struct<ts:")
+    # escaped "" inside a quoted name, and a comma inside quotes must
+    # not split the field list
+    assert duck_type_canon('STRUCT("a""b,c" INTEGER)') == 'struct<a"b,c:integer>'
