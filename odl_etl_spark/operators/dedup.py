@@ -520,6 +520,38 @@ def simhash_signatures(
     return votes.select("_id", sig.alias("_sig"))
 
 
+def simhash_block_keys(sig_col, max_hamming: int) -> list:
+    """Blocking keys for one simhash signature column.
+
+    max_hamming <= 3: Manku-style combination blocking — 64 bits split
+    into 6 blocks (4x11 + 2x10), one packed key per C(6,3)=20 3-block
+    combination (pigeonhole: <= 3 bit errors leave >= 3 blocks intact,
+    so recall is EXACT). Otherwise the legacy 4x16-bit chunk scheme.
+    The ARITY (20 vs 4 keys/doc) is the scale property — it is what
+    drops the bucket-join collision term from n^2/2^16 to the joint
+    three-block distribution — and is pinned structurally by
+    tests/test_operators.py::test_simhash_blocking_width_is_the_scale_property
+    (ADVICE r13 #4: via this helper's arity + shiftrightunsigned plan
+    counts, not literal constant renderings)."""
+    if max_hamming <= 3:
+        from itertools import combinations
+
+        # (offset, width) for 6 blocks covering all 64 bits.
+        bounds = [(0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10)]
+        blocks = [
+            F.shiftrightunsigned(sig_col, off).bitwiseAND(F.lit((1 << width) - 1))
+            for off, width in bounds
+        ]
+        return [
+            blocks[i] * F.lit(1 << 22) + blocks[j] * F.lit(1 << 11) + blocks[k]
+            for i, j, k in combinations(range(6), 3)
+        ]
+    return [
+        F.shiftrightunsigned(sig_col, k * 16).bitwiseAND(F.lit(0xFFFF))
+        for k in range(4)
+    ]
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -553,26 +585,7 @@ def simhash_pairs(
     sig = materialize(
         simhash_signatures(df, id_col, text_col, token_hash=token_hash)
     )
-    if max_hamming <= 3:
-        from itertools import combinations
-
-        # (offset, width) for 6 blocks covering all 64 bits.
-        bounds = [(0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10)]
-        blocks = [
-            F.shiftrightunsigned(F.col("_sig"), off).bitwiseAND(
-                F.lit((1 << width) - 1)
-            )
-            for off, width in bounds
-        ]
-        packed = [
-            blocks[i] * F.lit(1 << 22) + blocks[j] * F.lit(1 << 11) + blocks[k]
-            for i, j, k in combinations(range(6), 3)
-        ]
-    else:
-        packed = [
-            F.shiftrightunsigned(F.col("_sig"), k * 16).bitwiseAND(F.lit(0xFFFF))
-            for k in range(4)
-        ]
+    packed = simhash_block_keys(F.col("_sig"), max_hamming)
     chunks = sig.select(
         "_id",
         "_sig",

@@ -83,14 +83,25 @@ def test_simhash_blocking_width_is_the_scale_property(spark, sf_dir):
     near-linear candidates at 500k docs — SCALING.md round-13). Pin
     the STRUCTURE: hamming<=3 plans must explode C(6,3)=20 combination
     keys per doc, the >3 fallback keeps the 4 legacy chunks."""
+    from pyspark.sql import functions as F
+
+    from odl_etl_spark.operators.dedup import simhash_block_keys
+
+    # Primary pin (rendering-independent, ADVICE r13 #4): the posexplode
+    # arity IS the property — 20 combination keys/doc for hamming<=3,
+    # the 4 legacy chunks above it.
+    assert len(simhash_block_keys(F.col("s"), 3)) == 20
+    assert len(simhash_block_keys(F.col("s"), 6)) == 4
+    # Secondary pin: the pairs plan really routes through the helper on
+    # both self-join sides. Each combination key inlines 3 block
+    # extractions (shiftrightunsigned) -> 60/side vs the legacy 4/side;
+    # count the FUNCTION NAME, not literal constant renderings, which a
+    # Spark version may format differently.
     docs = load_table(spark, sf_dir, "documents")
     plan3 = simhash_pairs(docs, "doc_id", "text", max_hamming=3)._jdf.queryExecution().analyzed().toString()
     plan6 = simhash_pairs(docs, "doc_id", "text", max_hamming=6)._jdf.queryExecution().analyzed().toString()
-    # posexplode over an N-element array appears as N array entries;
-    # count the per-side explode width via the packed-key multipliers
-    # (1 << 22 = 4194304 appears once per combination table).
-    assert plan3.count("4194304") >= 20 * 2, "combination blocking missing"
-    assert "4194304" not in plan6 and plan6.count("65535") >= 4 * 2
+    assert plan3.count("shiftrightunsigned") >= 40, "combination blocking missing"
+    assert 8 <= plan6.count("shiftrightunsigned") < 20, "legacy 4-chunk path changed"
 
 
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
