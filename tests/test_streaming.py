@@ -1930,7 +1930,15 @@ def test_stream_late_drop_matches_true_watermark_stream(spark, sf_dir, tmp_path)
     at the admitted-set totals, and rows Spark's watermark dropped are
     exactly the rows the key's drop rule excluded. This ties the
     driver-oracled batch form to the real late-data mechanism, the
-    same loop stream_running_totals closes for stateful state."""
+    same loop stream_running_totals closes for stateful state.
+
+    ADVICE r13 #5: the key's ROWS ... 2 PRECEDING drop rule encodes the
+    MEASURED two-batch watermark publication lag — a micro-batch
+    implementation detail, not a documented contract. THIS test is the
+    guard: it replays the true stream, so a Spark upgrade that applies
+    watermark stats one batch earlier fails it loudly. On a Spark
+    version bump, re-derive the lag with tools/wm_lag_probe.py before
+    touching the key."""
     from pyspark.sql import Window as W
 
     from odl_etl_spark.queries import registry
