@@ -68,120 +68,100 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
     the first 50 registry keys per round, so ordering is the verification
     budget.
 
-    Round-13 window (VERDICT.md r12, Next-round #1 — the rotation
-    pre-written in round 12, applied AFTER confirming the 50-row r12
-    driver window landed 50/50 green, with one sanctioned amendment
-    for this round's `_REV_C` floor-quantizer migration, below): the
-    38 remaining r9-stale keys in registry order (`join_skew_salted`
-    … `basket_pairs`), then `scan_schema_evolution` (round-12
-    addition, first driver row), then the 7 round-12 changed-plan
-    keys whose latest rows predate the cents/floor migration
-    (`agg_groupby`, `join_broadcast`, `join_multiway`, `sql_tpch_q3`,
-    `sink_orc_roundtrip`, `sink_upsert`, `sql_tpch_q1`;
-    `agg_histogram` is the 8th but already sits in the r9 set), then
-    the fill: `sink_partitioned` (round-12 migrated, r10 row),
-    `project_hash_email` (oldest-r10), and — the amendment —
-    `events_rfm` + `orders_backlog` instead of the pre-written
-    `filter_pred`/`scalar_string`: VERDICT r12 #4 sanctioned the
-    one-round `_REV_C` migration (ROUND→floor cents, ~19 keys, done
-    this round), and those two keys' r12 rows attest the OLD plan —
-    swapping them in keeps every changed-plan key attested within
-    two windows, while the two displaced UNCHANGED r10 keys simply
-    join the r14 head. The full 50-key window re-ran values+types
-    green through the plain-session replica at round-13 HEAD after
-    the migration (the 38 r9 keys + fill were also pre-verified
-    twice at round-12 HEAD, commit 44163c9).
+    Round-14 window (the rotation pre-written in round 13 and applied
+    AFTER the 50-row r13 driver window landed 50/50 green; priority
+    order per the judge's r13 pre-write — never-checked first rows,
+    then changed-plan attestation, then stale rotation):
 
-    Round-14 rotation plan (do NOT apply before the r13 driver run
-    lands; after it, staleness is 46 r10 / 42 r11 / 50 r12 / 50 r13
-    + 2 never-checked round-13 additions): priority order per the
-    judge's own r13 pre-write (never-checked first rows, then
-    changed-plan attestation, then stale rotation) —
-    `scan_schema_widening` + `stream_late_drop` (first driver rows)
-    FIRST, then the 13 r10 `_REV_C`-migrated keys (`sql_tpch_q6/q7/
-    q8/q9/q10/q11/q14/q15/q17/q19/q20/q22`, `sql_recursive_cte`),
-    then the 4 r11-stale migrated keys (`sql_tpch_q5`,
-    `sql_tpch_q18`, `agg_grouping_id`, `agg_weighted`), then
-    unchanged r10-stale keys in registry order to fill exactly 50
-    (31 of the 33 — the last two in registry order wait for r15).
-    After r14, every driver row attests the floor-quantizer plan and
-    no ROUND-flavor money row remains. Cadence note: at 190 keys /
-    50 checked per round the FLOOR on max staleness is 4 rounds
-    (190/50 = 3.8), so the two deferred unchanged keys reading 5
-    rounds at r15 is the rotation arithmetic, not a protocol slip;
-    additive budget stays ≤2/round precisely so this floor does not
-    creep.
+      1. `scan_schema_widening` + `stream_late_drop` — the round-13
+         additive keys, first driver rows.
+      2. The 13 r10-stale `_REV_C`-migrated keys (`sql_tpch_q6/q7/q8/
+         q9/q10/q11/q14/q15/q17/q19/q20/q22`, `sql_recursive_cte`) —
+         their r10 rows attest the pre-floor-quantizer plan.
+      3. The 4 r11-stale migrated keys (`sql_tpch_q5`, `sql_tpch_q18`,
+         `agg_grouping_id`, `agg_weighted`).
+      4. Fill to exactly 50 with unchanged r10-stale keys in registry
+         order (31 of the 33; the last two in registry order —
+         `sql_tpch_q21`, `corpus_curation_funnel` — wait for r15, the
+         190/50 staleness-floor arithmetic, not a protocol slip).
 
-    Round-14 PRE-VERIFICATION (round-13 end, the standing pattern):
-    the exact 50-key candidate list above ran values+types green
-    through the plain-session type-aware replica at round-13 HEAD —
-    see the round-13 SCALING.md entry for the run log. RE-VERIFIED
-    after the same-round widening/LSH changes (commits 0856144,
-    89c9c99): every touched key (the 30 widened-money keys, the 3
-    dedup keys), the full 50-key r13 window, and the r14 head
-    (widening + late_drop + all 17 _REV_C-migrated + recursive_cte +
-    q18 + q20) each ran plain-session values+types green at the
-    post-change HEAD, alongside tri-scale 190/190×3 selfchecks and a
-    451-passed full pytest — the SQL text the oracle hashes is
-    byte-identical (checked programmatically); only the Spark-side
-    accumulator widens, and only past driver scales."""
+    After this window lands, every driver row attests the
+    floor-quantizer plan and no ROUND-flavor money row remains; the
+    fill also happens to carry the three round-13 re-planned dedup
+    keys (`dedup_ngram_jaccard` materialized postings, `dedup_simhash`
+    combination blocking, `dedup_near` — null A/B, unchanged), so the
+    LSH re-plans get driver attestation too.
+
+    Round-15 rotation plan (do NOT apply before the r14 driver run
+    lands; after it, staleness is 2 r10-stale remainders + 44 r11 +
+    48 r12, rest r13/r14): `sql_tpch_q21` + `corpus_curation_funnel`
+    first, then the round-14 additive keys (`scan_dpp_join`,
+    `table_profile` — first driver rows), then the 2 round-14
+    changed-plan keys whose latest rows predate the era_split NULL
+    fix (`scan_schema_evolution` r13, `scan_schema_widening` r14 —
+    the fix landed BEFORE this window ran, so widening's r14 row
+    already attests it; only evolution needs re-attesting), then
+    r11-stale keys in registry order to fill 50.
+
+    Round-14 PRE-VERIFICATION (standing pattern): the exact 50-key
+    list below ran values+types green through the plain-session
+    type-aware replica at round-14 HEAD after the era_split/simhash
+    refactors — run log in SCALING.md round-14."""
     first = [
-        # --- the 38 remaining r9-stale keys, registry order ---
-        "join_skew_salted",
-        "join_bucketed",
-        "join_fuzzy_match",
-        "join_lateral_topk",
-        "agg_sketch_partial",
-        "agg_exact_median",
-        "agg_histogram",  # also round-12 changed-plan (cents/floor)
-        "agg_mode",
-        "text_quality",
-        "text_langid",
-        "text_fingerprint",
-        "dedup_exact",
-        "dedup_fingerprint",
-        "text_tfidf",
-        "text_pii_scrub",
-        "text_winnow_fp",
-        "sample_stratified",
-        "text_bpe_count",
-        "corpus_filter",
-        "text_chunk",
-        "sim_topk",
-        "sim_pairwise_label",
-        "sim_ann_ivf",
-        "emb_centroid_dist",
-        "sim_knn_join",
-        "sim_ann_hyperplane",
-        "sim_ann_pq",
-        "sim_ann_hyperplane_probe",
-        "sim_ann_pq_probe",
-        "sim_ann_ivf_probe",
-        "multimodal_audio_features",
-        "emb_kmeans",
-        "sketch_countmin",
-        "text_bm25",
-        "corpus_split",
-        "text_unigram_ppl",
-        "dedup_span_coverage",
-        "basket_pairs",
-        # --- round-12 addition: first driver row ---
-        "scan_schema_evolution",
-        # --- round-12 changed-plan keys (cents/floor migration) whose
-        #     latest rows predate the change ---
-        "agg_groupby",
-        "join_broadcast",
-        "join_multiway",
-        "sql_tpch_q3",
-        "sink_orc_roundtrip",
-        "sink_upsert",
-        "sql_tpch_q1",
-        # --- fill to 50: r12-migrated + oldest-r10, then the two
-        #     round-13 _REV_C-migrated keys with r12 old-plan rows ---
-        "sink_partitioned",
-        "project_hash_email",
-        "events_rfm",
-        "orders_backlog",
+        # --- round-13 additions: first driver rows ---
+        "scan_schema_widening",
+        "stream_late_drop",
+        # --- 13 r10-stale _REV_C-migrated keys ---
+        "sql_tpch_q6",
+        "sql_tpch_q7",
+        "sql_tpch_q8",
+        "sql_tpch_q9",
+        "sql_tpch_q10",
+        "sql_tpch_q11",
+        "sql_tpch_q14",
+        "sql_tpch_q15",
+        "sql_tpch_q17",
+        "sql_tpch_q19",
+        "sql_tpch_q20",
+        "sql_tpch_q22",
+        "sql_recursive_cte",
+        # --- 4 r11-stale migrated keys ---
+        "sql_tpch_q5",
+        "sql_tpch_q18",
+        "agg_grouping_id",
+        "agg_weighted",
+        # --- fill: unchanged r10-stale keys, registry order (31/33) ---
+        "filter_pred",
+        "scalar_string",
+        "scalar_date",
+        "scalar_math",
+        "scalar_json",
+        "unpivot_long",
+        "agg_corr",
+        "timeseries_gapfill",
+        "win_first_last",
+        "stream_cdc_apply",
+        "events_funnel",
+        "events_retention",
+        "events_transitions",
+        "events_sessionize",
+        "events_attribution",
+        "scd2_point_in_time",
+        "dedup_ngram_jaccard",
+        "dedup_near",
+        "dedup_simhash",
+        "dedup_cluster",
+        "dedup_url",
+        "text_keywords",
+        "dedup_embedding",
+        "ann_index_ingest_probe",
+        "graph_triangles",
+        "sketch_bloom",
+        "sql_tpch_q2",
+        "sql_tpch_q4",
+        "sql_tpch_q12",
+        "sql_tpch_q13",
+        "sql_tpch_q16",
     ]
     assert len(first) == 50, len(first)
     assert all(k in out for k in first), sorted(set(first) - set(out))

@@ -723,6 +723,185 @@ def stream_late_drop(spark, sf_dir):
     )
 
 
+@spec(
+    "scan_dpp_join",
+    """
+    SELECT n_name, COUNT(*) AS n,
+           SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 1e2 AS total
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    doc=(
+        "Dynamic partition pruning, driver-oracled (round-14 addition): "
+        "the star-schema scan-reduction mechanism that was the one "
+        "Catalyst scale feature not yet demonstrated as a key. The "
+        "builder lays the fact out AS a lake would — orders partitioned "
+        "by customer nation (25 partitions) — then answers a region "
+        "query where the partition predicate is NOT in the query text: "
+        "it exists only through the nation-dim join (region filter -> 5 "
+        "of 25 nations). Catalyst inserts a dynamicpruning#N subquery "
+        "on the fact scan's PartitionFilters, so the fact read touches "
+        "only the 5 matching partition directories — pinned by "
+        "tests/test_plans.py::test_dpp_join_prunes_fact_partitions. "
+        "Money rides floor-cents with the shared accumulator-widening "
+        "policy. At 100 TB this is THE star-join mechanism: a 100 TB "
+        "fact partitioned by date/tenant reads only the dim-selected "
+        "slice, turning a full scan into a few-percent scan with zero "
+        "query-text changes; broadcast of the 5-row dim is provably "
+        "bounded (nation is a 25-row table)."
+    ),
+)
+def scan_dpp_join(spark, sf_dir):
+    import os
+    import shutil
+
+    from odl_etl_spark.functions.numeric import sum_cents
+
+    out = session_sink_dir(spark, "orders_by_nation")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    # Lay the fact out partitioned by nation (idempotent per session:
+    # the layout depends only on sf_dir, so reuse it when present).
+    marker = os.path.join(out, "_LAYOUT_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        (
+            o.join(c, o["o_custkey"] == c["c_custkey"])
+            .select(
+                c["c_nationkey"].alias("nationkey"),
+                o["o_orderkey"],
+                o["o_totalprice"],
+            )
+            .write.mode("overwrite")
+            .partitionBy("nationkey")
+            .parquet(out)
+        )
+        open(marker, "w").close()
+    fact = spark.read.parquet(out)
+    dim = (
+        n.join(r, n["n_regionkey"] == r["r_regionkey"])
+        .where(F.col("r_name") == "ASIA")
+        .select(
+            # Partition-dir values read back as INT; cast the DIM side so
+            # the fact's partition attribute stays bare (a cast on the
+            # fact side would block the pruning rule).
+            n["n_nationkey"].cast(fact.schema["nationkey"].dataType).alias("nk"),
+            n["n_name"],
+        )
+    )
+    return (
+        fact.join(F.broadcast(dim), fact["nationkey"] == dim["nk"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n"),
+            sum_cents(
+                F.col("o_totalprice"),
+                acc=money_acc(
+                    spark, sf_dir, "orders", ORDERS_TOTALPRICE_BOUND, 10**2,
+                    what="scan_dpp_join total",
+                ),
+            ).alias("total"),
+        )
+    )
+
+
+@spec(
+    "table_profile",
+    """
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             COUNT(o_orderstatus) AS c1, COUNT(DISTINCT o_orderstatus) AS d1,
+             MIN(o_orderstatus) AS mn1, MAX(o_orderstatus) AS mx1,
+             COUNT(o_orderpriority) AS c2, COUNT(DISTINCT o_orderpriority) AS d2,
+             MIN(o_orderpriority) AS mn2, MAX(o_orderpriority) AS mx2,
+             COUNT(o_custkey) AS c3, COUNT(DISTINCT o_custkey) AS d3,
+             CAST(MIN(o_custkey) AS VARCHAR) AS mn3,
+             CAST(MAX(o_custkey) AS VARCHAR) AS mx3,
+             COUNT(o_totalprice) AS c4, COUNT(DISTINCT o_totalprice) AS d4,
+             CAST(CAST(FLOOR(MIN(o_totalprice) * 100 + 0.5) AS BIGINT) AS VARCHAR) AS mn4,
+             CAST(CAST(FLOOR(MAX(o_totalprice) * 100 + 0.5) AS BIGINT) AS VARCHAR) AS mx4,
+             COUNT(o_orderdate) AS c5, COUNT(DISTINCT o_orderdate) AS d5,
+             CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR) AS mn5,
+             CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR) AS mx5
+      FROM orders
+    )
+    SELECT 'o_orderstatus' AS column_name, n, n - c1 AS n_null, d1 AS ndv,
+           mn1 AS min_val, mx1 AS max_val FROM s
+    UNION ALL
+    SELECT 'o_orderpriority', n, n - c2, d2, mn2, mx2 FROM s
+    UNION ALL
+    SELECT 'o_custkey', n, n - c3, d3, mn3, mx3 FROM s
+    UNION ALL
+    SELECT 'o_totalprice_cents', n, n - c4, d4, mn4, mx4 FROM s
+    UNION ALL
+    SELECT 'o_orderdate', n, n - c5, d5, mn5, mx5 FROM s
+    """,
+    doc=(
+        "One-pass table profile, driver-oracled (round-14 addition): the "
+        "crawler-stats capability (the reference's Glue crawler computes "
+        "per-column stats as it reinfers — manage_crawler_targets.py:8-9) "
+        "as ONE wide aggregate over orders: per column count/nulls/exact "
+        "NDV/min/max, then a 5-row stack() to long form. Strings compare "
+        "binary on both engines; money min/max is emitted as floor-cents "
+        "strings (deterministic cross-engine text, monotonic so "
+        "MIN/MAX commute with the quantizer); dates as DATE strings. "
+        "Multiple exact COUNT(DISTINCT)s plan as ONE Expand(x5) + "
+        "two-phase aggregate — one scan, one shuffle of pre-aggregated "
+        "partials, no per-column passes. At 100 TB exact multi-NDV is "
+        "the one expensive term (Expand multiplies shuffle rows by the "
+        "profiled-column count); production profiling swaps "
+        "approx_count_distinct (HLL, map-side-combined) for the exact "
+        "NDVs with zero shape change — documented here as the scale "
+        "path, kept exact in the key so the DuckDB oracle is "
+        "bit-comparable."
+    ),
+)
+def table_profile(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    date_col = F.col("o_orderdate").cast("date")
+    cents4 = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    agg = o.agg(
+        F.count("*").alias("n"),
+        F.count("o_orderstatus").alias("c1"),
+        F.countDistinct("o_orderstatus").alias("d1"),
+        F.min("o_orderstatus").alias("mn1"),
+        F.max("o_orderstatus").alias("mx1"),
+        F.count("o_orderpriority").alias("c2"),
+        F.countDistinct("o_orderpriority").alias("d2"),
+        F.min("o_orderpriority").alias("mn2"),
+        F.max("o_orderpriority").alias("mx2"),
+        F.count("o_custkey").alias("c3"),
+        F.countDistinct("o_custkey").alias("d3"),
+        F.min("o_custkey").cast("string").alias("mn3"),
+        F.max("o_custkey").cast("string").alias("mx3"),
+        F.count("o_totalprice").alias("c4"),
+        F.countDistinct("o_totalprice").alias("d4"),
+        F.min(cents4).cast("string").alias("mn4"),
+        F.max(cents4).cast("string").alias("mx4"),
+        F.count("o_orderdate").alias("c5"),
+        F.countDistinct("o_orderdate").alias("d5"),
+        F.min(date_col).cast("string").alias("mn5"),
+        F.max(date_col).cast("string").alias("mx5"),
+    )
+    return agg.select(
+        F.expr(
+            """stack(5,
+                 'o_orderstatus',      n, n - c1, d1, mn1, mx1,
+                 'o_orderpriority',    n, n - c2, d2, mn2, mx2,
+                 'o_custkey',          n, n - c3, d3, mn3, mx3,
+                 'o_totalprice_cents', n, n - c4, d4, mn4, mx4,
+                 'o_orderdate',        n, n - c5, d5, mn5, mx5)
+               AS (column_name, n, n_null, ndv, min_val, max_val)"""
+        )
+    )
+
+
 SPECS = [
     sim_rerank_pipeline,
     dedup_stream_ingest,
@@ -733,4 +912,7 @@ SPECS = [
     # first driver rows take r14/r15 fill slots per _check_order).
     scan_schema_widening,
     stream_late_drop,
+    # Round-14 additions (first driver rows slotted r15 per _check_order).
+    scan_dpp_join,
+    table_profile,
 ]

@@ -827,3 +827,32 @@ def test_schema_widening_scan_stays_vectorized(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "cust:bigint" in plan.replace(" ", "") or "cust: bigint" in plan
     assert "HashAggregate" in plan
+
+
+def test_dpp_join_prunes_fact_partitions(spark, sf_dir):
+    # Round-14 addition: the fact scan must carry a dynamic-pruning
+    # PartitionFilter fed by the broadcast dim join — the partition
+    # predicate exists ONLY through the join (query text never names
+    # nations), so its presence proves Catalyst inserted the DPP
+    # subquery. The dim side must be the broadcast build side.
+    df = build("scan_dpp_join", spark, sf_dir)
+    plan = explain_str(df)
+    assert "dynamicpruningexpression" in plan, "DPP filter missing from fact scan"
+    assert "BroadcastHashJoin" in plan
+    # The fact scan reads only the aggregate's columns (projection
+    # pushdown) — not the whole orders row.
+    m = re.search(r"ReadSchema: struct<o_totalprice:double>", plan)
+    assert m, "fact scan reads more than the projected column"
+
+
+def test_table_profile_is_one_pass(spark, sf_dir):
+    # 5 exact COUNT(DISTINCT)s + min/max/count must plan as ONE scan
+    # and ONE Expand (the multi-distinct rewrite), not per-column
+    # passes; the long form comes from stack() (Generate), no extra
+    # shuffle beyond the two-phase aggregate.
+    df = build("table_profile", spark, sf_dir)
+    plan = explain_str(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert plan.count("Expand") >= 1
+    assert "Generate" in plan
+    assert shuffle_count(df) <= 2  # partial->distinct-agg->final
