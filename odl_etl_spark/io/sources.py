@@ -220,6 +220,26 @@ def csv_source(
     return reader.csv(path)
 
 
+def xml_source(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """XML scan (Spark 4 native ``xml`` data source; round-14 addition —
+    the fourth interchange format after CSV/JSONL/ORC). Same explicit-
+    schema rule as csv_source: inference is an extra full pass. The
+    reference's feed-shaped inputs (RSS/Atom-style exports) are exactly
+    this source's shape; rowTag selects the repeated element."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
 def json_source(
     spark: SparkSession, path: str, schema: str | None = None, **options: str
 ) -> DataFrame:

@@ -367,3 +367,30 @@ def test_sink_dir_gc_prunes_only_stale_foreign_sessions(tmp_path):
     sinks._gc_stale_sink_dirs(str(root), "app-me")
     assert new_foreign.exists()
     sinks._SINK_GC_DONE = False
+
+
+def test_xml_roundtrip_explicit_schema(spark, sf_dir, tmp_path):
+    # Round-14: the fourth interchange format. Write a projection of
+    # nation as XML (native Spark 4 xml source), re-read with an
+    # explicit schema (no inference pass), and require a lossless
+    # roundtrip — same contract as the csv/jsonl/orc roundtrip keys.
+    from odl_etl_spark.io.sources import load_table, xml_source
+
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    out = str(tmp_path / "nation_xml")
+    (
+        n.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .save(out)
+    )
+    back = xml_source(
+        spark,
+        out,
+        row_tag="nation",
+        schema="n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT",
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, n.collect()))
