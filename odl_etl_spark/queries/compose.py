@@ -761,7 +761,14 @@ def scan_dpp_join(spark, sf_dir):
 
     from odl_etl_spark.functions.numeric import sum_cents
 
-    out = session_sink_dir(spark, "orders_by_nation")
+    # Keyed by sf_dir as well as session: one session may build this key
+    # at several scales (selfcheck sweeps, scale probes), and the layout
+    # marker below must never let one scale's fact serve another's query.
+    import re as _re
+
+    out = session_sink_dir(
+        spark, "orders_by_nation_" + _re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir)
+    )
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")

@@ -142,3 +142,16 @@ def test_era_split_partitions_nulls_to_era2(spark):
     assert k1 == {1}
     assert k2 == {2, 3, 4}
     assert k1 | k2 == {1, 2, 3, 4} and not (k1 & k2)
+
+
+def test_dpp_layout_is_keyed_by_scale(spark):
+    # The cached fact layout (_LAYOUT_COMPLETE marker) must be keyed by
+    # sf_dir: one session builds this key at several scales (selfcheck
+    # sweeps, scale probes), and reusing another scale's fact would
+    # silently return that scale's answer.
+    from odl_etl_spark.queries import registry
+
+    fn = registry()["scan_dpp_join"].build
+    n1 = sum(r["n"] for r in fn(spark, "/root/testdata/sf0.001").collect())
+    n2 = sum(r["n"] for r in fn(spark, "/root/testdata/sf0.01").collect())
+    assert n1 != n2

@@ -50,7 +50,12 @@ FACTOR = 10
 # not one ratio — and its 60M-row lineitem sits PAST the int64 money-sum
 # ceiling (~10.17M rows), so the Q1-shape keys exercise the DECIMAL(38,0)
 # widened accumulators live rather than only in a forced unit test.
-TAG_FACTORS = {"sf0.1p": 1, "sf1p": FACTOR, "sf10p": 100}
+# sf100p (round 14) adds the THIRD decade — 1000x sf0.1, a 600M-row
+# lineitem / 150M-row orders — for the shuffle-light flagship keys, so
+# the scaling exponent comes from a 3-point fit. Core tables only (the
+# text/embedding corpora are not probed at this tag).
+TAG_FACTORS = {"sf0.1p": 1, "sf1p": FACTOR, "sf10p": 100, "sf100p": 1000}
+CORE_TABLES = "region nation customer supplier part orders lineitem".split()
 
 # The ten heaviest keys of BENCH_r04 (sum-of-medians ranking).
 PROBE_KEYS = [
@@ -138,8 +143,14 @@ def _replicate(spark: SparkSession, name: str, factor: int) -> DataFrame:
     return out.drop("_r")
 
 
-def gen(spark: SparkSession, tags: list[str] | None = None) -> None:
-    tables = "region nation customer supplier part orders lineitem events documents embeddings".split()
+def gen(
+    spark: SparkSession,
+    tags: list[str] | None = None,
+    tables: list[str] | None = None,
+) -> None:
+    tables = tables or (
+        "region nation customer supplier part orders lineitem events documents embeddings".split()
+    )
     for tag in tags or ["sf0.1p", "sf1p"]:
         factor = TAG_FACTORS[tag]
         out_dir = os.path.join(ROOT, tag)
@@ -231,6 +242,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     if cmd == "gen":
         gen(spark, sys.argv[2].split(",") if len(sys.argv) > 2 else None)
+    elif cmd == "gen-core":
+        # Third-decade tag: core TPC-H tables only (disk + time bound).
+        gen(spark, sys.argv[2].split(",") if len(sys.argv) > 2 else ["sf100p"],
+            tables=CORE_TABLES)
     elif cmd == "run":
         keys = sys.argv[2].split(",") if len(sys.argv) > 2 else None
         tags = tuple(sys.argv[3].split(",")) if len(sys.argv) > 3 else ("sf0.1p", "sf1p")
