@@ -88,7 +88,12 @@ def _replicate(spark: SparkSession, name: str, factor: int) -> DataFrame:
     if name in ("region", "nation"):
         return df  # fixed dims: never scaled, like TPC-H
     reps = spark.range(factor).select(F.col("id").alias("_r"))
-    out = df.crossJoin(F.broadcast(reps))
+    # Fan the base table out BEFORE the multiplying crossJoin: the sf0.1
+    # sources are single-split files, so without this the factor-N
+    # output writes through ~1-3 tasks (observed: the sf100p lineitem
+    # write crawling on 3 of 32 cores). Shuffling the BASE rows is
+    # cheap (<=11 MB); the replicated rows never shuffle.
+    out = df.repartition(32).crossJoin(F.broadcast(reps))
     r = F.col("_r")
     for k in _KEY_COLS.get(name, []):
         out = out.withColumn(k, (F.col(k) * factor + r).cast("bigint"))
