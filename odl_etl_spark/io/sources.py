@@ -141,8 +141,19 @@ def cached_max(spark: SparkSession, sf_dir: str, name: str, column: str):
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every fixture table as a temp view for ``spark.sql``."""
+    """Register every PRESENT fixture table as a temp view for
+    ``spark.sql``. Probe datasets may carry only the core tables (e.g.
+    the sf100p third-decade dir generates TPC-H tables but not the
+    text/embedding corpora); a query touching an absent table still
+    fails loudly — at analysis, with TABLE_OR_VIEW_NOT_FOUND — instead
+    of this registration failing for tables the query never reads."""
     for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            # Drop any view left by a previous sf_dir in this session:
+            # a stale view would silently serve ANOTHER scale's data.
+            spark.catalog.dropTempView(name)
+            continue
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 

@@ -394,3 +394,25 @@ def test_xml_roundtrip_explicit_schema(spark, sf_dir, tmp_path):
         schema="n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT",
     )
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, n.collect()))
+
+
+def test_register_views_skips_absent_tables_and_drops_stale_views(spark, sf_dir, tmp_path):
+    # Core-only probe dirs lack the text/embedding corpora; registration
+    # must skip them (queries that never touch those tables run fine)
+    # AND drop a view left by a previous sf_dir, which would otherwise
+    # silently serve another scale's data.
+    import shutil as _sh
+
+    from odl_etl_spark.io.sources import register_views
+
+    core = tmp_path / "core_only"
+    core.mkdir()
+    for t in ("region", "nation", "lineitem"):
+        _sh.copy(os.path.join(sf_dir, f"{t}.parquet"), core / f"{t}.parquet")
+
+    register_views(spark, sf_dir)  # full fixture: events view exists
+    assert spark.catalog.tableExists("events")
+    register_views(spark, str(core))
+    assert spark.catalog.tableExists("lineitem")
+    assert not spark.catalog.tableExists("events"), "stale cross-scale view survived"
+    register_views(spark, sf_dir)  # restore for sibling tests
