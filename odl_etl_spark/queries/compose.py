@@ -873,29 +873,43 @@ def table_profile(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     date_col = F.col("o_orderdate").cast("date")
     cents4 = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
-    agg = o.agg(
+    # Two sibling aggregates, crossJoined as 1-row x 1-row:
+    #  * counts+NDVs — all-bigint buffers, so the multi-distinct
+    #    Expand(x6) plans as HashAggregate;
+    #  * min/max — string buffers force SortAggregate, but with NO
+    #    grouping keys it needs no Sort.
+    # One combined aggregate put min(string)/max(string) INTO the
+    # Expand query, and min/max(string) buffers are not fixed-width, so
+    # the whole 6x-expanded fact fell to SortAggregate — a full sort of
+    # 6N wide rows, measured 116.8 s at sf10p (15M orders) vs ~30 s
+    # split (SCALING.md round-14). The split costs one extra
+    # column-pruned scan; the sort it removes grows n log n.
+    counts = o.agg(
         F.count("*").alias("n"),
         F.count("o_orderstatus").alias("c1"),
         F.countDistinct("o_orderstatus").alias("d1"),
-        F.min("o_orderstatus").alias("mn1"),
-        F.max("o_orderstatus").alias("mx1"),
         F.count("o_orderpriority").alias("c2"),
         F.countDistinct("o_orderpriority").alias("d2"),
-        F.min("o_orderpriority").alias("mn2"),
-        F.max("o_orderpriority").alias("mx2"),
         F.count("o_custkey").alias("c3"),
         F.countDistinct("o_custkey").alias("d3"),
-        F.min("o_custkey").cast("string").alias("mn3"),
-        F.max("o_custkey").cast("string").alias("mx3"),
         F.count("o_totalprice").alias("c4"),
         F.countDistinct("o_totalprice").alias("d4"),
-        F.min(cents4).cast("string").alias("mn4"),
-        F.max(cents4).cast("string").alias("mx4"),
         F.count("o_orderdate").alias("c5"),
         F.countDistinct("o_orderdate").alias("d5"),
+    )
+    ranges = o.agg(
+        F.min("o_orderstatus").alias("mn1"),
+        F.max("o_orderstatus").alias("mx1"),
+        F.min("o_orderpriority").alias("mn2"),
+        F.max("o_orderpriority").alias("mx2"),
+        F.min("o_custkey").cast("string").alias("mn3"),
+        F.max("o_custkey").cast("string").alias("mx3"),
+        F.min(cents4).cast("string").alias("mn4"),
+        F.max(cents4).cast("string").alias("mx4"),
         F.min(date_col).cast("string").alias("mn5"),
         F.max(date_col).cast("string").alias("mx5"),
     )
+    agg = counts.crossJoin(ranges)
     return agg.select(
         F.expr(
             """stack(5,

@@ -845,14 +845,19 @@ def test_dpp_join_prunes_fact_partitions(spark, sf_dir):
     assert m, "fact scan reads more than the projected column"
 
 
-def test_table_profile_is_one_pass(spark, sf_dir):
-    # 5 exact COUNT(DISTINCT)s + min/max/count must plan as ONE scan
-    # and ONE Expand (the multi-distinct rewrite), not per-column
-    # passes; the long form comes from stack() (Generate), no extra
-    # shuffle beyond the two-phase aggregate.
+def test_table_profile_expand_stays_hash_not_sort(spark, sf_dir):
+    # The 5 exact COUNT(DISTINCT)s ride ONE Expand whose aggregate must
+    # stay HASH-based: round-14 lesson — putting min(string)/max(string)
+    # into the same query gave every Expand aggregate a variable-width
+    # buffer, falling to SortAggregate = a full sort of the 6x-expanded
+    # fact (116.8 s vs ~30 s at sf10p). The min/max live in a sibling
+    # keyless aggregate (SortAggregate WITHOUT a Sort — no grouping
+    # keys), crossJoined 1-row x 1-row. Pin: no Sort operator anywhere,
+    # Expand present, exactly two column-pruned scans of orders.
     df = build("table_profile", spark, sf_dir)
     plan = explain_str(df)
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert plan.count("Expand") >= 1
     assert "Generate" in plan
-    assert shuffle_count(df) <= 2  # partial->distinct-agg->final
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 0, "Expand agg fell to sort"
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    assert shuffle_count(df) <= 3  # two partial->final aggs + distinct
