@@ -70,6 +70,11 @@ def main() -> None:
         # Driver testdata is one file per table; probe dirs (.scale/*) are
         # Spark-written parquet DIRECTORIES — glob their part files.
         p = os.path.join(sf_dir, t + ".parquet")
+        if not os.path.exists(p):
+            # Core-only probe dirs (sf100p) omit the text/embedding
+            # corpora; a key touching an absent table fails loudly at
+            # its own row instead of killing the whole sweep here.
+            continue
         if os.path.isdir(p):
             p = os.path.join(p, "*.parquet")
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
