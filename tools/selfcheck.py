@@ -63,6 +63,13 @@ def main() -> None:
         SparkSession.builder.master(f"local[{os.cpu_count() or 8}]")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.partitions", "32")
+        # Default 1g driver heap OOMs on the third-decade probe dirs
+        # (150M-row orders); the heap is an env knob so the standard
+        # tri-scale sweeps keep their small footprint.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"),
+        )
         .getOrCreate()
     )
     con = duckdb.connect()
