@@ -262,10 +262,22 @@ def pq_encode(ex: DataFrame, cent: DataFrame) -> DataFrame:
         .groupBy("vec_id", "sub", "code")
         .agg(F.sum(F.round(diff * diff * q).cast("bigint")).alias("d2q"))
     )
+    # Argmin as MIN over a packed bigint, NOT min(struct(d2q, code)):
+    # identical lexicographic semantics (code < PQ_CODES, so numeric
+    # order of d2q*PQ_CODES + code == (d2q, code) order; ties break to
+    # the smaller code exactly like the struct form and the oracle's
+    # ROW_NUMBER ORDER BY d2q, code), but the buffer stays fixed-width.
+    # A struct MIN buffer is variable-width, which disqualifies
+    # HashAggregate and sank BOTH phases of this agg to SortAggregate —
+    # a full sort of the N x PQ_CODES candidate rows (round-14 sort
+    # audit; the table_profile lesson generalized). Overflow-safe while
+    # d2q < 2^63/PQ_CODES ~ 5.8e17; the 1e9-scaled subspace distances
+    # of unit-ish embeddings sit around 1e10-1e12.
+    packed = F.col("d2q") * F.lit(PQ_CODES) + F.col("code")
     return (
         dist.groupBy("vec_id", "sub")
-        .agg(F.min(F.struct("d2q", "code")).alias("_m"))
-        .select("vec_id", "sub", F.col("_m.code").alias("code"))
+        .agg(F.min(packed).alias("_p"))
+        .select("vec_id", "sub", F.pmod("_p", F.lit(PQ_CODES)).alias("code"))
     )
 
 
