@@ -861,3 +861,14 @@ def test_table_profile_expand_stays_hash_not_sort(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 0, "Expand agg fell to sort"
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
     assert shuffle_count(df) <= 3  # two partial->final aggs + distinct
+
+
+def test_pq_encode_argmin_stays_hash_aggregated(spark, sf_dir):
+    # Round-14: min(struct(d2q, code)) demoted BOTH phases of the
+    # per-(vec,sub) argmin to SortAggregate (variable-width buffer) — a
+    # full sort of the N x PQ_CODES candidate rows. The packed-bigint
+    # MIN keeps it hash-aggregated; no grouped SortAggregate (and hence
+    # no aggregate-feeding Sort) may appear anywhere in the PQ plans.
+    for key in ("sim_ann_pq", "ann_index_pq_ingest_probe"):
+        plan = explain_str(build(key, spark, sf_dir))
+        assert "SortAggregate" not in plan, key
