@@ -96,12 +96,14 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
     lands; after it, staleness is 2 r10-stale remainders + 44 r11 +
     48 r12, rest r13/r14): `sql_tpch_q21` + `corpus_curation_funnel`
     first, then the round-14 additive keys (`scan_dpp_join`,
-    `table_profile` — first driver rows), then the 2 round-14
-    changed-plan keys whose latest rows predate the era_split NULL
-    fix (`scan_schema_evolution` r13, `scan_schema_widening` r14 —
-    the fix landed BEFORE this window ran, so widening's r14 row
-    already attests it; only evolution needs re-attesting), then
-    r11-stale keys in registry order to fill 50.
+    `table_profile` — first driver rows), then the round-14
+    changed-plan keys whose latest rows predate the round's fixes:
+    `scan_schema_evolution` (r13 row predates the era_split NULL fix;
+    `scan_schema_widening`'s r14 row already attests it) and the
+    three pq_encode consumers re-planned by the packed-bigint argmin
+    (`sim_ann_pq` r13, `sim_ann_pq_probe` r13,
+    `ann_index_pq_ingest_probe` r12 — all replica-green post-change),
+    then r11-stale keys in registry order to fill 50.
 
     Round-14 PRE-VERIFICATION (standing pattern): the exact 50-key
     list below ran values+types green through the plain-session
