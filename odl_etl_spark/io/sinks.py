@@ -30,10 +30,14 @@ def _gc_stale_sink_dirs(root: str, keep_app_id: str) -> None:
     Session-keyed dirs stopped self-overwriting when the fixed path
     went per-applicationId, so dead sessions leave full table copies
     under the shared root forever. On first use per process, remove
-    siblings untouched for >2 days; a dir that old cannot belong to a
-    live session (builders rewrite their dir on every run, refreshing
-    mtime), so this never races a concurrent reader — the hazard the
-    per-session keying exists to prevent. Best-effort: GC failure
+    siblings untouched for >2 days. Most builders rewrite their dir on
+    every run, refreshing mtime — but MARKER-CACHED layouts
+    (``scan_dpp_join``) deliberately never rewrite, so liveness is
+    judged by the NEWEST mtime among the dir and its sentinel files
+    (``_LAYOUT_COMPLETE`` / ``_STAGE_COMPLETE``), which marker-reusing
+    builders re-touch on every reuse (ADVICE r14 #1): a >2-day-old
+    session holding a still-in-use layout keeps it alive by touching,
+    so the GC never races a concurrent reader. Best-effort: GC failure
     must never fail the write that triggered it.
     """
     import os
@@ -50,7 +54,12 @@ def _gc_stale_sink_dirs(root: str, keep_app_id: str) -> None:
             if not entry.is_dir() or entry.name.endswith(keep_app_id):
                 continue
             try:
-                if now - entry.stat().st_mtime > _SINK_GC_MAX_AGE_S:
+                newest = entry.stat().st_mtime
+                for sentinel in ("_LAYOUT_COMPLETE", "_STAGE_COMPLETE"):
+                    p = os.path.join(entry.path, sentinel)
+                    if os.path.exists(p):
+                        newest = max(newest, os.stat(p).st_mtime)
+                if now - newest > _SINK_GC_MAX_AGE_S:
                     shutil.rmtree(entry.path, ignore_errors=True)
             except OSError:
                 continue

@@ -43,6 +43,10 @@ PQ_SUBS = 8  # number of subspaces
 PQ_SUB_DIM = 8  # dims per subspace (64-dim vectors / PQ_SUBS)
 PQ_CODES = 16
 PQ_Q = 1000000000  # BIGINT quantization scale shared with emb_pq_codebook
+# Largest quantized distance whose packed form d2q*PQ_CODES + code (code
+# < PQ_CODES) is guaranteed to fit a signed 64-bit int. pq_encode raises
+# past this instead of silently wrapping (ADVICE r14 #4).
+_PQ_PACK_BOUND = ((1 << 63) - PQ_CODES) // PQ_CODES
 # Shortlist contract (ADVICE r6): re-rank pool = min(ceil(frac*n), R_MAX).
 PQ_POOL_FRAC = 0.25
 PQ_R_MAX = 4096
@@ -271,9 +275,30 @@ def pq_encode(ex: DataFrame, cent: DataFrame) -> DataFrame:
     # HashAggregate and sank BOTH phases of this agg to SortAggregate —
     # a full sort of the N x PQ_CODES candidate rows (round-14 sort
     # audit; the table_profile lesson generalized). Overflow-safe while
-    # d2q < 2^63/PQ_CODES ~ 5.8e17; the 1e9-scaled subspace distances
-    # of unit-ish embeddings sit around 1e10-1e12.
-    packed = F.col("d2q") * F.lit(PQ_CODES) + F.col("code")
+    # d2q < (2^63-PQ_CODES)/PQ_CODES ~ 5.8e17; the 1e9-scaled subspace
+    # distances of unit-ish embeddings sit around 1e10-1e12. The
+    # precondition is ENFORCED, not assumed (ADVICE r14 #4): if inputs
+    # or PQ_Q ever push d2q past the bound, the packed value would wrap
+    # negative and MIN would silently return a wrong code — instead the
+    # guard raises at the first offending row. One codegen'd CASE per
+    # candidate row; buffer stays bigint, so HashAggregate is preserved
+    # (pinned by test_pq_encode_argmin_stays_hash_aggregated).
+    packed = F.when(
+        F.col("d2q") < F.lit(_PQ_PACK_BOUND),
+        F.col("d2q") * F.lit(PQ_CODES) + F.col("code"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "pq_encode: quantized subspace distance exceeds the "
+                    f"packed-argmin bound {_PQ_PACK_BOUND} "
+                    "(would wrap bigint); rescale PQ_Q or normalize "
+                    "embeddings. d2q="
+                ),
+                F.col("d2q").cast("string"),
+            )
+        ).cast("bigint")
+    )
     return (
         dist.groupBy("vec_id", "sub")
         .agg(F.min(packed).alias("_p"))

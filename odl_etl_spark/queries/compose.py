@@ -776,7 +776,14 @@ def scan_dpp_join(spark, sf_dir):
     # Lay the fact out partitioned by nation (idempotent per session:
     # the layout depends only on sf_dir, so reuse it when present).
     marker = os.path.join(out, "_LAYOUT_COMPLETE")
-    if not os.path.exists(marker):
+    if os.path.exists(marker):
+        # Refresh liveness on reuse (ADVICE r14 #1): the sink GC prunes
+        # sibling dirs by newest-of(dir, marker) mtime, and this layout
+        # is the one scratch dir that is never rewritten — without the
+        # touch, a session alive past the GC horizon could have its
+        # still-in-use layout rmtree'd mid-read by a sibling's GC.
+        os.utime(marker, None)
+    else:
         shutil.rmtree(out, ignore_errors=True)
         (
             o.join(c, o["o_custkey"] == c["c_custkey"])

@@ -149,9 +149,21 @@ def test_dpp_layout_is_keyed_by_scale(spark):
     # sf_dir: one session builds this key at several scales (selfcheck
     # sweeps, scale probes), and reusing another scale's fact would
     # silently return that scale's answer.
-    from odl_etl_spark.queries import registry
+    import os
 
+    import pytest
+
+    from odl_etl_spark.queries import registry
+    from tests.conftest import SF_DIR
+
+    # Derive both scales from the conftest fixture root (ADVICE r14 #3 —
+    # no absolute literals; honors ODL_TEST_SF_DIR relocation). Skip
+    # rather than fail when the sibling scale isn't materialized.
+    root = os.path.dirname(SF_DIR.rstrip("/"))
+    small, large = os.path.join(root, "sf0.001"), os.path.join(root, "sf0.01")
+    if not (os.path.isdir(small) and os.path.isdir(large)):
+        pytest.skip("needs both sf0.001 and sf0.01 fixture dirs")
     fn = registry()["scan_dpp_join"].build
-    n1 = sum(r["n"] for r in fn(spark, "/root/testdata/sf0.001").collect())
-    n2 = sum(r["n"] for r in fn(spark, "/root/testdata/sf0.01").collect())
+    n1 = sum(r["n"] for r in fn(spark, small).collect())
+    n2 = sum(r["n"] for r in fn(spark, large).collect())
     assert n1 != n2

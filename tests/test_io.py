@@ -369,6 +369,62 @@ def test_sink_dir_gc_prunes_only_stale_foreign_sessions(tmp_path):
     sinks._SINK_GC_DONE = False
 
 
+def test_sink_dir_gc_keeps_marker_cached_layout_alive(tmp_path):
+    # ADVICE r14 #1: marker-cached layouts (scan_dpp_join) never rewrite
+    # their dir, so a long-lived session's still-in-use layout looked
+    # stale to a sibling's GC. Liveness is now newest-of(dir, sentinel):
+    # a fresh _LAYOUT_COMPLETE keeps a stale-mtime dir alive; a layout
+    # whose sentinel is ALSO past the horizon is genuinely dead and goes.
+    import os
+    import time
+
+    from odl_etl_spark.io import sinks
+
+    root = tmp_path / "odl_etl_spark_sink"
+    root.mkdir()
+    stale = time.time() - 3 * 24 * 3600
+    live_layout = root / "orders_by_nation_app-longlived"
+    dead_layout = root / "orders_by_nation_app-dead"
+    for d in (live_layout, dead_layout):
+        d.mkdir()
+        (d / "part-0.parquet").write_bytes(b"x")
+        (d / "_LAYOUT_COMPLETE").write_bytes(b"")
+        os.utime(d, (stale, stale))
+    os.utime(dead_layout / "_LAYOUT_COMPLETE", (stale, stale))
+    # live_layout's marker keeps its fresh (now) mtime — the touch
+    # scan_dpp_join performs on every marker-reuse.
+
+    sinks._SINK_GC_DONE = False
+    sinks._gc_stale_sink_dirs(str(root), "app-me")
+    assert live_layout.exists()
+    assert not dead_layout.exists()
+    sinks._SINK_GC_DONE = False
+
+
+def test_dpp_marker_reuse_touches_sentinel(spark, sf_dir):
+    # The other half of the ADVICE r14 #1 fix: re-building scan_dpp_join
+    # over an existing layout must refresh the sentinel's mtime so the
+    # GC's newest-of(dir, sentinel) liveness check sees the reuse.
+    import os
+    import time
+
+    from odl_etl_spark.queries import registry
+
+    fn = registry()["scan_dpp_join"].build
+    fn(spark, sf_dir).collect()
+    from odl_etl_spark.io.sinks import session_sink_dir
+    import re
+
+    out = session_sink_dir(
+        spark, "orders_by_nation_" + re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir)
+    )
+    marker = os.path.join(out, "_LAYOUT_COMPLETE")
+    stale = time.time() - 3 * 24 * 3600
+    os.utime(marker, (stale, stale))
+    fn(spark, sf_dir)  # marker-reuse path; no collect needed
+    assert os.stat(marker).st_mtime > stale + 24 * 3600
+
+
 def test_xml_roundtrip_explicit_schema(spark, sf_dir, tmp_path):
     # Round-14: the fourth interchange format. Write a projection of
     # nation as XML (native Spark 4 xml source), re-read with an

@@ -215,3 +215,55 @@ def test_mass_invariant_family_scale_bound():
     assert_scaled_sum_headroom(1, 1.0, SCALE)
     with pytest.raises(OverflowError):
         assert_scaled_sum_headroom(1, 1.0, 2 * 10**18)
+
+
+def test_pq_pack_guard_raises_on_adversarial_vectors(spark):
+    # ADVICE r14 #4: the packed-bigint argmin (MIN(d2q*PQ_CODES + code))
+    # silently wrapped negative if d2q ever exceeded 2^63/PQ_CODES —
+    # wrong code, no failure signal. The guard now raises at the first
+    # offending row. The silent window is d2q in [2^63/16, 2^63): small
+    # enough that the per-element ANSI cast and the SUM both succeed,
+    # large enough that the ×16 pack wraps. Two vectors at ±1e4 per dim
+    # put the cross-centroid quantized distance at 8*(2e4)^2*1e9 =
+    # 3.2e18 — inside that window (the pre-guard code returned a WRONG
+    # code here with no error; at ±1e6 the element cast itself trips
+    # ANSI CAST_OVERFLOW, which was never the silent case).
+    from odl_etl_spark.operators.ann_index import (
+        _PQ_PACK_BOUND,
+        PQ_CODES,
+        pq_codebook,
+        pq_encode,
+        pq_explode,
+    )
+
+    assert _PQ_PACK_BOUND * PQ_CODES + (PQ_CODES - 1) < 2**63
+    assert (_PQ_PACK_BOUND + 1) * PQ_CODES + (PQ_CODES - 1) >= 2**63
+
+    e = spark.createDataFrame(
+        [(1, [1.0e4] * 64), (2, [-1.0e4] * 64)],
+        "vec_id bigint, v array<double>",
+    )
+    ex = pq_explode(e)
+    cent = pq_codebook(ex)
+    with pytest.raises(Exception, match="packed-argmin bound"):
+        pq_encode(ex, cent).collect()
+
+
+def test_pq_pack_guard_passes_unit_scale_vectors(spark):
+    # The guard must be invisible for in-contract inputs: unit-ish
+    # embeddings encode exactly as before, one code per (vec, sub).
+    from odl_etl_spark.operators.ann_index import (
+        PQ_SUBS,
+        pq_codebook,
+        pq_encode,
+        pq_explode,
+    )
+
+    e = spark.createDataFrame(
+        [(i, [((i * 37 + j * 11) % 97) / 97.0 for j in range(64)]) for i in range(1, 9)],
+        "vec_id bigint, v array<double>",
+    )
+    ex = pq_explode(e)
+    codes = pq_encode(ex, pq_codebook(ex))
+    assert codes.count() == 8 * PQ_SUBS
+    assert codes.groupBy("vec_id", "sub").count().where("count != 1").count() == 0

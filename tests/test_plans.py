@@ -872,3 +872,71 @@ def test_pq_encode_argmin_stays_hash_aggregated(spark, sf_dir):
     for key in ("sim_ann_pq", "ann_index_pq_ingest_probe"):
         plan = explain_str(build(key, spark, sf_dir))
         assert "SortAggregate" not in plan, key
+
+
+def test_sort_audit_matches_sort_within_subtree_only():
+    # ADVICE r14 #2: the audit must flag a grouped SortAggregate only
+    # when ITS direct child is a Sort — an orderBy's Sort elsewhere in
+    # the plan (or an already-sorted SMJ feed) must not flag it.
+    from tools.sort_audit import _demoted_sort_aggregates
+
+    demoted = "\n".join([
+        "AdaptiveSparkPlan isFinalPlan=true",
+        "+- SortAggregate(key=[k#1], functions=[min(s#2)])",
+        "   +- *(2) Sort [k#1 ASC NULLS FIRST], false, 0",
+        "      +- Exchange hashpartitioning(k#1, 8)",
+        "         +- SortAggregate(key=[k#1], functions=[partial_min(s#2)])",
+        "            +- Sort [k#1 ASC NULLS FIRST], false, 0",
+        "               +- Scan parquet [k#1,s#2]",
+    ])
+    assert _demoted_sort_aggregates(demoted) == 2
+
+    # A Sort ANYWHERE ELSE (top-level orderBy above a hash aggregate,
+    # plus a keyless SortAggregate) must not flag.
+    benign = "\n".join([
+        "*(3) Sort [n#5 DESC], true, 0",
+        "+- HashAggregate(keys=[k#1], functions=[count(1)])",
+        "   +- Exchange hashpartitioning(k#1, 8)",
+        "      +- HashAggregate(keys=[k#1], functions=[partial_count(1)])",
+        "         +- SortAggregate(key=[], functions=[min(s#2)])",
+        "            +- Scan parquet [k#1,s#2]",
+    ])
+    assert _demoted_sort_aggregates(benign) == 0
+
+    # Grouped SortAggregate fed by already-sorted input (no Sort child):
+    # no extra sort inserted -> benign.
+    presorted = "\n".join([
+        "SortAggregate(key=[k#1], functions=[min(s#2)])",
+        "+- SortMergeJoin [k#1], [k#3], Inner",
+        "   :- Sort [k#1 ASC], false, 0",
+        "   +- Sort [k#3 ASC], false, 0",
+    ])
+    assert _demoted_sort_aggregates(presorted) == 0
+
+
+def test_sort_audit_exit_codes(tmp_path):
+    # Exit 0 = all audited clean; exit 2 = a key ERRORED during build
+    # (previously swallowed into the JSON with exit 0 — CI could go
+    # green over broken keys). Run the tool on one clean key and one
+    # nonexistent sf_dir (forces a build error) via subprocess.
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    out = tmp_path / "audit.json"
+    ok = subprocess.run(
+        [sys.executable, "tools/sort_audit.py", str(out), "scan_pruned"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert ok.returncode == 0, ok.stdout + ok.stderr
+    env["SPARK_GRAFT_SF_DIR"] = str(tmp_path / "nonexistent_sf")
+    err = subprocess.run(
+        [sys.executable, "tools/sort_audit.py", str(out), "scan_pruned"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert err.returncode == 2, err.stdout + err.stderr
+    assert json.load(open(out))["errors"]
