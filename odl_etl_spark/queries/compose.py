@@ -930,6 +930,129 @@ def table_profile(spark, sf_dir):
     )
 
 
+@spec(
+    "table_profile_incremental",
+    """
+    WITH base AS (
+      SELECT COUNT(*) AS n,
+             COUNT(o_custkey) AS c1, COUNT(DISTINCT o_custkey) AS d1,
+             CAST(MIN(o_custkey) AS VARCHAR) AS mn1,
+             CAST(MAX(o_custkey) AS VARCHAR) AS mx1,
+             COUNT(o_totalprice) AS c2, COUNT(DISTINCT o_totalprice) AS d2,
+             CAST(CAST(FLOOR(MIN(o_totalprice) * 100 + 0.5) AS BIGINT) AS VARCHAR) AS mn2,
+             CAST(CAST(FLOOR(MAX(o_totalprice) * 100 + 0.5) AS BIGINT) AS VARCHAR) AS mx2,
+             COUNT(o_orderdate) AS c3, COUNT(DISTINCT o_orderdate) AS d3,
+             CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR) AS mn3,
+             CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR) AS mx3
+      FROM orders
+    )
+    SELECT * FROM (
+      SELECT 'o_custkey' AS column_name, n, n - c1 AS n_null,
+             d1 AS ndv_exact, TRUE AS ndv_merged_within_10pct,
+             mn1 AS min_val, mx1 AS max_val FROM base
+      UNION ALL
+      SELECT 'o_totalprice_cents', n, n - c2, d2, TRUE, mn2, mx2 FROM base
+      UNION ALL
+      SELECT 'o_orderdate', n, n - c3, d3, TRUE, mn3, mx3 FROM base
+    )
+    """,
+    doc=(
+        "Incremental table profile (round-15 addition; VERDICT r14 "
+        "next-round #5): the Glue crawler's incremental RE-crawl posture "
+        "(the reference's crawler re-runs over a growing dated table — "
+        "manage_crawler_targets.py:8-9) as mergeable per-partition "
+        "stats. Each ingestion partition (year(o_orderdate) here; "
+        "ds-partition dirs in production) is crawled ONCE into a stats "
+        "artifact row: count, non-null count, an HLL sketch per column "
+        "(hll_sketch_agg — the agg_sketch_partial precedent), and "
+        "fixed-width min/max. When a NEW partition arrives, only ITS "
+        "rows are scanned (the delta branch's scan carries a pushed "
+        "filter; on a dated layout that is partition pruning), and the "
+        "table-level profile is re-derived from artifact rows alone: "
+        "SUM the counts, hll_union_agg the sketches, MIN/MAX the "
+        "bounds — partitions-sized work, zero re-scan of standing "
+        "data. Profiled columns are deliberately fixed-width (bigint "
+        "custkey, floor-cents bigint, date) so the per-partition "
+        "grouped aggregate keeps hash-based buffers (the sketch rides "
+        "ObjectHashAggregate); string min/max would re-demote to the "
+        "sorted lane table_profile split away (round-14). The standing/"
+        "delta branches partition rows exactly — NULL orderdates ride "
+        "the delta era via era_split (ADVICE r13 #1). Oracle posture "
+        "as agg_sketch_partial: exact NDV is computed once as the "
+        "comparable anchor plus a boolean asserting the sketch-merged "
+        "estimate lands within 10%; the exact lane exists FOR the "
+        "differential — at 100 TB the merged-HLL lane is the product "
+        "path and the exact Expand pass is the thing this key retires."
+    ),
+)
+def table_profile_incremental(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    dcol = F.col("o_orderdate").cast("date")
+
+    def crawl(part):
+        # One stats-artifact row per ingestion partition: all-fixed-width
+        # buffers except the HLL sketches, which plan hash-based as
+        # ObjectHashAggregate — no grouped SortAggregate (sort_audit).
+        return part.groupBy(F.year("o_orderdate").alias("_part")).agg(
+            F.count("*").alias("n"),
+            F.count("o_custkey").alias("c1"),
+            F.hll_sketch_agg("o_custkey").alias("sk1"),
+            F.min("o_custkey").alias("mn1"),
+            F.max("o_custkey").alias("mx1"),
+            F.count("o_totalprice").alias("c2"),
+            F.hll_sketch_agg(cents).alias("sk2"),
+            F.min(cents).alias("mn2"),
+            F.max(cents).alias("mx2"),
+            F.count("o_orderdate").alias("c3"),
+            F.hll_sketch_agg(dcol.cast("string")).alias("sk3"),
+            F.min(dcol).alias("mn3"),
+            F.max(dcol).alias("mx3"),
+        )
+
+    standing_rows, delta_rows = era_split(o, cut)
+    artifact = crawl(standing_rows)  # the standing stats store (one-time)
+    delta = crawl(delta_rows)  # incremental crawl: pruned scan only
+    stats = artifact.unionByName(delta)
+    merged = stats.agg(
+        F.sum("n").alias("n"),
+        (F.sum("n") - F.sum("c1")).alias("null1"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk1")).alias("a1"),
+        F.min("mn1").cast("string").alias("mn1"),
+        F.max("mx1").cast("string").alias("mx1"),
+        (F.sum("n") - F.sum("c2")).alias("null2"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk2")).alias("a2"),
+        F.min("mn2").cast("string").alias("mn2"),
+        F.max("mx2").cast("string").alias("mx2"),
+        (F.sum("n") - F.sum("c3")).alias("null3"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk3")).alias("a3"),
+        F.min("mn3").cast("string").alias("mn3"),
+        F.max("mx3").cast("string").alias("mx3"),
+    )
+    exact = o.agg(
+        F.countDistinct("o_custkey").alias("d1"),
+        F.countDistinct("o_totalprice").alias("d2"),
+        F.countDistinct("o_orderdate").alias("d3"),
+    )
+    agg = merged.crossJoin(exact)
+    within = [
+        (F.abs(F.col(f"a{i}") - F.col(f"d{i}")) <= 0.10 * F.col(f"d{i}"))
+        .alias(f"w{i}")
+        for i in (1, 2, 3)
+    ]
+    return agg.select("*", *within).select(
+        F.expr(
+            """stack(3,
+                 'o_custkey',          n, null1, d1, w1, mn1, mx1,
+                 'o_totalprice_cents', n, null2, d2, w2, mn2, mx2,
+                 'o_orderdate',        n, null3, d3, w3, mn3, mx3)
+               AS (column_name, n, n_null, ndv_exact,
+                   ndv_merged_within_10pct, min_val, max_val)"""
+        )
+    )
+
+
 SPECS = [
     sim_rerank_pipeline,
     dedup_stream_ingest,
@@ -943,4 +1066,6 @@ SPECS = [
     # Round-14 additions (first driver rows slotted r15 per _check_order).
     scan_dpp_join,
     table_profile,
+    # Round-15 addition (first driver row slotted r16 per _check_order).
+    table_profile_incremental,
 ]

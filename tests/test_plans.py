@@ -940,3 +940,31 @@ def test_sort_audit_exit_codes(tmp_path):
     )
     assert err.returncode == 2, err.stdout + err.stderr
     assert json.load(open(out))["errors"]
+
+
+def test_table_profile_incremental_mergeable_crawl_shape(spark, sf_dir):
+    # Round-15 addition. Three pins: (1) the per-partition crawl
+    # aggregates stay hash-based — HLL sketch buffers ride
+    # ObjectHashAggregate and the min/max columns are deliberately
+    # fixed-width, so NO grouped SortAggregate appears (the round-14
+    # demotion class); (2) standing and delta branches scan orders with
+    # the era predicates AT THE SCAN (DataFilters), so on a dated
+    # production layout the delta crawl is a pruned read; (3) exactly
+    # three column-pruned scans of orders (standing crawl, delta crawl,
+    # exact-NDV differential anchor) — the merge itself reads only
+    # artifact rows.
+    from tools.sort_audit import _demoted_sort_aggregates
+
+    df = build("table_profile_incremental", spark, sf_dir)
+    plan = explain_str(df)
+    assert _demoted_sort_aggregates(plan) == 0
+    assert "ObjectHashAggregate" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 3
+    era_filters = [
+        ln for ln in plan.splitlines()
+        if ln.strip().startswith("PushedFilters:") and "o_orderdate" in ln
+    ]
+    assert len(era_filters) == 2, era_filters
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    for ln in reads:  # column pruning: only the three profiled columns
+        assert "o_orderstatus" not in ln and "o_comment" not in ln
