@@ -129,6 +129,14 @@ def main() -> None:
             else ("rows-only" if rec["err"] == "no_oracle" else "FAIL")
         )
         print(f"{name:25s} {status:9s} {rec['seconds']:6.2f}s", flush=True)
+        # Flush after EVERY key (atomic rename): heavy-scale sweeps run
+        # under wall-clock timeouts, and an end-only flush loses every
+        # completed row when the timeout fires mid-key (round-13's
+        # "run_log_passes_not_in_artifact" note; made structural r15).
+        tmp = out_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"sf_dir": sf_dir, "results": results}, f, indent=1)
+        os.replace(tmp, out_path)
 
     with open(out_path, "w") as f:
         json.dump({"sf_dir": sf_dir, "results": results}, f, indent=1)
