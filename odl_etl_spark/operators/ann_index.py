@@ -252,18 +252,26 @@ def pq_codebook(ex: DataFrame) -> DataFrame:
     )
 
 
-def pq_encode(ex: DataFrame, cent: DataFrame) -> DataFrame:
+def pq_encode(
+    ex: DataFrame, cent: DataFrame, extra_keys: tuple[str, ...] = ()
+) -> DataFrame:
     """Encode every corpus vector as PQ_SUBS codes against a trained
     codebook: (vec_id, sub, code) — the stored ~8-byte/vector compressed
     index. Argmin is a lexicographic struct-MIN agg (map-side-combined,
-    no window sort)."""
+    no window sort).
+
+    ``extra_keys`` threads additional vec_id-functionally-dependent
+    columns of ``ex`` (e.g. the IVF ``cell_id`` in the composed IVF-PQ
+    index) through both grouping stages so they survive onto the codes
+    relation without a post-encode join back to the assignment — the
+    default () leaves every existing plan byte-identical."""
     q = F.lit(float(PQ_Q))
     diff = F.col("x") - F.col("cx")
     cent_enc = cent.drop("sub")  # sub is derivable from ex's side
     dist = (
         ex.where(F.col("vec_id") != 0)
         .join(F.broadcast(cent_enc), ex.i == cent_enc.ci)
-        .groupBy("vec_id", "sub", "code")
+        .groupBy("vec_id", *extra_keys, "sub", "code")
         .agg(F.sum(F.round(diff * diff * q).cast("bigint")).alias("d2q"))
     )
     # Argmin as MIN over a packed bigint, NOT min(struct(d2q, code)):
@@ -300,9 +308,14 @@ def pq_encode(ex: DataFrame, cent: DataFrame) -> DataFrame:
         ).cast("bigint")
     )
     return (
-        dist.groupBy("vec_id", "sub")
+        dist.groupBy("vec_id", *extra_keys, "sub")
         .agg(F.min(packed).alias("_p"))
-        .select("vec_id", "sub", F.pmod("_p", F.lit(PQ_CODES)).alias("code"))
+        .select(
+            "vec_id",
+            *extra_keys,
+            "sub",
+            F.pmod("_p", F.lit(PQ_CODES)).alias("code"),
+        )
     )
 
 
@@ -407,6 +420,129 @@ def pq_index_append(
             "instead of appending"
         )
     return pq_encode(pq_explode(new_e), cent)
+
+
+def ivf_residual_explode(
+    assigned: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cell_id, i, x, sub, init_code) element view of the IVF
+    RESIDUALS r = x - centroid[cell_id] — the input PQ trains/encodes on
+    in the composed IVF-PQ index (Jegou et al. 2011 §IV: quantizing the
+    residual instead of the raw vector is what makes the coarse and fine
+    quantizers compose; FAISS calls this layout IVFADC).
+
+    The centroid lookup is a nested array LITERAL indexed by
+    (cell_id, i) — n_cells × dim doubles folded into the row expression,
+    so the residual is pure whole-stage-codegen arithmetic: no join, no
+    broadcast relation, nothing shuffled beyond the explode itself. The
+    same columns feed ``pq_codebook`` / ``pq_encode`` unchanged."""
+    cents_sorted = sorted(centroids, key=lambda t: t[0])
+    assert [cid for cid, _ in cents_sorted] == list(range(len(cents_sorted))), (
+        "ivf_residual_explode expects dense 0..n-1 cell ids "
+        "(IvfIndex.build's enumeration)"
+    )
+    cents_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in cv]) for _, cv in cents_sorted]
+    )
+    ex = assigned.select(
+        F.col(id_col).alias("vec_id"),
+        "cell_id",
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i0", "x0"),
+    )
+    cx_ivf = F.element_at(
+        F.element_at(cents_lit, F.col("cell_id").cast("int") + 1),
+        (F.col("i0") + 1).cast("int"),
+    )
+    return ex.select(
+        "vec_id",
+        "cell_id",
+        (F.col("i0") + 1).alias("i"),
+        (F.col("x0") - cx_ivf).alias("x"),
+        F.floor(F.col("i0") / PQ_SUB_DIM).alias("sub"),
+        (F.col("vec_id") % PQ_CODES).alias("init_code"),
+    )
+
+
+def ivfpq_lut(
+    cent: DataFrame,
+    probe_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    cells: list[int],
+) -> DataFrame:
+    """Per-probed-cell ADC lookup table (cell_id, sub, code, lq) for the
+    composed IVF-PQ index. Unlike flat PQ's single 128-entry LUT, IVFADC
+    needs one LUT per probed cell because the probe's RESIDUAL differs
+    per cell (p - centroid[cell]); the residuals are driver-computed
+    parameter data (nprobe × dim doubles) and each LUT is the same
+    bigint-quantized squared-distance aggregate as ``pq_probe``'s. Total
+    size nprobe × PQ_SUBS × PQ_CODES rows — broadcast material."""
+    q = F.lit(float(PQ_Q))
+    by_id = dict(centroids)
+    luts = []
+    for cid in cells:
+        pr = [float(p) - float(c) for p, c in zip(probe_vec, by_id[cid])]
+        parr = F.array(*[F.lit(x) for x in pr])
+        pdiff = F.element_at(parr, F.col("ci").cast("int")) - F.col("cx")
+        luts.append(
+            cent.groupBy("sub", "code")
+            .agg(F.sum(F.round(pdiff * pdiff * q).cast("bigint")).alias("lq"))
+            .select(F.lit(cid).alias("cell_id"), "sub", "code", "lq")
+        )
+    out = luts[0]
+    for other in luts[1:]:
+        out = out.unionByName(other)
+    return out
+
+
+def ivfpq_probe(
+    codes: DataFrame,
+    cent: DataFrame,
+    e: DataFrame,
+    probe_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    cells: list[int],
+    r_pool: int,
+    k: int = 10,
+) -> DataFrame:
+    """Search a composed IVF-PQ index: ``codes`` is the cell-carrying
+    codes relation (vec_id, cell_id, sub, code) from
+    ``pq_encode(..., extra_keys=("cell_id",))``. The cell filter runs
+    FIRST (partition pruning against a cell_id-partitioned stored
+    layout — only nprobe/n_cells of the codes are ever scanned), then
+    the per-cell broadcast LUT join scores survivors by integer ADC,
+    the best ``r_pool`` ids form the shortlist, and only the
+    shortlist's raw vectors are re-ranked with exact L2 — corpus floats
+    outside the shortlist are never touched, same as ``pq_probe``."""
+    stamped = _stamped(codes, "code", "pq_subs") or _stamped(cent, "code", "pq_subs")
+    if stamped is not None and stamped != PQ_SUBS:
+        raise ValueError(
+            f"PQ index was built with pq_subs={stamped}, engine expects "
+            f"{PQ_SUBS}; rebuild the index"
+        )
+    lut = ivfpq_lut(cent, probe_vec, centroids, cells)
+    adc = (
+        codes.where(F.col("cell_id").isin(cells))
+        .join(F.broadcast(lut), ["cell_id", "sub", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("lq").alias("adcq"))
+    )
+    pool = (
+        adc.orderBy(F.col("adcq").asc(), F.col("vec_id").asc())
+        .limit(r_pool)
+        .select("vec_id")
+    )
+    from odl_etl_spark.functions.numeric import roundn
+
+    parr = F.array(*[F.lit(float(v)) for v in probe_vec])
+    return (
+        e.join(F.broadcast(pool), "vec_id")
+        .select("vec_id", roundn(l2_distance(F.col("v"), parr), 6).alias("l2_d"))
+        .orderBy(F.col("l2_d").asc(), F.col("vec_id").asc())
+        .limit(k)
+    )
 
 
 def pq_probe(

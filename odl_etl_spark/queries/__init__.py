@@ -91,7 +91,8 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
     Round-16 rotation plan (do NOT apply before the r15 driver run
     lands; after it, staleness is 45 r12 + 47 r13 + 50 r14 + 50 r15
     plus any r15 additive keys without rows): r15 additive keys first
-    (first driver rows — `table_profile_incremental` if shipped), then
+    (first driver rows — `table_profile_incremental` and
+    `sim_ann_ivfpq`), then
     the 45 remaining r12-stale keys in registry order, then r13-stale
     keys in registry order to fill 50.
 

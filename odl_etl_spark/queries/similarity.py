@@ -957,6 +957,160 @@ def ann_index_ivf_ingest_probe(spark, sf_dir):
     return index.search(stored.unionByName(appended), probe, k=10, nprobe=2)
 
 
+# IVF-PQ composed index (FAISS's IVFADC layout, Jegou et al. 2011 §IV):
+# the coarse quantizer prunes WHICH codes are scanned (nprobe/n_cells of
+# the corpus), PQ on the RESIDUAL (x - cell centroid) compresses what
+# remains to ~8 bytes/vector. Fully deterministic (first-8-by-id
+# centroids, vec_id%k codebook seeding, bigint-quantized sums), so the
+# oracle replicates the whole two-level index literally in SQL.
+_IVFPQ_ORACLE = f"""
+    WITH cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cell_id,
+             embedding AS cvec
+      FROM (SELECT * FROM embeddings ORDER BY vec_id ASC LIMIT 8)
+    ), probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+    asg AS (
+      SELECT e.vec_id, e.embedding,
+             (SELECT c.cell_id FROM cents c
+              ORDER BY {_L2.format(a='e.embedding', b='c.cvec')} ASC,
+                       c.cell_id ASC
+              LIMIT 1) AS cell_id
+      FROM embeddings e WHERE e.vec_id <> 0
+    ), pcells AS (
+      SELECT c.cell_id FROM cents c, probe
+      ORDER BY {_L2.format(a='probe.p', b='c.cvec')} ASC, c.cell_id ASC
+      LIMIT 2
+    ), cex AS (
+      SELECT cell_id, CAST(UNNEST(cvec) AS DOUBLE) AS cx_ivf,
+             generate_subscripts(cvec, 1) AS i
+      FROM cents
+    ), rex AS (
+      SELECT z.vec_id, z.cell_id, z.i, z.x - c.cx_ivf AS x,
+             (z.i - 1) // 8 AS sub, z.vec_id % {_PQ_CODES} AS init_code
+      FROM (
+        SELECT vec_id, cell_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM asg
+      ) z JOIN cex c ON z.cell_id = c.cell_id AND z.i = c.i
+    ), cent AS (
+      SELECT init_code AS code, i, sub,
+             SUM(CAST(ROUND(x * {_Q}) AS BIGINT)) AS sx,
+             COUNT(*) AS n
+      FROM rex GROUP BY init_code, i, sub
+    ), dist AS (
+      SELECT r.vec_id, r.cell_id, r.sub, c.code,
+             SUM(CAST(ROUND((r.x - c.sx / {_Q}.0 / c.n)
+                            * (r.x - c.sx / {_Q}.0 / c.n)
+                            * {_Q}) AS BIGINT)) AS d2q
+      FROM rex r JOIN cent c ON r.i = c.i
+      GROUP BY r.vec_id, r.cell_id, r.sub, c.code
+    ), codes AS (
+      SELECT vec_id, cell_id, sub, code FROM (
+        SELECT vec_id, cell_id, sub, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d2q ASC, code ASC) AS rn
+        FROM dist) z WHERE rn = 1
+    ), prex AS (
+      SELECT pc.cell_id, p.i, p.px - c.cx_ivf AS prx
+      FROM (SELECT CAST(UNNEST(embedding) AS DOUBLE) AS px,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings WHERE vec_id = 0) p
+      JOIN pcells pc ON TRUE
+      JOIN cex c ON c.cell_id = pc.cell_id AND c.i = p.i
+    ), lut AS (
+      SELECT pr.cell_id, c.sub, c.code,
+             SUM(CAST(ROUND((pr.prx - c.sx / {_Q}.0 / c.n)
+                            * (pr.prx - c.sx / {_Q}.0 / c.n)
+                            * {_Q}) AS BIGINT)) AS lq
+      FROM cent c JOIN prex pr ON c.i = pr.i
+      GROUP BY pr.cell_id, c.sub, c.code
+    ), adc AS (
+      SELECT k.vec_id, SUM(l.lq) AS adcq
+      FROM codes k
+      JOIN lut l ON l.cell_id = k.cell_id
+                AND k.sub = l.sub AND k.code = l.code
+      GROUP BY k.vec_id
+    ), pool AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (ORDER BY adcq ASC, vec_id ASC) AS rn
+        FROM adc) z
+      WHERE rn <= (SELECT LEAST(CEIL(0.25 * COUNT(*)), {_PQ_R_MAX})
+                   FROM asg
+                   WHERE cell_id IN (SELECT cell_id FROM pcells))
+    ), pv AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(({_L2.format(a='e.embedding', b='pv.p')}) * 1000000)
+             / 1000000 AS l2_d
+    FROM embeddings e JOIN pool USING (vec_id), pv
+    ORDER BY l2_d ASC, vec_id ASC LIMIT 10
+    """
+
+
+@spec(
+    "sim_ann_ivfpq",
+    _IVFPQ_ORACLE,
+    doc=(
+        "Composed IVF-PQ ANN search — FAISS's IVFADC, the index layout "
+        "production vector search actually deploys at 100 TB (Jegou et "
+        "al. 2011 §IV), built from the repo's two existing families: "
+        "the IVF coarse quantizer decides WHICH codes are scanned "
+        "(cell_id IN probed-cells ≡ partition pruning on a "
+        "cell_id-partitioned stored layout — nprobe/n_cells of the "
+        "corpus, here 2/8), and PQ on the RESIDUAL x - centroid[cell] "
+        "compresses what remains to ~8 bytes/vector for integer ADC "
+        "scoring. Residuals are pure codegen arithmetic against a "
+        "nested centroid LITERAL (operators/ann_index."
+        "ivf_residual_explode — no join, no broadcast); cell_id is "
+        "threaded through the encode's group keys (pq_encode "
+        "extra_keys) so the codes relation carries its partition "
+        "column without a join back to the assignment; ADC needs one "
+        "LUT PER probed cell (the probe residual differs per cell — "
+        "ivfpq_lut, nprobe×128 rows, broadcast); shortlist = the PQ "
+        f"contract min(ceil(25% of PROBED members), R_MAX={_PQ_R_MAX}) "
+        "then exact-L2 re-rank of only the shortlisted raw floats. "
+        "Flat PQ scans every vector's codes; flat IVF re-ranks whole "
+        "cells with raw floats; the composition scans nprobe/n_cells "
+        "of the CODES and touches floats only for the shortlist — "
+        "that product of the two prunings is why it is the lake-scale "
+        "layout. Fully deterministic at every stage (first-8-by-id "
+        "centroids, L2 argmin ties to the lowest cell, vec_id%k "
+        "codebook seeding, bigint-quantized sums, packed-bigint argmin "
+        "with the enforced overflow guard), so the oracle replicates "
+        "the entire two-level index literally in SQL and the driver "
+        "hash-checks it end to end."
+    ),
+)
+def sim_ann_ivfpq(spark, sf_dir):
+    from odl_etl_spark.operators.ann_index import (
+        ivf_residual_explode,
+        ivfpq_probe,
+        pq_codebook,
+        pq_encode,
+        pq_r_pool,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probe = _probe_vec(spark, sf_dir, 0)
+    index = IvfIndex.build(e, n_cells=8)
+    assigned = index.assign(e.where(F.col("vec_id") != 0))
+    ex = ivf_residual_explode(assigned, index.centroids)
+    cent = pq_codebook(ex)
+    codes = pq_encode(ex, cent, extra_keys=("cell_id",))
+    cells = index.nearest_cells(probe, nprobe=2)
+    # Shortlist size is parameter data, like the probe vector: one
+    # count job over the probed cells' assignment rows (at scale: a
+    # metadata count of the probed partitions of the stored layout).
+    n_probed = assigned.where(F.col("cell_id").isin(cells)).count()
+    ev = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return ivfpq_probe(
+        codes, cent, ev, probe, index.centroids, cells,
+        pq_r_pool(n_probed), k=10,
+    )
+
+
 SPECS = [
     sim_topk,
     sim_pairwise_label,
@@ -974,4 +1128,5 @@ SPECS = [
     ann_index_ingest_probe,
     ann_index_pq_ingest_probe,
     ann_index_ivf_ingest_probe,
+    sim_ann_ivfpq,
 ]

@@ -585,6 +585,87 @@ def test_ann_index_prebuilt_identical_ivf(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_ivf_residual_explode_roundtrip(spark, sf_dir):
+    """Residual + centroid[cell] must reconstruct the original element
+    exactly (the subtraction is pure double arithmetic — any drift here
+    would silently skew the whole IVFADC codebook), and the sub /
+    init_code columns must follow the same contract as pq_explode's."""
+    from pyspark.sql import functions as F
+
+    from odl_etl_spark.operators.ann_index import (
+        PQ_CODES,
+        PQ_SUB_DIM,
+        ivf_residual_explode,
+    )
+    from odl_etl_spark.operators.similarity import IvfIndex
+
+    e = load_table(spark, sf_dir, "embeddings")
+    index = IvfIndex.build(e, n_cells=8)
+    assigned = index.assign(e.where(F.col("vec_id") != 0))
+    ex = ivf_residual_explode(assigned, index.centroids)
+    cents = {cid: cv for cid, cv in index.centroids}
+    rows = ex.collect()
+    assert rows, "empty residual view"
+    orig = {
+        (r["vec_id"], i + 1): float(x)
+        for r in assigned.select("vec_id", "embedding").collect()
+        for i, x in enumerate(r["embedding"])
+    }
+    for r in rows[:500]:
+        assert r["x"] + cents[r["cell_id"]][r["i"] - 1] == orig[(r["vec_id"], r["i"])]
+        assert r["sub"] == (r["i"] - 1) // PQ_SUB_DIM
+        assert r["init_code"] == r["vec_id"] % PQ_CODES
+
+
+def test_ivfpq_prebuilt_identical(spark, sf_dir, tmp_path):
+    """Probing PREBUILT, parquet-round-tripped IVFADC artifacts (the
+    cell-partitioned codes relation — the stored layout whose partition
+    pruning the probe's cell filter exercises — plus the codebook) must
+    return exactly the derive-in-query `sim_ann_ivfpq` result."""
+    from pyspark.sql import functions as F
+
+    from odl_etl_spark.operators.ann_index import (
+        ivf_residual_explode,
+        ivfpq_probe,
+        pq_codebook,
+        pq_encode,
+        pq_r_pool,
+    )
+    from odl_etl_spark.operators.similarity import IvfIndex
+    from odl_etl_spark.queries import registry
+    from odl_etl_spark.queries.similarity import _probe_vec
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probe = _probe_vec(spark, sf_dir, 0)
+    index = IvfIndex.build(e, n_cells=8)
+    assigned = index.assign(e.where(F.col("vec_id") != 0))
+    ex = ivf_residual_explode(assigned, index.centroids)
+    cent = pq_codebook(ex)
+    cent_dir = str(tmp_path / "ivfpq_cent")
+    codes_dir = str(tmp_path / "ivfpq_codes")
+    cent.write.parquet(cent_dir)
+    pq_encode(ex, cent, extra_keys=("cell_id",)).write.partitionBy(
+        "cell_id"
+    ).parquet(codes_dir)
+    stored_cent = spark.read.parquet(cent_dir)
+    stored_codes = spark.read.parquet(codes_dir)
+    cells = index.nearest_cells(probe, nprobe=2)
+    n_probed = assigned.where(F.col("cell_id").isin(cells)).count()
+    ev = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    got = [
+        tuple(r)
+        for r in ivfpq_probe(
+            stored_codes, stored_cent, ev, probe, index.centroids, cells,
+            pq_r_pool(n_probed), k=10,
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in registry()["sim_ann_ivfpq"].build(spark, sf_dir).collect()
+    ]
+    assert got == want
+
+
 def test_hyperplane_probe_rejects_different_plane_values(spark, sf_dir, tmp_path):
     """Same plane COUNT but different plane VALUES must fail loudly at
     probe time (checksum stamp) — silently mismatched planes would

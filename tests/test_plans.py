@@ -869,7 +869,9 @@ def test_pq_encode_argmin_stays_hash_aggregated(spark, sf_dir):
     # full sort of the N x PQ_CODES candidate rows. The packed-bigint
     # MIN keeps it hash-aggregated; no grouped SortAggregate (and hence
     # no aggregate-feeding Sort) may appear anywhere in the PQ plans.
-    for key in ("sim_ann_pq", "ann_index_pq_ingest_probe"):
+    # sim_ann_ivfpq threads cell_id through the encode's group keys
+    # (extra_keys) — the extra bigint key must not change the verdict.
+    for key in ("sim_ann_pq", "ann_index_pq_ingest_probe", "sim_ann_ivfpq"):
         plan = explain_str(build(key, spark, sf_dir))
         assert "SortAggregate" not in plan, key
 
