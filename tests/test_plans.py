@@ -944,6 +944,61 @@ def test_sort_audit_exit_codes(tmp_path):
     assert json.load(open(out))["errors"]
 
 
+def test_shuffle_audit_exit_codes(tmp_path):
+    # The shuffle-count ratchet (round-15): exit 0 when the audited key
+    # is at its checked-in baseline; exit 1 when a key shuffles MORE
+    # than its baseline OR is absent from the baseline (new keys must
+    # be baselined deliberately); exit 2 on build errors, like the
+    # sort audit.
+    import json
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    out = tmp_path / "audit.json"
+    ok = subprocess.run(
+        [sys.executable, "tools/shuffle_audit.py", str(out), "scan_pruned"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert ok.returncode == 0, ok.stdout + ok.stderr
+    rep = json.load(open(out))
+    assert not rep["regressed"] and not rep["unbaselined"]
+
+    # Regression path: copy the repo with a tampered baseline (the tool
+    # reads SHUFFLE_BASELINE.json at ITS repo root, so point a copy of
+    # the tool tree at a doctored one).
+    fake = tmp_path / "repo"
+    fake.mkdir()
+    (fake / "tools").mkdir()
+    shutil.copy(os.path.join(repo, "tools", "shuffle_audit.py"), fake / "tools")
+    base = json.load(open(os.path.join(repo, "SHUFFLE_BASELINE.json")))
+    assert base["scan_pruned"] >= 0
+    doctored = dict(base)
+    doctored["scan_pruned"] = -1  # any real count now "regresses"
+    json.dump(doctored, open(fake / "SHUFFLE_BASELINE.json", "w"))
+    # The copied tool tree has no package — put the real repo on PYTHONPATH.
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    bad = subprocess.run(
+        [sys.executable, "tools/shuffle_audit.py", str(out), "scan_pruned"],
+        cwd=str(fake), env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert bad.returncode == 1, bad.stdout + bad.stderr
+    assert json.load(open(out))["regressed"]["scan_pruned"]["now"] >= 0
+
+    # Unbaselined path: remove the key from the doctored baseline.
+    doctored.pop("scan_pruned")
+    json.dump(doctored, open(fake / "SHUFFLE_BASELINE.json", "w"))
+    miss = subprocess.run(
+        [sys.executable, "tools/shuffle_audit.py", str(out), "scan_pruned"],
+        cwd=str(fake), env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert miss.returncode == 1, miss.stdout + miss.stderr
+    assert "scan_pruned" in json.load(open(out))["unbaselined"]
+
+
 def test_table_profile_incremental_mergeable_crawl_shape(spark, sf_dir):
     # Round-15 addition. Three pins: (1) the per-partition crawl
     # aggregates stay hash-based — HLL sketch buffers ride
