@@ -92,7 +92,9 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
     lands; after it, staleness is 45 r12 + 47 r13 + 50 r14 + 50 r15
     plus any r15 additive keys without rows): r15 additive keys first
     (first driver rows — `table_profile_incremental` and
-    `sim_ann_ivfpq`), then
+    `sim_ann_ivfpq`), then `graph_triangles` (changed plan r15: edges
+    lineage cut + broadcast triangle join, 100→1 planned exchanges —
+    its r14 row attests the old plan), then
     the 45 remaining r12-stale keys in registry order, then r13-stale
     keys in registry order to fill 50.
 

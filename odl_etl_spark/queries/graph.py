@@ -148,11 +148,22 @@ def graph_triangles(spark, sf_dir):
         .where(F.col("n") * F.col("cnt") > F.col("tot"))
         .select("brand_a", "brand_b")
     )
+    # Lineage cut before the self-joins (round-15 shuffle audit): edges
+    # is read by THREE join aliases and tris by three union branches, so
+    # without a cut the whole fact pipeline (scan + distinct shuffle +
+    # pair shuffle) re-plans under every alias — 100 planned exchanges
+    # for a ~300-row relation. Materializing the vocabulary-sized edge
+    # table once and broadcasting it through the triangle join leaves
+    # exactly the intended shape: one fact shuffle lane + a broadcast
+    # three-way join (4 exchanges total, ×25 fewer).
+    from odl_etl_spark.operators.materialize import materialize
+
+    edges = materialize(edges)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tris = (
-        e1.join(e2, F.col("e2.brand_a") == F.col("e1.brand_b"))
+        e1.join(F.broadcast(e2), F.col("e2.brand_a") == F.col("e1.brand_b"))
         .join(
-            e3,
+            F.broadcast(e3),
             (F.col("e3.brand_a") == F.col("e1.brand_a"))
             & (F.col("e3.brand_b") == F.col("e2.brand_b")),
         )
