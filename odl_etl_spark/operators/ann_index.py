@@ -383,6 +383,28 @@ def pq_index_append(
     values are rejected outright; anything else is on the caller
     (``ingest_ann`` repairs its sidecar via ``_backfill_pq_counts``
     before ever passing a count)."""
+    _check_pq_append_contract(
+        cent, codes, new_e, max_drift, n_existing, n_new,
+        rebuild_hint="pq_index(e, train_stamp=True)",
+        retrain_hint="pq_index(all_vectors, train_stamp=True)",
+    )
+    return pq_encode(pq_explode(new_e), cent)
+
+
+def _check_pq_append_contract(
+    cent: DataFrame,
+    codes: DataFrame,
+    new_e: DataFrame,
+    max_drift: float,
+    n_existing: int | None,
+    n_new: int | None,
+    rebuild_hint: str,
+    retrain_hint: str,
+) -> None:
+    """The codebook half of the append contract, shared verbatim by
+    ``pq_index_append`` (flat PQ) and ``ivfpq_index_append`` (composed):
+    subspace-count stamp, mandatory training stamp, and the drift-bounded
+    staleness refusal. Raises ValueError on any violation."""
     if n_existing is not None and n_existing < 0:
         raise ValueError(f"n_existing must be >= 0, got {n_existing}")
     if n_new is not None and n_new < 0:
@@ -398,7 +420,7 @@ def pq_index_append(
         raise ValueError(
             "refusing to append to a PQ index whose codebook lacks the "
             "pq_train_n training stamp — staleness cannot be enforced; "
-            "rebuild via pq_index(e, train_stamp=True)"
+            f"rebuild via {rebuild_hint}"
         )
     n_train = int(n_train)
     # Cardinalities for the drift check. Callers that maintain a count
@@ -416,10 +438,9 @@ def pq_index_append(
             f"PQ codebook staleness: post-append corpus would be "
             f"{n_existing + n_new} vectors vs {n_train} trained on "
             f"({drift:.0%} drift > {max_drift:.0%} threshold) — retrain "
-            "the codebook (pq_index(all_vectors, train_stamp=True)) "
+            f"the codebook ({retrain_hint}) "
             "instead of appending"
         )
-    return pq_encode(pq_explode(new_e), cent)
 
 
 def ivf_residual_explode(
@@ -543,6 +564,82 @@ def ivfpq_probe(
         .orderBy(F.col("l2_d").asc(), F.col("vec_id").asc())
         .limit(k)
     )
+
+
+def ivfpq_index(
+    assigned: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    train_stamp: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Build both IVFADC artifacts from a cell-assigned corpus:
+    ``(codebook, codes)`` — the residual codebook and the cell-carrying
+    codes relation (vec_id, cell_id, sub, code) a deployment persists
+    ``partitionBy("cell_id")``. ``train_stamp=True`` stamps
+    ``pq_train_n`` on the codebook (the ``pq_index`` convention), the
+    prerequisite for ``ivfpq_index_append``'s staleness contract."""
+    ex = ivf_residual_explode(assigned, centroids, id_col=id_col, vec_col=vec_col)
+    cent = pq_codebook(ex)
+    if train_stamp:
+        n_train = (
+            assigned.where(F.col(id_col) != 0).select(id_col).distinct().count()
+        )
+        cent = cent.withColumn(
+            "code",
+            F.col("code").alias(
+                "code", metadata={"pq_subs": PQ_SUBS, "pq_train_n": n_train}
+            ),
+        )
+    return cent, pq_encode(ex, cent, extra_keys=("cell_id",))
+
+
+def ivfpq_index_append(
+    index,
+    assigned: DataFrame,
+    cent: DataFrame,
+    codes: DataFrame,
+    new_e: DataFrame,
+    max_drift: float = PQ_MAX_TRAIN_DRIFT,
+    n_existing: int | None = None,
+    n_new: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental maintenance for a stored IVFADC index — completing
+    the append symmetry across all FOUR index families (hyperplane_
+    index_append, pq_index_append, IvfIndex.append, and now the
+    composition). ``index`` is the IvfIndex whose centroids built the
+    store; ``assigned``/``cent``/``codes`` are the stored relations;
+    ``new_e`` is the arriving (id, vector) batch.
+
+    Both halves' refusal sets apply IN FULL before anything is encoded:
+    the coarse half re-proves the stored assignment's cell count AND
+    centroid value checksum (``IvfIndex.append`` — same-k/different-
+    values is the silent mis-bucketing it exists to refuse), and the
+    fine half enforces the codebook's subspace stamp, mandatory
+    ``pq_train_n`` training stamp, and drift-bounded staleness
+    (``_check_pq_append_contract`` — the centroids AND the residual
+    codebook were both trained on the original corpus, so coarse-half
+    drift is fine-half drift too; one bound covers both).
+
+    Returns ``(assigned_rows, codes_rows)`` for the new vectors only,
+    ready to append to the two stored relations (both immutable —
+    ``mode("append").partitionBy("cell_id")`` at scale, no dynamic
+    overwrite). Centroids and codebook are fixed parameters, so
+    append ≡ rebuild-against-the-same-artifacts exactly — pinned by
+    test_ivfpq_index_append_equals_reencode."""
+    new_assigned = index.append(assigned, new_e, vec_col=vec_col)
+    _check_pq_append_contract(
+        cent, codes, new_e.withColumnRenamed(id_col, "vec_id"),
+        max_drift, n_existing, n_new,
+        rebuild_hint="ivfpq_index(assigned, centroids, train_stamp=True)",
+        retrain_hint="ivfpq_index over the re-assigned full corpus",
+    )
+    ex = ivf_residual_explode(
+        new_assigned, index.centroids, id_col=id_col, vec_col=vec_col
+    )
+    return new_assigned, pq_encode(ex, cent, extra_keys=("cell_id",))
 
 
 def pq_probe(

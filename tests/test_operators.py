@@ -666,6 +666,68 @@ def test_ivfpq_prebuilt_identical(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_ivfpq_index_append_equals_reencode_and_enforces_contracts(spark, sf_dir):
+    """Append symmetry for the FOURTH index family (the IVFADC
+    composition): appending a batch against the stored centroids +
+    residual codebook must equal re-encoding the enlarged corpus
+    against the same artifacts; an unstamped codebook, a drifted
+    corpus, and mismatched centroids must all refuse."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from odl_etl_spark.operators.ann_index import (
+        ivf_residual_explode,
+        ivfpq_index,
+        ivfpq_index_append,
+        pq_encode,
+    )
+    from odl_etl_spark.operators.materialize import materialize
+    from odl_etl_spark.operators.similarity import IvfIndex
+
+    e = load_table(spark, sf_dir, "embeddings")
+    index = IvfIndex.build(e, n_cells=8)
+    standing = e.where((F.col("vec_id") != 0) & (F.col("vec_id") % 5 != 4))
+    arriving = e.where((F.col("vec_id") != 0) & (F.col("vec_id") % 5 == 4))
+    stored_assigned = materialize(index.assign(standing))
+    cent, codes = ivfpq_index(stored_assigned, index.centroids, train_stamp=True)
+
+    new_assigned, new_codes = ivfpq_index_append(
+        index, stored_assigned, cent, codes, arriving
+    )
+    got = sorted(
+        tuple(r) for r in codes.unionByName(new_codes).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in pq_encode(
+            ivf_residual_explode(
+                index.assign(e.where(F.col("vec_id") != 0)), index.centroids
+            ),
+            cent,
+            extra_keys=("cell_id",),
+        ).collect()
+    )
+    assert got == want
+
+    # Unstamped codebook refuses (no pq_train_n -> staleness unenforceable).
+    cent_unstamped, codes_u = ivfpq_index(stored_assigned, index.centroids)
+    with pytest.raises(ValueError, match="training stamp"):
+        ivfpq_index_append(index, stored_assigned, cent_unstamped, codes_u, arriving)
+
+    # Drift past the bound refuses: train on the SMALL split, append the big one.
+    small_assigned = materialize(index.assign(arriving))
+    cent_small, codes_small = ivfpq_index(
+        small_assigned, index.centroids, train_stamp=True
+    )
+    with pytest.raises(ValueError, match="staleness"):
+        ivfpq_index_append(index, small_assigned, cent_small, codes_small, standing)
+
+    # Mismatched centroids refuse via the coarse half's checksum stamp.
+    other = IvfIndex.build(e.where(F.col("vec_id") >= 3), n_cells=8)
+    with pytest.raises(ValueError, match="DIFFERENT centroid"):
+        ivfpq_index_append(other, stored_assigned, cent, codes, arriving)
+
+
 def test_hyperplane_probe_rejects_different_plane_values(spark, sf_dir, tmp_path):
     """Same plane COUNT but different plane VALUES must fail loudly at
     probe time (checksum stamp) — silently mismatched planes would
