@@ -348,6 +348,28 @@ def test_pq_search_invariant_under_partitioning(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def test_ivfpq_search_invariant_under_partitioning(spark, sf_dir):
+    """sim_ann_ivfpq must return identical results at any shuffle
+    partitioning — the composed index inherits every determinism
+    device of the flat-PQ path (BIGINT-quantized sums, packed-bigint
+    argmin, integer ADC with vec_id tie-breaks) PLUS the coarse
+    assignment's struct-array argmin with cell_id tie-break; residual
+    arithmetic is per-row and shuffle-free. Re-sharding must not
+    change who gets retrieved."""
+    from odl_etl_spark.queries import registry
+
+    spec = registry()["sim_ann_ivfpq"]
+    rows = lambda df: [tuple(r) for r in df.collect()]  # noqa: E731
+    base = rows(spec.build(spark, sf_dir))
+    assert len(base) == 10
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        assert rows(spec.build(spark, sf_dir)) == base
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 @settings(max_examples=5, deadline=None)
 @given(st.integers(min_value=2, max_value=7), st.integers(min_value=0, max_value=6))
 def test_hyperplane_append_equals_rebuild_any_split(spark, sf_dir, mod, rem):
