@@ -500,6 +500,11 @@ def ivfpq_lut(
     parameter data (nprobe × dim doubles) and each LUT is the same
     bigint-quantized squared-distance aggregate as ``pq_probe``'s. Total
     size nprobe × PQ_SUBS × PQ_CODES rows — broadcast material."""
+    if len(set(cells)) != len(cells):
+        # A repeated cell would emit duplicate (cell, sub, code) LUT rows;
+        # the probe's join would then fan out and SUM each matched code
+        # twice — silently wrong ADC scores, so refuse loudly instead.
+        raise ValueError(f"ivfpq_lut: probed cells must be unique, got {cells}")
     q = F.lit(float(PQ_Q))
     by_id = dict(centroids)
     luts = []

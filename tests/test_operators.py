@@ -666,6 +666,32 @@ def test_ivfpq_prebuilt_identical(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_ivfpq_lut_refuses_duplicate_cells(spark, sf_dir):
+    """A repeated probed cell would duplicate LUT rows and silently
+    double-count ADC sums through the join — must refuse loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from odl_etl_spark.operators.ann_index import (
+        ivf_residual_explode,
+        ivfpq_lut,
+        pq_codebook,
+    )
+    from odl_etl_spark.operators.similarity import IvfIndex
+    from odl_etl_spark.queries.similarity import _probe_vec
+
+    e = load_table(spark, sf_dir, "embeddings")
+    index = IvfIndex.build(e, n_cells=8)
+    cent = pq_codebook(
+        ivf_residual_explode(
+            index.assign(e.where(F.col("vec_id") != 0)), index.centroids
+        )
+    )
+    probe = _probe_vec(spark, sf_dir, 0)
+    with pytest.raises(ValueError, match="unique"):
+        ivfpq_lut(cent, probe, index.centroids, [1, 1])
+
+
 def test_ivfpq_index_append_equals_reencode_and_enforces_contracts(spark, sf_dir):
     """Append symmetry for the FOURTH index family (the IVFADC
     composition): appending a batch against the stored centroids +

@@ -460,6 +460,51 @@ def test_pq_append_equals_reencode_any_split(spark, sf_dir, mod, rem):
     assert got == want
 
 
+@settings(max_examples=3, deadline=None)
+@given(st.integers(min_value=4, max_value=7), st.integers(min_value=0, max_value=6))
+def test_ivfpq_append_equals_reencode_any_split(spark, sf_dir, mod, rem):
+    """Property (split-invariance for the FOURTH family, the IVFADC
+    composition): for ANY corpus/daily-batch split within the staleness
+    threshold, the stored cell-carrying codes plus the append-encoded
+    batch equal re-encoding the full corpus against the SAME
+    (standing-trained) residual codebook and centroids — both fixed
+    parameters, so incremental maintenance can never drift from
+    build-from-scratch."""
+    from odl_etl_spark.operators.ann_index import (
+        ivf_residual_explode,
+        ivfpq_index,
+        ivfpq_index_append,
+        pq_encode,
+    )
+    from odl_etl_spark.operators.materialize import materialize
+    from odl_etl_spark.operators.similarity import IvfIndex
+
+    rem = rem % mod
+    e = load_table(spark, sf_dir, "embeddings")
+    index = IvfIndex.build(e, n_cells=8)
+    body = e.where(F.col("vec_id") != 0)
+    standing = body.where(F.col("vec_id") % mod != rem)
+    arriving = body.where(F.col("vec_id") % mod == rem)
+    stored_assigned = materialize(index.assign(standing))
+    cent, codes = ivfpq_index(stored_assigned, index.centroids, train_stamp=True)
+    _, appended = ivfpq_index_append(
+        index, stored_assigned, cent, codes, arriving
+    )
+    got = {
+        (r["vec_id"], r["cell_id"], r["sub"], r["code"])
+        for r in codes.unionByName(appended).collect()
+    }
+    want = {
+        (r["vec_id"], r["cell_id"], r["sub"], r["code"])
+        for r in pq_encode(
+            ivf_residual_explode(index.assign(body), index.centroids),
+            cent,
+            extra_keys=("cell_id",),
+        ).collect()
+    }
+    assert got == want
+
+
 @settings(max_examples=8, deadline=None)
 @given(
     st.lists(
