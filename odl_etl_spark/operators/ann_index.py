@@ -461,10 +461,16 @@ def ivf_residual_explode(
     broadcast relation, nothing shuffled beyond the explode itself. The
     same columns feed ``pq_codebook`` / ``pq_encode`` unchanged."""
     cents_sorted = sorted(centroids, key=lambda t: t[0])
-    assert [cid for cid, _ in cents_sorted] == list(range(len(cents_sorted))), (
-        "ivf_residual_explode expects dense 0..n-1 cell ids "
-        "(IvfIndex.build's enumeration)"
-    )
+    if [cid for cid, _ in cents_sorted] != list(range(len(cents_sorted))):
+        # The +1-indexed literal lookup below is POSITIONAL: a gapped or
+        # re-numbered cell-id set would silently subtract another cell's
+        # centroid — the silent-corruption class this module refuses
+        # loudly everywhere else (and a bare assert would vanish under
+        # python -O).
+        raise ValueError(
+            "ivf_residual_explode expects dense 0..n-1 cell ids "
+            f"(IvfIndex.build's enumeration); got {[c for c, _ in cents_sorted]}"
+        )
     cents_lit = F.array(
         *[F.array(*[F.lit(float(x)) for x in cv]) for _, cv in cents_sorted]
     )
@@ -487,6 +493,52 @@ def ivf_residual_explode(
     )
 
 
+def _adc_lut(cent: DataFrame, probe_arr: Column) -> DataFrame:
+    """The (sub, code) -> quantized-squared-distance LUT aggregation,
+    shared by the flat probe (one LUT from the raw probe) and the
+    composed probe (one LUT per probed cell from that cell's probe
+    RESIDUAL) so the two can never drift: ``probe_arr`` is the
+    1-indexed literal array the codebook's ``ci`` indexes into."""
+    q = F.lit(float(PQ_Q))
+    pdiff = F.element_at(probe_arr, F.col("ci").cast("int")) - F.col("cx")
+    return cent.groupBy("sub", "code").agg(
+        F.sum(F.round(pdiff * pdiff * q).cast("bigint")).alias("lq")
+    )
+
+
+def _shortlist_rerank(
+    adc: DataFrame, e: DataFrame, probe_arr: Column, r_pool: int, k: int
+) -> DataFrame:
+    """ADC-shortlist + exact-L2 re-rank tail shared by both probes:
+    TakeOrdered the best ``r_pool`` ids by (adcq, vec_id), broadcast the
+    pool back onto the raw vectors, re-rank by exact L2 with the vec_id
+    tie-break. Only the shortlist's floats are ever touched."""
+    pool = (
+        adc.orderBy(F.col("adcq").asc(), F.col("vec_id").asc())
+        .limit(r_pool)
+        .select("vec_id")
+    )
+    from odl_etl_spark.functions.numeric import roundn
+
+    return (
+        e.join(F.broadcast(pool), "vec_id")
+        .select(
+            "vec_id", roundn(l2_distance(F.col("v"), probe_arr), 6).alias("l2_d")
+        )
+        .orderBy(F.col("l2_d").asc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def _check_pq_subs_stamp(codes: DataFrame, cent: DataFrame) -> None:
+    stamped = _stamped(codes, "code", "pq_subs") or _stamped(cent, "code", "pq_subs")
+    if stamped is not None and stamped != PQ_SUBS:
+        raise ValueError(
+            f"PQ index was built with pq_subs={stamped}, engine expects "
+            f"{PQ_SUBS}; rebuild the index"
+        )
+
+
 def ivfpq_lut(
     cent: DataFrame,
     probe_vec: list[float],
@@ -500,22 +552,24 @@ def ivfpq_lut(
     parameter data (nprobe × dim doubles) and each LUT is the same
     bigint-quantized squared-distance aggregate as ``pq_probe``'s. Total
     size nprobe × PQ_SUBS × PQ_CODES rows — broadcast material."""
+    if not cells:
+        raise ValueError(
+            "ivfpq_lut: need at least one probed cell (nprobe >= 1)"
+        )
     if len(set(cells)) != len(cells):
         # A repeated cell would emit duplicate (cell, sub, code) LUT rows;
         # the probe's join would then fan out and SUM each matched code
         # twice — silently wrong ADC scores, so refuse loudly instead.
         raise ValueError(f"ivfpq_lut: probed cells must be unique, got {cells}")
-    q = F.lit(float(PQ_Q))
     by_id = dict(centroids)
     luts = []
     for cid in cells:
         pr = [float(p) - float(c) for p, c in zip(probe_vec, by_id[cid])]
         parr = F.array(*[F.lit(x) for x in pr])
-        pdiff = F.element_at(parr, F.col("ci").cast("int")) - F.col("cx")
         luts.append(
-            cent.groupBy("sub", "code")
-            .agg(F.sum(F.round(pdiff * pdiff * q).cast("bigint")).alias("lq"))
-            .select(F.lit(cid).alias("cell_id"), "sub", "code", "lq")
+            _adc_lut(cent, parr).select(
+                F.lit(cid).alias("cell_id"), "sub", "code", "lq"
+            )
         )
     out = luts[0]
     for other in luts[1:]:
@@ -542,12 +596,7 @@ def ivfpq_probe(
     the best ``r_pool`` ids form the shortlist, and only the
     shortlist's raw vectors are re-ranked with exact L2 — corpus floats
     outside the shortlist are never touched, same as ``pq_probe``."""
-    stamped = _stamped(codes, "code", "pq_subs") or _stamped(cent, "code", "pq_subs")
-    if stamped is not None and stamped != PQ_SUBS:
-        raise ValueError(
-            f"PQ index was built with pq_subs={stamped}, engine expects "
-            f"{PQ_SUBS}; rebuild the index"
-        )
+    _check_pq_subs_stamp(codes, cent)
     lut = ivfpq_lut(cent, probe_vec, centroids, cells)
     adc = (
         codes.where(F.col("cell_id").isin(cells))
@@ -555,20 +604,8 @@ def ivfpq_probe(
         .groupBy("vec_id")
         .agg(F.sum("lq").alias("adcq"))
     )
-    pool = (
-        adc.orderBy(F.col("adcq").asc(), F.col("vec_id").asc())
-        .limit(r_pool)
-        .select("vec_id")
-    )
-    from odl_etl_spark.functions.numeric import roundn
-
     parr = F.array(*[F.lit(float(v)) for v in probe_vec])
-    return (
-        e.join(F.broadcast(pool), "vec_id")
-        .select("vec_id", roundn(l2_distance(F.col("v"), parr), 6).alias("l2_d"))
-        .orderBy(F.col("l2_d").asc(), F.col("vec_id").asc())
-        .limit(k)
-    )
+    return _shortlist_rerank(adc, e, parr, r_pool, k)
 
 
 def ivfpq_index(
@@ -631,12 +668,18 @@ def ivfpq_index_append(
     Returns ``(assigned_rows, codes_rows)`` for the new vectors only,
     ready to append to the two stored relations (both immutable —
     ``mode("append").partitionBy("cell_id")`` at scale, no dynamic
-    overwrite). Centroids and codebook are fixed parameters, so
+    overwrite). The reserved probe id 0 is excluded from BOTH returned
+    relations (``pq_encode`` drops it from the codes unconditionally;
+    filtering it before assignment too keeps the two stores in lockstep
+    — an assigned-but-never-encoded row would inflate probed-cell
+    counts and let cell searches retrieve a vector ADC can never
+    score). Centroids and codebook are fixed parameters, so
     append ≡ rebuild-against-the-same-artifacts exactly — pinned by
     test_ivfpq_index_append_equals_reencode."""
-    new_assigned = index.append(assigned, new_e, vec_col=vec_col)
+    new_body = new_e.where(F.col(id_col) != 0)
+    new_assigned = index.append(assigned, new_body, vec_col=vec_col)
     _check_pq_append_contract(
-        cent, codes, new_e.withColumnRenamed(id_col, "vec_id"),
+        cent, codes, new_body.withColumnRenamed(id_col, "vec_id"),
         max_drift, n_existing, n_new,
         rebuild_hint="ivfpq_index(assigned, centroids, train_stamp=True)",
         retrain_hint="ivfpq_index over the re-assigned full corpus",
@@ -662,33 +705,11 @@ def pq_probe(
     then exact-L2 re-rank only the shortlisted raw vectors. ``r_pool``
     must be constant-bounded at scale (the `sim_ann_pq` R_MAX
     contract) so the re-rank broadcast stays bounded."""
-    stamped = _stamped(codes, "code", "pq_subs") or _stamped(cent, "code", "pq_subs")
-    if stamped is not None and stamped != PQ_SUBS:
-        raise ValueError(
-            f"PQ index was built with pq_subs={stamped}, engine expects "
-            f"{PQ_SUBS}; rebuild the index"
-        )
-    q = F.lit(float(PQ_Q))
+    _check_pq_subs_stamp(codes, cent)
     parr = F.array(*[F.lit(float(v)) for v in probe_vec])
-    pdiff = F.element_at(parr, F.col("ci").cast("int")) - F.col("cx")
-    lut = cent.groupBy("sub", "code").agg(
-        F.sum(F.round(pdiff * pdiff * q).cast("bigint")).alias("lq")
-    )
     adc = (
-        codes.join(F.broadcast(lut), ["sub", "code"])
+        codes.join(F.broadcast(_adc_lut(cent, parr)), ["sub", "code"])
         .groupBy("vec_id")
         .agg(F.sum("lq").alias("adcq"))
     )
-    pool = (
-        adc.orderBy(F.col("adcq").asc(), F.col("vec_id").asc())
-        .limit(r_pool)
-        .select("vec_id")
-    )
-    from odl_etl_spark.functions.numeric import roundn
-
-    return (
-        e.join(F.broadcast(pool), "vec_id")
-        .select("vec_id", roundn(l2_distance(F.col("v"), parr), 6).alias("l2_d"))
-        .orderBy(F.col("l2_d").asc(), F.col("vec_id").asc())
-        .limit(k)
-    )
+    return _shortlist_rerank(adc, e, parr, r_pool, k)

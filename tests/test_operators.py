@@ -586,10 +586,11 @@ def test_ann_index_prebuilt_identical_ivf(spark, sf_dir, tmp_path):
 
 
 def test_ivf_residual_explode_roundtrip(spark, sf_dir):
-    """Residual + centroid[cell] must reconstruct the original element
-    exactly (the subtraction is pure double arithmetic — any drift here
-    would silently skew the whole IVFADC codebook), and the sub /
-    init_code columns must follow the same contract as pq_explode's."""
+    """The engine's residual must equal the SAME double subtraction
+    computed host-side: x - centroid[cell] bit-for-bit (that identity —
+    not the non-IEEE (x-c)+c == x — is what oracle parity rests on;
+    any drift here would silently skew the whole IVFADC codebook).
+    The sub / init_code columns must follow pq_explode's contract."""
     from pyspark.sql import functions as F
 
     from odl_etl_spark.operators.ann_index import (
@@ -612,7 +613,9 @@ def test_ivf_residual_explode_roundtrip(spark, sf_dir):
         for i, x in enumerate(r["embedding"])
     }
     for r in rows[:500]:
-        assert r["x"] + cents[r["cell_id"]][r["i"] - 1] == orig[(r["vec_id"], r["i"])]
+        # Same-op identity: Python and the codegen'd expression perform
+        # the identical IEEE double subtraction, so == is exact here.
+        assert r["x"] == orig[(r["vec_id"], r["i"])] - cents[r["cell_id"]][r["i"] - 1]
         assert r["sub"] == (r["i"] - 1) // PQ_SUB_DIM
         assert r["init_code"] == r["vec_id"] % PQ_CODES
 

@@ -998,6 +998,16 @@ def test_shuffle_audit_exit_codes(tmp_path):
     assert miss.returncode == 1, miss.stdout + miss.stderr
     assert "scan_pruned" in json.load(open(out))["unbaselined"]
 
+    # A typo'd key name must error (exit 2), not produce a green
+    # "0 audited" run.
+    typo = subprocess.run(
+        [sys.executable, "tools/shuffle_audit.py", str(out), "scan_prunedd"],
+        cwd=repo, env=dict(os.environ), capture_output=True, text=True,
+        timeout=600,
+    )
+    assert typo.returncode == 2, typo.stdout + typo.stderr
+    assert json.load(open(out))["errors"]["scan_prunedd"] == "not a registry key"
+
 
 def test_table_profile_incremental_mergeable_crawl_shape(spark, sf_dir):
     # Round-15 addition. Three pins: (1) the per-partition crawl

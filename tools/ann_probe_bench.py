@@ -37,8 +37,14 @@ DEFAULT_CORPUS = os.path.join(REPO, ".scale", "sf100p")
 
 
 def main() -> None:
-    corpus = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_CORPUS
+    explicit = len(sys.argv) > 1
+    corpus = sys.argv[1] if explicit else DEFAULT_CORPUS
     if not os.path.exists(os.path.join(corpus, "embeddings.parquet")):
+        if explicit:
+            # Never silently benchmark a different corpus than the one
+            # asked for — a typo'd path must fail, not publish sf0.1
+            # numbers under the requested label.
+            raise SystemExit(f"no embeddings.parquet under {corpus}")
         corpus = "/root/testdata/sf0.1"
     out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/ann_probe_bench.json"
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 5
@@ -98,12 +104,17 @@ def main() -> None:
     res_cent = spark.read.parquet(os.path.join(store, "ivfpq_cent"))
     res_codes = spark.read.parquet(os.path.join(store, "ivfpq_codes"))
 
-    # Fresh probe vectors per rep (cycled corpus members) so no rep hits
-    # a cached result; one untimed warm-up each.
-    probe_ids = [0, 7, 23, 41, 97, 131][: reps + 1]
+    # Fresh probe vectors per rep (corpus members, taken FROM the corpus
+    # so any id layout works) so no rep hits a cached result; one
+    # untimed warm-up each. reps beyond the corpus size are clamped
+    # loudly rather than silently truncated.
+    rows = e.orderBy(F.col("vec_id").asc()).limit(reps + 1).collect()
+    if len(rows) < reps + 1:
+        print(f"corpus has only {len(rows)} vectors; clamping reps to {len(rows) - 1}")
+        reps = len(rows) - 1
+    probe_ids = [int(r["vec_id"]) for r in rows]
     probes = {
-        int(r["vec_id"]): [float(x) for x in r["embedding"]]
-        for r in e.where(F.col("vec_id").isin(probe_ids)).collect()
+        int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows
     }
 
     def run_flat(pv):

@@ -59,9 +59,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
+    reg = registry()
     counts: dict[str, int] = {}
     errors: dict[str, str] = {}
-    for name, q in registry().items():
+    if only:
+        # A typo'd key must not yield a green "0 audited" run — green
+        # means every REQUESTED key was audited (the sort-audit lesson,
+        # ADVICE r14 #2, applied to the request side).
+        for name in set(only) - set(reg):
+            errors[name] = "not a registry key"
+    for name, q in reg.items():
         if only and name not in only:
             continue
         try:
