@@ -443,6 +443,18 @@ def _check_pq_append_contract(
         )
 
 
+IVF_LITERAL_CELLS_MAX = 64
+"""Cell count above which ``ivf_residual_explode`` switches from the
+nested-literal centroid lookup to a broadcast relation join. The
+literal folds n_cells × dim doubles into EVERY row expression, so plan
+size (and generated code) grows linearly with the cell count: fine at
+the fixture's 8×64 = 512 doubles, hostile to whole-stage codegen at a
+production IVF's thousands of cells (ADVICE r15 #4). 64 × 64 = 4096
+literal doubles is comfortably inside codegen limits; beyond that a
+broadcast hash join against a (cell_id, i, cx) element relation costs
+one broadcast of exactly the same doubles and keeps the plan O(1)."""
+
+
 def ivf_residual_explode(
     assigned: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -459,7 +471,13 @@ def ivf_residual_explode(
     (cell_id, i) — n_cells × dim doubles folded into the row expression,
     so the residual is pure whole-stage-codegen arithmetic: no join, no
     broadcast relation, nothing shuffled beyond the explode itself. The
-    same columns feed ``pq_codebook`` / ``pq_encode`` unchanged."""
+    same columns feed ``pq_codebook`` / ``pq_encode`` unchanged.
+
+    The literal path is bounded at ``IVF_LITERAL_CELLS_MAX`` cells:
+    above that, the function transparently switches to a broadcast join
+    against a (cell_id, i, cx) centroid element relation — identical
+    output, O(1) plan size — so a production-scale cell count can never
+    bloat or break codegen."""
     cents_sorted = sorted(centroids, key=lambda t: t[0])
     if [cid for cid, _ in cents_sorted] != list(range(len(cents_sorted))):
         # The +1-indexed literal lookup below is POSITIONAL: a gapped or
@@ -471,18 +489,30 @@ def ivf_residual_explode(
             "ivf_residual_explode expects dense 0..n-1 cell ids "
             f"(IvfIndex.build's enumeration); got {[c for c, _ in cents_sorted]}"
         )
-    cents_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in cv]) for _, cv in cents_sorted]
-    )
     ex = assigned.select(
         F.col(id_col).alias("vec_id"),
         "cell_id",
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("i0", "x0"),
     )
-    cx_ivf = F.element_at(
-        F.element_at(cents_lit, F.col("cell_id").cast("int") + 1),
-        (F.col("i0") + 1).cast("int"),
-    )
+    if len(cents_sorted) > IVF_LITERAL_CELLS_MAX:
+        cent_rel = assigned.sparkSession.createDataFrame(
+            [
+                (int(cid), i, float(x))
+                for cid, cv in cents_sorted
+                for i, x in enumerate(cv)
+            ],
+            "cell_id int, i0 int, cx double",
+        )
+        ex = ex.join(F.broadcast(cent_rel), ["cell_id", "i0"])
+        cx_ivf = F.col("cx")
+    else:
+        cents_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in cv]) for _, cv in cents_sorted]
+        )
+        cx_ivf = F.element_at(
+            F.element_at(cents_lit, F.col("cell_id").cast("int") + 1),
+            (F.col("i0") + 1).cast("int"),
+        )
     return ex.select(
         "vec_id",
         "cell_id",
@@ -562,8 +592,25 @@ def ivfpq_lut(
         # twice — silently wrong ADC scores, so refuse loudly instead.
         raise ValueError(f"ivfpq_lut: probed cells must be unique, got {cells}")
     by_id = dict(centroids)
+    missing = sorted(set(cells) - set(by_id))
+    if missing:
+        # A bare KeyError from by_id[cid] would point at a dict lookup,
+        # not at the contract the caller broke (probed cells must come
+        # from the SAME centroid set that built the codes) — same loud-
+        # ValueError convention as the gapped/duplicate/empty refusals.
+        raise ValueError(
+            f"ivfpq_lut: probed cells {missing} not in the centroid set "
+            f"{sorted(by_id)} — probe with the index's own nearest_cells"
+        )
     luts = []
     for cid in cells:
+        if len(probe_vec) != len(by_id[cid]):
+            # zip() would silently truncate to the shorter side — a
+            # residual missing dimensions scores every code too close.
+            raise ValueError(
+                f"ivfpq_lut: probe dim {len(probe_vec)} != centroid dim "
+                f"{len(by_id[cid])} for cell {cid} — wrong-index probe"
+            )
         pr = [float(p) - float(c) for p, c in zip(probe_vec, by_id[cid])]
         parr = F.array(*[F.lit(x) for x in pr])
         luts.append(

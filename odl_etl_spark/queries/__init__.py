@@ -68,96 +68,94 @@ def _check_order(out: dict[str, QuerySpec]) -> list[str]:
     the first 50 registry keys per round, so ordering is the verification
     budget.
 
-    Round-15 window (the rotation pre-written in round 14 and applied
-    AFTER the 50-row r14 driver window landed 50/50 green; priority
-    order per the judge's r14 pre-write):
+    Round-16 window (the rotation pre-written in round 15 and applied
+    AFTER the 50-row r15 driver window landed 50/50 green; priority
+    order per the judge's r15 pre-write):
 
-      1. `sql_tpch_q21` + `corpus_curation_funnel` — the two r10-stale
-         remainders (the 190/50 staleness-floor arithmetic from r14).
-      2. `scan_dpp_join` + `table_profile` — the round-14 additive
-         keys, first driver rows.
-      3. Changed-plan keys whose latest rows predate round-14/15
-         fixes: `scan_schema_evolution` (r13 row predates the
-         era_split NULL fix) and the three pq_encode consumers
-         (`sim_ann_pq`, `sim_ann_pq_probe`, `ann_index_pq_ingest_probe`
-         — re-planned r14 by the packed-bigint argmin AND r15 by the
-         enforced `_PQ_PACK_BOUND` guard, ADVICE r14 #4).
-      4. All 40 r11-stale keys in registry order, then the first two
-         r12-stale keys (`scan_parquet`, `scan_pruned`) to fill 50.
+      1. `table_profile_incremental` + `sim_ann_ivfpq` — the round-15
+         additive keys, first driver rows (`sim_ann_ivfpq` also carries
+         a round-16 plan change: the assignment lineage cut, ADVICE
+         r15 #2).
+      2. `graph_triangles` — changed plan r15 (edges lineage cut +
+         broadcast triangle join, 100→1 planned exchanges); its r14
+         driver row attests the dead plan.
+      3. All 45 r12-stale keys in registry order.
+      4. Fill to 50: the first two r13-stale keys in registry order
+         (`sink_partitioned`, `sink_orc_roundtrip`).
 
-    After this window lands, every registry key has a driver row, no
-    row is older than r12, and every changed plan is attested.
+    After this window lands, the staleness floor rises to r13
+    (45 r13 + 49 r14 + 50 r15 + 50 r16 = 194), and the round's one
+    additive key (`ann_index_ivfpq_ingest_probe`, completing the
+    four-family ANN ingest symmetry) sits at the registry tail
+    awaiting its r17 slot.
 
-    Round-16 rotation plan (do NOT apply before the r15 driver run
-    lands; after it, staleness is 45 r12 + 47 r13 + 50 r14 + 50 r15
-    plus any r15 additive keys without rows): r15 additive keys first
-    (first driver rows — `table_profile_incremental` and
-    `sim_ann_ivfpq`), then `graph_triangles` (changed plan r15: edges
-    lineage cut + broadcast triangle join, 100→1 planned exchanges —
-    its r14 row attests the old plan), then
-    the 45 remaining r12-stale keys in registry order, then r13-stale
-    keys in registry order to fill 50.
+    Round-17 rotation plan (do NOT apply before the r16 driver run
+    lands): `ann_index_ivfpq_ingest_probe` first (first driver row),
+    then the 45 remaining r13-stale keys in registry order, then
+    r14-stale keys in registry order to fill 50 (`filter_pred`,
+    `scalar_string`, `scalar_date`, `scalar_math`). After r17 the
+    floor rises to r14.
 
-    Round-15 PRE-VERIFICATION (standing pattern): the exact 50-key
+    Round-16 PRE-VERIFICATION (standing pattern): the exact 50-key
     list below ran values+types green through the plain-session
-    type-aware replica at round-15 HEAD after the ADVICE fixes
-    (PQ pack guard included) — run log in SCALING.md round-15."""
+    type-aware replica at round-16 HEAD after the ADVICE fixes
+    (assignment materialize included) — run log in SCALING.md
+    round-16."""
     first = [
-        # --- r10-stale remainders ---
-        "sql_tpch_q21",
-        "corpus_curation_funnel",
-        # --- round-14 additive keys: first driver rows ---
-        "scan_dpp_join",
-        "table_profile",
-        # --- changed-plan keys (era_split fix; PQ argmin + pack guard) ---
-        "scan_schema_evolution",
-        "sim_ann_pq",
-        "sim_ann_pq_probe",
-        "ann_index_pq_ingest_probe",
-        # --- all 40 r11-stale keys, registry order ---
-        "sort_zorder",
-        "scalar_null",
-        "scalar_array",
-        "scalar_map",
-        "udf_scalar_pandas",
-        "join_inner_equi",
-        "join_full",
-        "subq_in",
-        "subq_scalar",
-        "join_left",
-        "join_semi",
-        "join_anti",
-        "join_theta_range",
-        "join_asof",
-        "agg_stats",
-        "agg_collect",
-        "agg_pivot",
-        "stream_running_totals",
-        "text_repetition",
-        "dedup_decontaminate",
-        "corpus_mix",
-        "dedup_incremental",
-        "emb_quantize",
-        "graph_pagerank",
-        "multimodal_catalog",
-        "multimodal_image_features",
-        "multimodal_video_frames",
-        "dedup_span_rewrite",
-        "quality_gopher",
-        "corpus_filter_c4",
-        "emb_norm_stats",
-        "join_interval_overlap",
-        "events_active_users",
-        "win_mad_outlier",
-        "text_ngram_profile",
-        "text_entropy",
-        "events_funnel_time",
-        "emb_pq_codebook",
-        "text_idf_stop",
-        "dedup_cluster_incremental",
-        # --- fill to 50: first r12-stale keys, registry order ---
-        "scan_parquet",
-        "scan_pruned",
+        # --- round-15 additive keys: first driver rows ---
+        "table_profile_incremental",
+        "sim_ann_ivfpq",
+        # --- changed-plan key (100->1 exchange triangle replan) ---
+        "graph_triangles",
+        # --- all 45 r12-stale keys, registry order ---
+        "sink_csv_roundtrip",
+        "sink_jsonl_roundtrip",
+        "udaf_regression",
+        "explode_posexplode",
+        "scalar_variant",
+        "agg_approx_quantile",
+        "agg_distinct",
+        "agg_approx_distinct",
+        "agg_rollup",
+        "agg_cube",
+        "agg_gsets",
+        "agg_having",
+        "agg_decimal_exact",
+        "win_rank",
+        "win_analytic",
+        "win_frame",
+        "win_ntile",
+        "win_cume",
+        "win_range_frame",
+        "sort_limit",
+        "topk_per_group",
+        "set_union",
+        "set_intersect",
+        "set_except",
+        "stream_tumbling",
+        "stream_sliding",
+        "stream_session",
+        "stream_dedup",
+        "stream_interval_join",
+        "scd2_build",
+        "timeseries_resample",
+        "events_anomaly",
+        "events_path_topk",
+        "timeseries_ewma",
+        "text_tokenize_tf",
+        "text_ngrams",
+        "text_lang_stats",
+        "text_token_count",
+        "text_pack_sequences",
+        "sim_maxsim",
+        "ann_index_ivf_ingest_probe",
+        "emb_covariance",
+        "text_ngram_containment",
+        "sim_rerank_pipeline",
+        "dedup_stream_ingest",
+        # --- fill to 50: first r13-stale keys, registry order ---
+        "sink_partitioned",
+        "sink_orc_roundtrip",
     ]
     assert len(first) == 50, len(first)
     assert all(k in out for k in first), sorted(set(first) - set(out))

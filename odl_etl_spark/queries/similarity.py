@@ -1090,10 +1090,17 @@ def sim_ann_ivfpq(spark, sf_dir):
         pq_r_pool,
     )
 
+    from odl_etl_spark.operators.materialize import materialize
+
     e = load_table(spark, sf_dir, "embeddings")
     probe = _probe_vec(spark, sf_dir, 0)
     index = IvfIndex.build(e, n_cells=8)
-    assigned = index.assign(e.where(F.col("vec_id") != 0))
+    # Lineage cut (ADVICE r15 #2): the assignment is read twice — the
+    # eager n_probed count below and the codes/ADC lineage — so without
+    # a cut the full assign pipeline (scan + argmin) executes twice at
+    # build time. At scale the assignment IS the stored cell-partitioned
+    # relation, so materializing it here models the deployment exactly.
+    assigned = materialize(index.assign(e.where(F.col("vec_id") != 0)))
     ex = ivf_residual_explode(assigned, index.centroids)
     cent = pq_codebook(ex)
     codes = pq_encode(ex, cent, extra_keys=("cell_id",))

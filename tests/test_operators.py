@@ -693,6 +693,43 @@ def test_ivfpq_lut_refuses_duplicate_cells(spark, sf_dir):
     probe = _probe_vec(spark, sf_dir, 0)
     with pytest.raises(ValueError, match="unique"):
         ivfpq_lut(cent, probe, index.centroids, [1, 1])
+    # A probed cell outside the centroid set must refuse with the
+    # module's loud-ValueError convention, not a bare KeyError
+    # (ADVICE r15 #1).
+    with pytest.raises(ValueError, match="not in the centroid set"):
+        ivfpq_lut(cent, probe, index.centroids, [1, 99])
+    # A probe/centroid dimension mismatch must refuse instead of letting
+    # zip() silently truncate the residual (ADVICE r15 #1).
+    with pytest.raises(ValueError, match="probe dim"):
+        ivfpq_lut(cent, probe[:-1], index.centroids, [1])
+
+
+def test_ivf_residual_explode_broadcast_fallback(spark, sf_dir, monkeypatch):
+    """Above IVF_LITERAL_CELLS_MAX cells the residual view must switch
+    from the nested centroid literal to a broadcast element-relation
+    join (ADVICE r15 #4: literal size grows linearly with cell count and
+    would bloat codegen at production cell counts) — with IDENTICAL
+    output, since both paths perform the same IEEE double subtraction."""
+    from pyspark.sql import functions as F
+
+    from odl_etl_spark.operators import ann_index
+    from odl_etl_spark.operators.similarity import IvfIndex
+
+    e = load_table(spark, sf_dir, "embeddings")
+    index = IvfIndex.build(e, n_cells=8)
+    assigned = e.where(F.col("vec_id") != 0).limit(50)
+    assigned = index.assign(assigned)
+    lit_rows = sorted(
+        tuple(r)
+        for r in ann_index.ivf_residual_explode(
+            assigned, index.centroids
+        ).collect()
+    )
+    monkeypatch.setattr(ann_index, "IVF_LITERAL_CELLS_MAX", 4)
+    fb = ann_index.ivf_residual_explode(assigned, index.centroids)
+    # The fallback plan must actually carry the broadcast join.
+    assert "BroadcastHashJoin" in fb._jdf.queryExecution().executedPlan().toString()
+    assert sorted(tuple(r) for r in fb.collect()) == lit_rows
 
 
 def test_ivfpq_index_append_equals_reencode_and_enforces_contracts(spark, sf_dir):

@@ -77,6 +77,16 @@ def main() -> None:
             errors[name] = f"{type(e).__name__}: {e}"[:200]
 
     if update:
+        if errors:
+            # Refuse to rewrite the baseline from a partial sweep: a
+            # baseline written while keys errored would silently drop
+            # those keys from the ratchet (ADVICE r15 #3).
+            print(
+                f"baseline NOT updated: {len(errors)} key(s) errored "
+                f"({', '.join(sorted(errors))}) — fix and re-run"
+            )
+            spark.stop()
+            sys.exit(2)
         baseline = {}
         if os.path.exists(BASELINE_PATH):
             with open(BASELINE_PATH) as f:
@@ -86,7 +96,7 @@ def main() -> None:
             json.dump(dict(sorted(baseline.items())), f, indent=1)
         print(f"baseline updated: {len(counts)} keys -> {BASELINE_PATH}")
         spark.stop()
-        sys.exit(2 if errors else 0)
+        sys.exit(0)
 
     baseline: dict[str, int] = {}
     if os.path.exists(BASELINE_PATH):
@@ -122,7 +132,10 @@ def main() -> None:
         f"{len(errors)} errored -> {out_path}"
     )
     spark.stop()
-    sys.exit(1 if (regressed or unbaselined) else (2 if errors else 0))
+    # Errors dominate (ADVICE r15 #3): "some keys could not be audited"
+    # must never be masked by a simultaneous regression — a caller that
+    # only checks the code needs exit 2 to mean the sweep is incomplete.
+    sys.exit(2 if errors else (1 if (regressed or unbaselined) else 0))
 
 
 if __name__ == "__main__":
