@@ -731,6 +731,14 @@ def ivfpq_index_append(
         rebuild_hint="ivfpq_index(assigned, centroids, train_stamp=True)",
         retrain_hint="ivfpq_index over the re-assigned full corpus",
     )
+    # Lineage cut AFTER the refusal gates: both returned relations read
+    # the batch assignment (codes derive from its residuals), so a
+    # caller persisting the pair would otherwise run the batch's
+    # argmin-assign twice. Batch-bounded — this is the arriving
+    # micro-batch, not the corpus.
+    from odl_etl_spark.operators.materialize import materialize
+
+    new_assigned = materialize(new_assigned)
     ex = ivf_residual_explode(
         new_assigned, index.centroids, id_col=id_col, vec_col=vec_col
     )

@@ -1118,6 +1118,83 @@ def sim_ann_ivfpq(spark, sf_dir):
     )
 
 
+@spec(
+    "ann_index_ivfpq_ingest_probe",
+    _IVFPQ_ORACLE,
+    doc=(
+        "Daily-ingest maintenance for the stored IVFADC index — the "
+        "fourth and final family of the oracled append symmetry "
+        "(hyperplane: `ann_index_ingest_probe`; PQ: "
+        "`ann_index_pq_ingest_probe`; IVF: `ann_index_ivf_ingest_"
+        "probe`; the composition was batch-only until round 16). The "
+        "residual codebook is trained ONCE over the full corpus "
+        "assignment (`sim_ann_ivfpq`'s training set — append must "
+        "reproduce its oracle) with the pq_train_n staleness stamp; "
+        "the standing corpus (vec_id % 5 != 4) is residual-encoded "
+        "against it and materialized as the stored cell-carrying codes "
+        "relation; then the 'daily batch' (the remaining vectors) is "
+        "append-encoded via operators/ann_index.ivfpq_index_append — "
+        "which applies BOTH halves' refusal sets (centroid count + "
+        "value checksum; codebook subspace/training stamps + drift "
+        "bound) before assigning and encoding ONLY the new vectors. "
+        "Centroids and codebook are fixed parameters, so stored ∪ "
+        "appended ≡ encoding the whole corpus at once: this key shares "
+        "`sim_ann_ivfpq`'s oracle and the driver's hash compare IS the "
+        "append≡re-encode proof at every scale. At 100 TB the appended "
+        "codes and assignments land under their own `_batch_id` "
+        "partitions in the stored layout (streaming/ingest_ann."
+        "ingest_ivfpq_stream is the readStream loop; its per-cell "
+        "counts sidecar keeps BOTH the probe's r_pool sizing and the "
+        "staleness count O(#batches × n_cells)); once the corpus "
+        "drifts past 50% of the stamped training size the append "
+        "refuses loudly and retrain_ivfpq_state is the remedy."
+    ),
+)
+def ann_index_ivfpq_ingest_probe(spark, sf_dir):
+    from odl_etl_spark.operators.ann_index import (
+        ivf_residual_explode,
+        ivfpq_index,
+        ivfpq_index_append,
+        ivfpq_probe,
+        pq_encode,
+        pq_r_pool,
+    )
+    from odl_etl_spark.operators.materialize import materialize
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probe = _probe_vec(spark, sf_dir, 0)
+    index = IvfIndex.build(e, n_cells=8)
+    # One assign pass over the corpus: the full assignment trains the
+    # codebook AND supplies the stored (standing) rows by filter — the
+    # arriving batch alone is re-assigned inside the append, modeling
+    # ingest exactly.
+    full_assigned = materialize(index.assign(e.where(F.col("vec_id") != 0)))
+    cent, _ = ivfpq_index(full_assigned, index.centroids, train_stamp=True)
+    cent = materialize(cent)
+    stored_assigned = full_assigned.where(F.col("vec_id") % 5 != 4)
+    arriving = e.where((F.col("vec_id") != 0) & (F.col("vec_id") % 5 == 4))
+    stored_codes = materialize(
+        pq_encode(
+            ivf_residual_explode(stored_assigned, index.centroids),
+            cent,
+            extra_keys=("cell_id",),
+        )
+    )
+    _, new_codes = ivfpq_index_append(
+        index, stored_assigned, cent, stored_codes, arriving
+    )
+    codes = stored_codes.unionByName(new_codes)
+    cells = index.nearest_cells(probe, nprobe=2)
+    n_probed = full_assigned.where(F.col("cell_id").isin(cells)).count()
+    ev = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return ivfpq_probe(
+        codes, cent, ev, probe, index.centroids, cells,
+        pq_r_pool(n_probed), k=10,
+    )
+
+
 SPECS = [
     sim_topk,
     sim_pairwise_label,
@@ -1136,4 +1213,5 @@ SPECS = [
     ann_index_pq_ingest_probe,
     ann_index_ivf_ingest_probe,
     sim_ann_ivfpq,
+    ann_index_ivfpq_ingest_probe,
 ]

@@ -660,3 +660,313 @@ def retrain_pq_state(
     os.rename(path, prev)
     os.rename(tmp, path)
     shutil.rmtree(prev)
+
+
+# ---------------------------------------------------------------------------
+# IVFADC (composed IVF-PQ) family — the fourth and final ingest loop,
+# completing the append symmetry across every stored index the engine
+# ships. Its state is THREE cross-dependent relations: the residual
+# codebook, the cell-carrying codes, and the coarse cell assignment —
+# codes are only meaningful against the codebook AND the centroid set
+# that produced their residuals, so (like PQ) the swap unit is the
+# PARENT directory ``ivfpq/``; the centroids themselves are fixed
+# parameters carried by the caller's ``IvfIndex`` (like the IVF loop).
+#
+# The counts sidecar here is PER (batch, cell) — n_cells rows per batch
+# instead of PQ's one — because the IVFADC probe's shortlist contract
+# sizes r_pool from the PROBED cells' member count, not the whole
+# corpus (`sim_ann_ivfpq`): summing the probed cells' sidecar rows is
+# the O(#batches × n_cells) metadata count the key's docstring promises
+# at scale. The corpus-level staleness count is the same sidecar summed
+# over all cells. Inherits `_commit_pq_count`'s batch-disjoint vec_id
+# assumption.
+# ---------------------------------------------------------------------------
+
+_IVFPQ_SUB = "ivfpq"
+
+
+def _ivfpq_paths(state_dir: str) -> tuple[str, str, str]:
+    root = os.path.join(state_dir, _IVFPQ_SUB)
+    return (
+        os.path.join(root, "codebook"),
+        os.path.join(root, "codes"),
+        os.path.join(root, "cells"),
+    )
+
+
+def _ivfpq_counts_path(state_dir: str) -> str:
+    return os.path.join(state_dir, _IVFPQ_SUB, "counts")
+
+
+def _ivfpq_cell_counts(assigned_batch: DataFrame) -> DataFrame:
+    """(cell_id, n) distinct-member counts of one batch's assignment —
+    the sidecar rows committed per batch."""
+    return assigned_batch.groupBy("cell_id").agg(
+        F.countDistinct("vec_id").alias("n")
+    )
+
+
+def _commit_ivfpq_counts(
+    assigned_batch: DataFrame, state_dir: str, batch_id: int
+) -> None:
+    """Stamp one batch's per-cell sidecar partition (dynamic overwrite
+    keyed by ``_batch_id`` — replay-idempotent, same as the PQ
+    sidecar)."""
+    (
+        _ivfpq_cell_counts(assigned_batch)
+        .withColumn("_batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(_ivfpq_counts_path(state_dir))
+    )
+
+
+def _backfill_ivfpq_counts(spark: SparkSession, state_dir: str) -> None:
+    """Materialize the per-cell counts sidecar for a store that predates
+    it (or lost it between bootstrap's writes): one scan of the stored
+    assignment, ONCE, from the append (write) path — the read path
+    stays read-only (the `_backfill_pq_counts` posture)."""
+    if _read_or_none(spark, _ivfpq_counts_path(state_dir)) is not None:
+        return
+    _, _, cells_path = _ivfpq_paths(state_dir)
+    cells = _read_or_none(spark, cells_path)
+    if cells is None:
+        return
+    (
+        cells.groupBy("_batch_id", "cell_id")
+        .agg(F.countDistinct("vec_id").alias("n"))
+        .select("cell_id", "n", "_batch_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(_ivfpq_counts_path(state_dir))
+    )
+
+
+def _ivfpq_count(
+    spark: SparkSession,
+    state_dir: str,
+    cells: list[int] | None = None,
+    exclude_batch_id: int | None = None,
+) -> int:
+    """Member count of the ingested IVFADC store from the sidecar —
+    all cells (``cells=None``: the staleness contract's corpus count)
+    or the probed subset (the probe's r_pool count). O(#batches ×
+    n_cells) rows, never an Aggregate over the stored relations; falls
+    back to one assignment-store scan only for a store predating the
+    sidecar (the append path backfills it so the fallback is paid at
+    most once)."""
+    counts = _read_or_none(spark, _ivfpq_counts_path(state_dir))
+    if counts is None:  # legacy store: pay the scan, loudly once
+        _, _, cells_path = _ivfpq_paths(state_dir)
+        rel = spark.read.parquet(cells_path)
+        if exclude_batch_id is not None:
+            rel = rel.where(F.col("_batch_id") != exclude_batch_id)
+        if cells is not None:
+            rel = rel.where(F.col("cell_id").isin(cells))
+        return rel.select("vec_id").distinct().count()
+    if exclude_batch_id is not None:
+        counts = counts.where(F.col("_batch_id") != exclude_batch_id)
+    if cells is not None:
+        counts = counts.where(F.col("cell_id").isin(cells))
+    return counts.agg(F.coalesce(F.sum("n"), F.lit(0))).head()[0]
+
+
+def bootstrap_ivfpq_state(corpus_v: DataFrame, state_dir: str, index) -> None:
+    """Assign the standing corpus once against the index's fixed
+    centroids, train the residual codebook on it (``train_stamp=True``
+    — the staleness contract's prerequisite), and commit all three
+    artifacts plus the sidecar as ``_batch_id=-1``. ``corpus_v``
+    carries (vec_id, v: array<double>). The reserved probe id 0 is
+    excluded up front so the cells and codes stores stay in lockstep
+    (``pq_encode`` would drop it from the codes unconditionally —
+    see ``ivfpq_index_append``)."""
+    from odl_etl_spark.operators.ann_index import ivfpq_index
+    from odl_etl_spark.operators.materialize import materialize
+
+    cent_path, codes_path, cells_path = _ivfpq_paths(state_dir)
+    # Read 4x below (train count, codes lineage, cells write, sidecar):
+    # one assign pass, then executor-local blocks.
+    assigned = materialize(
+        index.assign(corpus_v.where(F.col("vec_id") != 0), vec_col="v")
+    )
+    cent, codes = ivfpq_index(
+        assigned, index.centroids, train_stamp=True, vec_col="v"
+    )
+    cent.write.mode("overwrite").parquet(cent_path)
+    codes.withColumn("_batch_id", F.lit(-1)).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("_batch_id").parquet(codes_path)
+    assigned.withColumn("_batch_id", F.lit(-1)).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("_batch_id").parquet(cells_path)
+    _commit_ivfpq_counts(assigned, state_dir, -1)
+
+
+def ivfpq_append_and_commit(
+    batch_df: DataFrame, batch_id: int, state_dir: str, index
+) -> None:
+    """foreachBatch handler: encode ONLY this batch against the STORED
+    codebook + the index's fixed centroids via ``ivfpq_index_append`` —
+    which applies BOTH halves' refusal sets (centroid count+checksum
+    stamps, codebook subspace/training stamps, drift-bounded staleness)
+    before anything is encoded, so a drifted or mismatched deployment
+    fails the stream loudly. Commit order is codes → cells → counts: a
+    crash mid-handler can leave encoded-but-uncounted rows (a probe's
+    r_pool then errs SMALL until the replay rewrites all three
+    partitions idempotently) but never the assigned-but-never-encoded
+    rows the append operator's docstring warns about, and the sidecar
+    never claims rows the codes store doesn't hold."""
+    from odl_etl_spark.operators.ann_index import ivfpq_index_append
+
+    spark = batch_df.sparkSession
+    cent_path, codes_path, cells_path = _ivfpq_paths(state_dir)
+    cent = _read_or_none(spark, cent_path)
+    codes = _read_or_none(spark, codes_path)
+    cells = _read_or_none(spark, cells_path)
+    if cent is None or codes is None or cells is None:
+        raise RuntimeError(
+            "ivfpq ingest state not bootstrapped - call "
+            "bootstrap_ivfpq_state(corpus_v, state_dir, index) first"
+        )
+    committed_cells = cells.where(F.col("_batch_id") != batch_id).drop("_batch_id")
+    committed_codes = codes.where(F.col("_batch_id") != batch_id).drop("_batch_id")
+    _backfill_ivfpq_counts(spark, state_dir)
+    n_existing = _ivfpq_count(spark, state_dir, exclude_batch_id=batch_id)
+    n_batch = (
+        batch_df.where(F.col("vec_id") != 0).select("vec_id").distinct().count()
+    )
+    new_assigned, new_codes = ivfpq_index_append(
+        index, committed_cells, cent, committed_codes, batch_df,
+        n_existing=n_existing, n_new=n_batch, vec_col="v",
+    )
+    new_codes.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy(
+        "_batch_id"
+    ).parquet(codes_path)
+    new_assigned.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy(
+        "_batch_id"
+    ).parquet(cells_path)
+    _commit_ivfpq_counts(new_assigned, state_dir, batch_id)
+
+
+def ingest_ivfpq_stream(
+    arrivals: DataFrame,
+    corpus_v: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    index,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """The vector-ingest loop for the composed IVFADC family: torn-swap
+    recovery on the parent ``ivfpq/`` unit, bootstrap-if-absent (refused
+    if the checkpoint witnesses committed batches against a lost store),
+    then per-batch doubly-validated append-encode."""
+    recover_torn_swap(state_dir, subs=(_IVFPQ_SUB,))
+    _, codes_path, _ = _ivfpq_paths(state_dir)
+    if _read_or_none(arrivals.sparkSession, codes_path) is None:
+        _refuse_bootstrap_on_committed_checkpoint(checkpoint, state_dir, "ivfpq")
+        bootstrap_ivfpq_state(corpus_v, state_dir, index)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        ivfpq_append_and_commit(batch_df, batch_id, state_dir, index)
+
+    writer = (
+        arrivals.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stored_ivfpq(
+    spark: SparkSession, state_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(codebook, codes, cell-assignment) across all committed batches —
+    the triple ``ivfpq_probe`` searches (the assignment is the raw-
+    vector side's bookkeeping; probes touch it only via the sidecar)."""
+    cent_path, codes_path, cells_path = _ivfpq_paths(state_dir)
+    return (
+        spark.read.parquet(cent_path),
+        spark.read.parquet(codes_path).drop("_batch_id"),
+        spark.read.parquet(cells_path).drop("_batch_id"),
+    )
+
+
+def probe_ivfpq_state(
+    spark: SparkSession,
+    state_dir: str,
+    index,
+    e: DataFrame,
+    probe_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Search the ingested IVFADC store: cell filter (partition pruning
+    against the stored layout) → per-cell broadcast ADC LUTs → R_MAX-
+    capped shortlist sized from the PROBED cells' sidecar count → exact
+    re-rank of only the shortlisted raw vectors in ``e``."""
+    from odl_etl_spark.operators.ann_index import ivfpq_probe, pq_r_pool
+
+    cent, codes, _ = stored_ivfpq(spark, state_dir)
+    cells = index.nearest_cells(probe_vec, nprobe=nprobe)
+    n_probed = _ivfpq_count(spark, state_dir, cells=cells)
+    return ivfpq_probe(
+        codes, cent, e, probe_vec, index.centroids, cells,
+        pq_r_pool(n_probed), k=k,
+    )
+
+
+def retrain_ivfpq_state(
+    spark: SparkSession, state_dir: str, full_corpus_v: DataFrame, index
+) -> None:
+    """The staleness remedy ``ivfpq_index_append`` prescribes: re-assign
+    the CURRENT corpus against the (fixed) centroids, retrain the
+    residual codebook on it, re-encode everything, and fold all batches
+    into ``_batch_id=-1``. All four artifacts are staged fully under
+    ``ivfpq_compacting/`` BEFORE the live dir is renamed away — the
+    ``retrain_pq_state`` parent-swap discipline extended to the triple —
+    so a crash can never persist a mixed new-codebook/old-codes (or
+    re-assigned/old-encoded) state; ``recover_torn_swap`` completes or
+    rolls back the whole unit."""
+    import shutil
+
+    from odl_etl_spark.operators.ann_index import ivfpq_index
+    from odl_etl_spark.operators.materialize import materialize
+
+    recover_torn_swap(state_dir, subs=(_IVFPQ_SUB,))
+    path = os.path.join(state_dir, _IVFPQ_SUB)
+    tmp = path + "_compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    assigned = materialize(
+        index.assign(full_corpus_v.where(F.col("vec_id") != 0), vec_col="v")
+    )
+    cent, codes = ivfpq_index(
+        assigned, index.centroids, train_stamp=True, vec_col="v"
+    )
+    cent.write.mode("overwrite").parquet(os.path.join(tmp, "codebook"))
+    codes.withColumn("_batch_id", F.lit(-1)).write.mode("overwrite").partitionBy(
+        "_batch_id"
+    ).parquet(os.path.join(tmp, "codes"))
+    assigned.withColumn("_batch_id", F.lit(-1)).write.mode(
+        "overwrite"
+    ).partitionBy("_batch_id").parquet(os.path.join(tmp, "cells"))
+    (
+        _ivfpq_cell_counts(assigned)
+        .withColumn("_batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .partitionBy("_batch_id")
+        .parquet(os.path.join(tmp, "counts"))
+    )
+    mark_stage_complete(tmp)
+    prev = path + "_old"
+    shutil.rmtree(prev, ignore_errors=True)
+    os.rename(path, prev)
+    os.rename(tmp, path)
+    shutil.rmtree(prev)

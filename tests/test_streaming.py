@@ -2011,3 +2011,143 @@ def test_stream_late_drop_matches_true_watermark_stream(spark, sf_dir, tmp_path)
     # strictly below the full event count.
     admitted = sum(n for (_, _, n, _) in key_rows)
     assert admitted < ev.count()
+
+
+def test_ivfpq_ingest_stream_appends_refuses_stale_and_retrains(
+    spark, sf_dir, tmp_path
+):
+    """The composed IVFADC family through the vector-ingest loop —
+    completing the four-family stream ≡ batch symmetry. Bootstrap
+    assigns the standing corpus and trains the residual codebook on it
+    (train-stamped); two arrival batches append through BOTH halves'
+    refusal sets; the committed codes must equal re-encoding the
+    enlarged corpus against the same stored artifacts, and the cells
+    store must equal the full assignment (the two stores stay in
+    lockstep). Replay is a no-op; the per-cell counts sidecar tracks
+    true member counts for both the corpus (staleness) and a probed
+    subset (r_pool); a drifting batch refuses with the retrain
+    instruction; `retrain_ivfpq_state` then folds everything to
+    `_batch_id=-1`, after which the probe equals the derive-in-query
+    `sim_ann_ivfpq` key."""
+    import pyspark.sql.types as T
+
+    from odl_etl_spark.operators.ann_index import ivf_residual_explode, pq_encode
+    from odl_etl_spark.operators.similarity import IvfIndex
+    from odl_etl_spark.queries import registry
+    from odl_etl_spark.streaming.ingest_ann import (
+        _ivfpq_count,
+        ingest_ivfpq_stream,
+        ivfpq_append_and_commit,
+        probe_ivfpq_state,
+        retrain_ivfpq_state,
+        stored_ivfpq,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probe = [float(x) for x in e.where(F.col("vec_id") == 0).head()["embedding"]]
+    e_v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    body = e_v.where(F.col("vec_id") != 0)
+    corpus = body.where(F.col("vec_id") % 5 != 4)
+    index = IvfIndex.build(e, n_cells=8)
+    arrivals_dir = str(tmp_path / "arrivals")
+    _write_arrival_batches(
+        tmp_path,
+        arrivals_dir,
+        [
+            body.where(F.col("vec_id") % 10 == 4),
+            body.where(F.col("vec_id") % 10 == 9),
+        ],
+    )
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("v", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    arrivals = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals_dir)
+    )
+    state = str(tmp_path / "state")
+    q = ingest_ivfpq_stream(
+        arrivals, corpus, state, str(tmp_path / "ckpt"), index,
+        available_now=True,
+    )
+    q.awaitTermination(300)
+
+    cent, _, _ = stored_ivfpq(spark, state)
+
+    def code_set():
+        return {
+            (r["vec_id"], r["cell_id"], r["sub"], r["code"])
+            for r in stored_ivfpq(spark, state)[1].collect()
+        }
+
+    def cell_set():
+        return {
+            (r["vec_id"], r["cell_id"])
+            for r in stored_ivfpq(spark, state)[2].collect()
+        }
+
+    # append ≡ re-encoding the ENLARGED corpus against the SAME stored
+    # artifacts (bootstrap-trained codebook + fixed centroids) — for
+    # BOTH cross-dependent relations.
+    want_codes = {
+        (r["vec_id"], r["cell_id"], r["sub"], r["code"])
+        for r in pq_encode(
+            ivf_residual_explode(
+                index.assign(body, vec_col="v"), index.centroids, vec_col="v"
+            ),
+            cent,
+            extra_keys=("cell_id",),
+        ).collect()
+    }
+    assert code_set() == want_codes
+    want_cells = {
+        (r["vec_id"], r["cell_id"])
+        for r in index.assign(body, vec_col="v").collect()
+    }
+    assert cell_set() == want_cells
+    # The per-cell sidecar tracks true member counts: whole corpus
+    # (staleness) and an arbitrary probed subset (r_pool sizing).
+    assert _ivfpq_count(spark, state) == body.count()
+    probed = index.nearest_cells(probe, nprobe=2)
+    true_probed = (
+        index.assign(body, vec_col="v")
+        .where(F.col("cell_id").isin(probed))
+        .count()
+    )
+    assert _ivfpq_count(spark, state, cells=probed) == true_probed
+    # At-least-once replay of batch 0: byte-identical state across all
+    # three relations + sidecar.
+    b0 = spark.read.parquet(os.path.join(arrivals_dir, "batch_0.parquet"))
+    ivfpq_append_and_commit(b0, 0, state, index)
+    assert code_set() == want_codes
+    assert cell_set() == want_cells
+    assert _ivfpq_count(spark, state) == body.count()
+    # A batch that would drift the corpus past 50% of the stamped
+    # training size refuses the stream's commit path loudly.
+    huge = body.select((F.col("vec_id") + 2_000_000).alias("vec_id"), "v")
+    with pytest.raises(ValueError, match="staleness"):
+        ivfpq_append_and_commit(huge, 2, state, index)
+    # The remedy: retrain on the CURRENT corpus — everything folds to
+    # _batch_id=-1 and the probe now equals the derive-in-query key
+    # (whose codebook is trained on the full body, as here).
+    retrain_ivfpq_state(spark, state, e_v, index)
+    for sub in ("codes", "cells", "counts"):
+        parts = {
+            d
+            for d in os.listdir(os.path.join(state, "ivfpq", sub))
+            if d.startswith("_batch_id=")
+        }
+        assert parts == {"_batch_id=-1"}, sub
+    key = [
+        tuple(r)
+        for r in registry()["sim_ann_ivfpq"].build(spark, sf_dir).collect()
+    ]
+    got = [
+        tuple(r)
+        for r in probe_ivfpq_state(spark, state, index, e_v, probe, k=10).collect()
+    ]
+    assert got == key
