@@ -913,9 +913,21 @@ _DECON_MIN = 3
     ),
 )
 def dedup_decontaminate(spark, sf_dir):
+    from odl_etl_spark.operators.dedup import _shingle_hashes
+
     d = load_table(spark, sf_dir, "documents")
-    sh = spread(d).select(
-        "doc_id", F.explode(T.word_shingles("text", 3)).alias("s")
+    # Shingles travel as 64-bit hashes from the windowed token pipeline
+    # (r17; same swap as the curation funnel's decontamination stage):
+    # the broadcast bench set carries 8 bytes/shingle instead of ~25-char
+    # strings and the codegen'd lead()-window replaces the interpreted
+    # HOF transform/slice/concat_ws chain. n_shared counts DISTINCT
+    # shared shingles, so the multiset window output is deduped per
+    # (doc, shingle) — a map-side-combining exchange, cheaper at sf0.1
+    # than the per-row array_distinct it replaces (A/B: 0.97s vs 1.11s).
+    sh = (
+        _shingle_hashes(d, "doc_id", "text", 3)
+        .select(F.col("_id").alias("doc_id"), F.col("_s64").alias("s"))
+        .dropDuplicates(["doc_id", "s"])
     )
     bench = (
         sh.where(F.col("doc_id") % _DECON_MOD == 0).select("s").distinct()
