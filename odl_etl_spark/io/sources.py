@@ -43,7 +43,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     normalized here to a µs TIMESTAMP whose instant equals the naive
     value read as UTC — identical to DuckDB's ``CAST(ts AS TIMESTAMP)``
     — so downstream windowing is engine-agnostic.
+
+    The returned DataFrame (a logical plan, no data) is memoized per
+    (session, resolved path): ``spark.read.parquet`` pays a file
+    listing + footer schema read on the driver EVERY call, and a
+    registry build may load the same immutable fixture several times —
+    r17 profiling measured ~0.9 s of a TPC-H key's ~1.1 s build as
+    exactly this re-listing (22 keys × every bench rep). Re-using the
+    plan is the catalog-table posture (register once, query many — the
+    guide's §6 file-listing-cache/table-format argument); every ACTION
+    still scans the parquet files, so nothing computed is cached. Keyed
+    on the session wrapper (sub-sessions get their own entries, and the
+    events branch below depends on session conf) + absolute path; the
+    fixture-immutability assumption is the same one ``cached_count``
+    has pinned since round 5.
     """
+    cache: dict = spark.__dict__.setdefault("_odl_table_plan_cache", {})
+    key = (os.path.abspath(sf_dir), name)
+    cached = cache.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
@@ -55,6 +74,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # field-by-field — see ntz_as_utc_instant for why a session-
             # timezone cast round-trip is NOT equivalent (DST gaps).
             df = df.withColumn("ts", ntz_as_utc_instant("ts"))
+    cache[key] = df
     return df
 
 
@@ -147,6 +167,15 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     text/embedding corpora); a query touching an absent table still
     fails loudly — at analysis, with TABLE_OR_VIEW_NOT_FOUND — instead
     of this registration failing for tables the query never reads."""
+    # Idempotence memo (r17): every SQL-surface key calls this in its
+    # build, and re-registering 10 unchanged views costs ~20 catalog
+    # round-trips per bench rep. A session's views are exactly the last
+    # registered sf_dir's (the stale-view drop below keeps that true),
+    # so same-session+same-dir re-registration is a no-op. Sub-sessions
+    # (sql_recursive_cte) are distinct wrapper objects with their own
+    # attr dict and still register fresh.
+    if spark.__dict__.get("_odl_views_sf_dir") == os.path.abspath(sf_dir):
+        return
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
@@ -155,6 +184,7 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
             spark.catalog.dropTempView(name)
             continue
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    spark.__dict__["_odl_views_sf_dir"] = os.path.abspath(sf_dir)
 
 
 def spread(df: DataFrame, target: int | None = None) -> DataFrame:
