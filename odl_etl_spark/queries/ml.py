@@ -309,38 +309,54 @@ def _cm_bucket_sql(j: int) -> str:
         "Count-min sketch (4 x 64, md5-nibble hash rows) over the token "
         "stream, probed for the exact top-10 terms: est_tf = min over "
         "rows of the hashed bucket's count, always >= exact_tf. The "
-        "sketch is the mergeable-summary pattern (same family as the "
-        "agg_sketch_partial HLL key): per-task partials are 256 "
-        "counters regardless of input size, combined map-side, so at "
-        "100 TB the frequency table never materializes — only the "
-        "fixed-size sketch and the candidate probe move. Hashing is "
-        "conv(substring(md5)) — codegen'd, identical nibble arithmetic "
-        "on both engines."
+        "probe's exact side forces a (term, tf) vocabulary aggregate "
+        "anyway, so the plan scans and tokenizes the corpus ONCE (one "
+        "map-side-combined groupBy) and derives everything downstream "
+        "from the vocabulary table: bucket ids are functions of the "
+        "term, so md5 runs per DISTINCT term — not per occurrence — and "
+        "each sketch row's bucket counts are tf-weighted sums over "
+        "vocab rows (identical integers to counting token rows "
+        "directly; the oracle keeps that direct 5-pass formulation as "
+        "the independent derivation). The r17 restructure replaced 5 "
+        "corpus scans + per-occurrence md5 (10-scan physical plan) with "
+        "this single pass. Hashing is conv(substring(md5)) — codegen'd, "
+        "identical nibble arithmetic on both engines."
     ),
 )
 def sketch_countmin(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     from odl_etl_spark.functions import text as T
+    from odl_etl_spark.operators.materialize import materialize
 
     toks = spread(d).select(F.explode(T.tokens("text")).alias("term"))
-    th = toks.select("term", F.md5("term").alias("m"))
-    tb = th.select(
-        "term",
-        *[
-            (_spark_hex(F.col("m"), 1 + 4 * j, 4) % _CM_W).alias(f"b{j}")
-            for j in range(_CM_ROWS)
-        ],
+    tfreq = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("tf"))
+        .select("term", "tf", F.md5("term").alias("m"))
+        .select(
+            "term",
+            "tf",
+            *[
+                (_spark_hex(F.col("m"), 1 + 4 * j, 4) % _CM_W).alias(f"b{j}")
+                for j in range(_CM_ROWS)
+            ],
+        )
     )
-    sk = None
-    for j in range(_CM_ROWS):
-        part = tb.groupBy(F.col(f"b{j}").alias("b")).agg(F.count("*").alias("cnt"))
-        part = part.select(F.lit(j).alias("r"), "b", "cnt")
-        sk = part if sk is None else sk.unionByName(part)
-    exact = tb.groupBy("term").agg(
-        F.count("*").alias("tf"),
-        *[F.min(f"b{j}").alias(f"b{j}") for j in range(_CM_ROWS)],
+    # Vocabulary-sized (the magnitude the exact branch already shuffles);
+    # feeds the 4 sketch aggregates and the candidate cut without
+    # re-scanning the corpus per reference.
+    tfreq = materialize(tfreq)
+    sk = (
+        tfreq.select(
+            "tf",
+            F.posexplode(
+                F.array(*[F.col(f"b{j}") for j in range(_CM_ROWS)])
+            ).alias("r", "b"),
+        )
+        .groupBy("r", "b")
+        .agg(F.sum("tf").alias("cnt"))
     )
-    cand = exact.orderBy(F.col("tf").desc(), F.col("term").asc()).limit(10)
+    cand = tfreq.orderBy(F.col("tf").desc(), F.col("term").asc()).limit(10)
     probe_cond = None
     for j in range(_CM_ROWS):
         c = (F.col("s.r") == j) & (F.col("s.b") == F.col(f"c.b{j}"))

@@ -335,6 +335,12 @@ def test_sketch_countmin_is_mergeable_partials(spark, sf_dir):
     assert has_partial_aggregate(df)
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
+    # r17: ONE corpus pass. Everything downstream of the vocabulary
+    # materialize reads the cut (ExistingRDD) — the sketch rows and the
+    # candidate cut must never re-scan/re-tokenize the corpus (the old
+    # shape was 5 logical scans / 10 in the physical plan).
+    assert "existingrdd" in plan.lower()
+    assert "Scan parquet" not in plan
 
 
 def test_bm25_joins_are_broadcast_postings(spark, sf_dir):
