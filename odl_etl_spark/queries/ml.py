@@ -422,19 +422,35 @@ _B = 0.75
 )
 def text_bm25(spark, sf_dir):
     from odl_etl_spark.functions import text as T
+    from odl_etl_spark.operators.materialize import materialize
 
     d = load_table(spark, sf_dir, "documents")
     toks = spread(d).select("doc_id", T.tokens("text").alias("ts"))
-    tf = (
+    # The (doc, term, tf) postings relation is referenced twice — once
+    # to derive the data-defined query terms (df ranks 11-15) and once
+    # to score — and each reference otherwise re-runs the corpus
+    # tokenize+explode+agg (no runtime exchange reuse across them,
+    # measured r17). Materializing it is exactly what an inverted index
+    # IS: the postings are the stored artifact, strictly smaller than
+    # the token stream they derive from.
+    tf = materialize(
         toks.select("doc_id", F.explode("ts").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
-    dl = toks.select("doc_id", F.size("ts").cast("double").alias("dl"))
-    stats = dl.agg(
-        F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs")
-    ).collect()[0]  # two scalars — driver parameter data
-    avgdl, n_docs = stats["avgdl"], stats["n_docs"]
+    # Document lengths derive EXACTLY from the postings: explode emits
+    # one row per token, so SUM(tf) per doc == size(tokens) — no second
+    # tokenize pass for the length side (the old shape tokenized the
+    # corpus 3x: tf, dl, stats). Zero-token docs carry no postings and
+    # no score mass; they enter avgdl only through the denominator,
+    # which is the metadata-cheap count(documents). avgdl therefore
+    # equals AVG over ALL docs' lengths, empty docs included — the
+    # exact value the 3-pass shape computed (integer-valued doubles sum
+    # exactly below 2^53).
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("double").alias("dl"))
+    n_docs = d.count()  # column-pruned parquet metadata count
+    tot = tf.agg(F.sum("tf")).collect()[0][0]  # one scalar over the cut
+    avgdl = float(tot) / float(n_docs)
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     from pyspark.sql import Window
 
