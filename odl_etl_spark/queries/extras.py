@@ -951,7 +951,12 @@ def text_entropy(spark, sf_dir):
     assert_scaled_sum_headroom(
         10**8, 0.37, 10**6, what="text_entropy per-doc -p·ln(p) sum"
     )
-    tc = (
+    from odl_etl_spark.operators.materialize import materialize
+
+    # (doc, term, c) feeds both the per-doc total agg and the entropy
+    # join; materialize it so the corpus tokenizes ONCE per run instead
+    # of once per reference (r17, the text_bm25-family restructure).
+    tc = materialize(
         spread(d)
         .select("doc_id", F.explode(T.tokens("text")).alias("term"))
         .groupBy("doc_id", "term")

@@ -53,9 +53,16 @@ _SPAN = 8  # tokens per duplicate-detection span
     ),
 )
 def text_unigram_ppl(spark, sf_dir):
+    from odl_etl_spark.operators.materialize import materialize
+
     d = load_table(spark, sf_dir, "documents")
     toks = spread(d).select("doc_id", F.explode(T.tokens("text")).alias("term"))
-    tf = toks.groupBy("term").agg(F.count("*").alias("tf"))
+    # The vocabulary model is read twice (total-mass scalar + scoring
+    # join) and each reference otherwise re-runs the corpus tokenize +
+    # term agg; materialize the vocabulary-sized table once (r17). The
+    # scoring pass over `toks` stays lazy — the token stream itself is
+    # corpus-scale and is consumed exactly once.
+    tf = materialize(toks.groupBy("term").agg(F.count("*").alias("tf")))
     total = tf.agg(F.sum("tf")).collect()[0][0]  # one scalar — parameter data
     return (
         toks.join(tf, "term")

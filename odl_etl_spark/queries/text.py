@@ -476,9 +476,15 @@ def dedup_cluster(spark, sf_dir):
     ),
 )
 def text_tfidf(spark, sf_dir):
+    from odl_etl_spark.operators.materialize import materialize
+
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.count()  # O(1) driver scalar, folded into the expression
-    tf = (
+    # The postings table feeds both the document-frequency agg and the
+    # scoring join; materialize it so the corpus is tokenized ONCE per
+    # run instead of once per reference (r17 — same restructure as
+    # text_bm25; the postings are the inverted index's stored artifact).
+    tf = materialize(
         spread(d)
         .select("doc_id", F.explode(T.tokens("text")).alias("term"))
         .groupBy("doc_id", "term")
@@ -1174,9 +1180,14 @@ def dedup_url(spark, sf_dir):
 def text_keywords(spark, sf_dir):
     from pyspark.sql import Window
 
+    from odl_etl_spark.operators.materialize import materialize
+
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.count()  # O(1) driver scalar, folded into the expression
-    tf = (
+    # Postings referenced by the df agg AND the scoring join —
+    # materialize for one tokenize pass per run (r17, the text_bm25 /
+    # text_tfidf restructure).
+    tf = materialize(
         spread(d)
         .select("doc_id", F.explode(T.tokens("text")).alias("term"))
         .groupBy("doc_id", "term")
