@@ -56,3 +56,37 @@ def test_runtime_bloom_filter_enabled(spark):
     # the session actually reports it (would fail if the key regressed to
     # the nonexistent 'runtimeFilter' spelling and the default ever flips).
     assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+
+
+def test_bench_isolated_loadavg_precondition(monkeypatch, tmp_path, capsys):
+    # VERDICT r16 #3: an isolated median taken under host-level steal must
+    # be stamped and flagged, never silently anchor-grade. Drive main()
+    # with a stubbed runner and a stubbed loadavg above/below threshold.
+    import json as _json
+    import sys as _sys
+
+    sys_path_root = str(tmp_path)  # noqa: F841  (tmp_path used for output)
+    import tools.bench_isolated as bi
+
+    monkeypatch.setattr(
+        bi, "run_one", lambda key, reps: {"median": 1.0, "reps": [1.0], "loadavg_before": 9.9}
+    )
+
+    out = tmp_path / "iso.json"
+    monkeypatch.setattr(_sys, "argv", ["bench_isolated.py", str(out), "1", "k1"])
+
+    # Loaded box: warning path + stamped fields.
+    monkeypatch.setattr(bi, "read_loadavg", lambda: 7.5)
+    bi.main()
+    doc = _json.loads(out.read_text())
+    assert doc["loadavg_start"] == 7.5
+    assert "ambient_warning" in doc and "NOT anchor-grade" in doc["ambient_warning"]
+    assert doc["results"]["k1"]["loadavg_before"] == 9.9
+    assert "WARNING" in capsys.readouterr().err
+
+    # Quiet box: no warning key.
+    monkeypatch.setattr(bi, "read_loadavg", lambda: 0.2)
+    bi.main()
+    doc = _json.loads(out.read_text())
+    assert doc["loadavg_start"] == 0.2
+    assert "ambient_warning" not in doc
