@@ -212,17 +212,28 @@ def _minhash_signatures(
     hashes per shingle, reduced by ``min`` aggregates with map-side
     partial combine (one signature row per doc leaves each partition).
     """
+    # SQL-string expressions, one parser call per column, instead of
+    # chained Column operators — the operator form's py4j round-trips
+    # are measurable driver time per build, and streaming ingest
+    # re-builds this pipeline once per micro-batch (r17; same change as
+    # simhash_signatures). The bare `{i}` literal parses as INT exactly
+    # like F.lit(i) did, so every xxhash64 input type — and therefore
+    # every signature — is unchanged.
     sigs = shingle_hashes.groupBy("_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("_s64"))).alias(f"_mh{i}")
+            F.expr(f"min(xxhash64({i}, _s64))").alias(f"_mh{i}")
             for i in range(num_hashes)
         ]
     )
-    bands = [
-        F.xxhash64(*[F.col(f"_mh{i}") for i in range(b, b + band_size)])
+    bands = ", ".join(
+        "xxhash64({})".format(
+            ", ".join(f"_mh{i}" for i in range(b, b + band_size))
+        )
         for b in range(0, num_hashes, band_size)
-    ]
-    return sigs.select("_id", F.posexplode(F.array(*bands)).alias("_band", "_bh"))
+    )
+    return sigs.select(
+        "_id", F.posexplode(F.expr(f"array({bands})")).alias("_band", "_bh")
+    )
 
 
 def minhash_lsh_pairs(
@@ -482,11 +493,18 @@ def simhash_signatures(
     toks = spread(df).select(
         F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_t")
     )
+    # The 64 vote aggregates and the 64-term signature assembly are
+    # built as SQL-string expressions (one parser call each) instead of
+    # chained Column operators: the operator form cost ~11k py4j
+    # round-trips ≈ 1.9 s of driver time PER BUILD (r17 cProfile), pure
+    # construction overhead repeated every bench rep. The parsed trees
+    # are the same Catalyst expressions (shiftright/&/CASE WHEN), so
+    # the analyzed plan — and the signatures — are unchanged.
     if token_hash == "xxhash64":
         hashed = toks.select("_id", F.xxhash64("_t").alias("_h"))
 
-        def bit(b: int) -> Column:
-            return F.getbit("_h", F.lit(b))
+        def bit(b: int) -> str:
+            return f"getbit(_h, {b})"
 
     elif token_hash == "md5":
         # Materialize the 16 nibble values once; each of the 64 bit
@@ -494,30 +512,29 @@ def simhash_signatures(
         hashed = toks.select("_id", F.md5("_t").alias("_m")).select(
             "_id",
             *[
-                F.conv(F.substring("_m", j + 1, 1), 16, 10)
-                .cast("int")
-                .alias(f"_nb{j}")
+                F.expr(
+                    f"cast(conv(substring(_m, {j + 1}, 1), 16, 10) as int)"
+                ).alias(f"_nb{j}")
                 for j in range(16)
             ],
         )
 
-        def bit(b: int) -> Column:
-            return F.shiftright(F.col(f"_nb{b // 4}"), 3 - b % 4).bitwiseAND(
-                F.lit(1)
-            )
+        def bit(b: int) -> str:
+            return f"(shiftright(_nb{b // 4}, {3 - b % 4}) & 1)"
 
     else:
         raise ValueError(f"unknown token_hash: {token_hash!r}")
     votes = hashed.groupBy("_id").agg(
-        *[F.sum(2 * bit(i) - 1).alias(f"_v{i}") for i in range(64)]
+        *[F.expr(f"sum(2 * {bit(i)} - 1)").alias(f"_v{i}") for i in range(64)]
     )
-    sig = F.lit(0).cast("long")
+    sig_terms = ["cast(0 as bigint)"]
     for i in range(64):
         weight = (1 << i) if i < 63 else -(1 << 63)
-        sig = sig + F.when(F.col(f"_v{i}") > 0, F.lit(weight).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        sig_terms.append(
+            f"case when _v{i} > 0 then cast({weight} as bigint) "
+            "else cast(0 as bigint) end"
         )
-    return votes.select("_id", sig.alias("_sig"))
+    return votes.select("_id", F.expr(" + ".join(sig_terms)).alias("_sig"))
 
 
 def simhash_block_keys(sig_col, max_hamming: int) -> list:
