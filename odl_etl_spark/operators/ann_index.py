@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from odl_etl_spark.functions.vectors import dot, l2_distance
+from odl_etl_spark.functions.vectors import dot, l2_distance, mat_lit, vec_lit
 from odl_etl_spark.operators.similarity import topk_cosine
 
 PQ_SUBS = 8  # number of subspaces
@@ -69,7 +69,7 @@ def hyperplane_bucket(vec_col: Column | str, planes: list[list[float]]) -> Colum
     col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     bucket: Column | None = None
     for h, hp in enumerate(planes):
-        hp_lit = F.array(*[F.lit(float(x)) for x in hp])
+        hp_lit = vec_lit(hp)
         bit = F.when(dot(col, hp_lit) >= 0, F.lit(1 << h)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     assert bucket is not None, "need at least one plane"
@@ -506,9 +506,7 @@ def ivf_residual_explode(
         ex = ex.join(F.broadcast(cent_rel), ["cell_id", "i0"])
         cx_ivf = F.col("cx")
     else:
-        cents_lit = F.array(
-            *[F.array(*[F.lit(float(x)) for x in cv]) for _, cv in cents_sorted]
-        )
+        cents_lit = mat_lit([cv for _, cv in cents_sorted])
         cx_ivf = F.element_at(
             F.element_at(cents_lit, F.col("cell_id").cast("int") + 1),
             (F.col("i0") + 1).cast("int"),
@@ -612,7 +610,7 @@ def ivfpq_lut(
                 f"{len(by_id[cid])} for cell {cid} — wrong-index probe"
             )
         pr = [float(p) - float(c) for p, c in zip(probe_vec, by_id[cid])]
-        parr = F.array(*[F.lit(x) for x in pr])
+        parr = vec_lit(pr)
         luts.append(
             _adc_lut(cent, parr).select(
                 F.lit(cid).alias("cell_id"), "sub", "code", "lq"
@@ -651,7 +649,7 @@ def ivfpq_probe(
         .groupBy("vec_id")
         .agg(F.sum("lq").alias("adcq"))
     )
-    parr = F.array(*[F.lit(float(v)) for v in probe_vec])
+    parr = vec_lit(probe_vec)
     return _shortlist_rerank(adc, e, parr, r_pool, k)
 
 
@@ -761,7 +759,7 @@ def pq_probe(
     must be constant-bounded at scale (the `sim_ann_pq` R_MAX
     contract) so the re-rank broadcast stays bounded."""
     _check_pq_subs_stamp(codes, cent)
-    parr = F.array(*[F.lit(float(v)) for v in probe_vec])
+    parr = vec_lit(probe_vec)
     adc = (
         codes.join(F.broadcast(_adc_lut(cent, parr)), ["sub", "code"])
         .groupBy("vec_id")

@@ -18,12 +18,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from odl_etl_spark.functions.vectors import cosine, l2_distance
+from odl_etl_spark.functions.vectors import cosine, l2_distance, vec_lit
 from odl_etl_spark.io.sources import spread
 
 
 def _vec_lit(vec: list[float]):
-    return F.array(*[F.lit(float(v)) for v in vec])
+    return vec_lit(vec)  # one parser call, not len(vec) py4j lits (r17)
 
 
 def topk_cosine(

@@ -23,6 +23,7 @@ from odl_etl_spark.functions.numeric import (
     ORDERS_TOTALPRICE_BOUND,
     roundn,
 )
+from odl_etl_spark.functions.vectors import vec_lit
 from odl_etl_spark.io.sinks import session_sink_dir
 from odl_etl_spark.io.sources import load_table, money_acc
 from odl_etl_spark.operators import dedup as D
@@ -111,7 +112,7 @@ def sim_rerank_pipeline(spark, sf_dir, n_tok: int = 8, dim: int = 8):
     cand, _ = hyperplane_candidates(spark, sf_dir, n_planes=5, radius=3)
     probe = _probe_vec(spark, sf_dir, 0)
     emb = F.col("embedding")
-    parr = F.array(*[F.lit(float(v)) for v in probe])
+    parr = vec_lit(probe)
     toks = F.sequence(F.lit(0), F.lit(n_tok - 1))
     dims = F.sequence(F.lit(0), F.lit(dim - 1))
     score = F.aggregate(

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from odl_etl_spark.functions.numeric import assert_scaled_sum_headroom, roundn
+from odl_etl_spark.functions.vectors import mat_lit
 from odl_etl_spark.io.sources import load_table, spread
 from odl_etl_spark.queries.base import spec
 
@@ -122,11 +123,8 @@ def emb_kmeans(spark, sf_dir, k: int = _K, iters: int = _ITERS):
         for r in cent_rows:
             by_c.setdefault(r["c"], {})[r["i"]] = r["cx"]
         clusters = sorted(by_c)
-        cent_lit = F.array(
-            *[
-                F.array(*[F.lit(by_c[c][i]) for i in sorted(by_c[c])])
-                for c in clusters
-            ]
+        cent_lit = mat_lit(
+            [[by_c[c][i] for i in sorted(by_c[c])] for c in clusters]
         )
         cid_lit = F.array(*[F.lit(c) for c in clusters])
         d2s = F.transform(

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from odl_etl_spark.functions.numeric import roundn
-from odl_etl_spark.functions.vectors import cosine
+from odl_etl_spark.functions.vectors import cosine, vec_lit
 from odl_etl_spark.io.sources import load_table, spread
 from odl_etl_spark.operators.similarity import (
     IvfIndex,
@@ -547,7 +547,7 @@ def sim_maxsim(spark, sf_dir, n_tok: int = 8, dim: int = 8, k: int = 20):
     probe = _probe_vec(spark, sf_dir, 0)
     e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
     emb = F.col("embedding")
-    parr = F.array(*[F.lit(float(v)) for v in probe])
+    parr = vec_lit(probe)
     toks = F.sequence(F.lit(0), F.lit(n_tok - 1))
     dims = F.sequence(F.lit(0), F.lit(dim - 1))
     # Accumulation order is pinned to match the DuckDB oracle: the inner
