@@ -43,8 +43,20 @@ def connected_components(
     # upstream pair-mining pipeline in the same job.
     e = materialize(edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v")))
     sym = e.unionByName(e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
+    # Seed labels with min(self, direct neighbors): the identity init's
+    # first propagation round folded into initialization as ONE groupBy
+    # (the identity-labels round-1 join is a no-op — joining labels that
+    # equal the node id reduces to min over the neighbor ids themselves),
+    # so the seed costs the same single exchange the old distinct() did
+    # but starts one hop ahead. Every connected_components call saves one
+    # loop round = one join+groupBy (two exchanges) + one materialize +
+    # one convergence probe. The fixpoint is unchanged: labels still
+    # converge to the minimum reachable node id (each seed label is the
+    # min over a subset of the reachable set that includes self).
     labels = materialize(
-        sym.select("_u").distinct().select("_u", F.col("_u").alias("_label"))
+        sym.groupBy("_u")
+        .agg(F.min("_v").alias("_mn"))
+        .select("_u", F.least(F.col("_u"), F.col("_mn")).alias("_label"))
     )
     for _ in range(max_iter):
         neigh = (
