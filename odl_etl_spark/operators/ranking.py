@@ -116,8 +116,8 @@ def ntile_exact(
 def global_cumsum(
     df: DataFrame,
     order_by: list[str],
-    value_col: str,
-    cum_col: str = "cum_before",
+    value_col: str | list[str],
+    cum_col: str | list[str] = "cum_before",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Exclusive global prefix sum of ``value_col`` under a total order,
@@ -126,7 +126,19 @@ def global_cumsum(
     table broadcast back. ``cum_col`` = sum of all values strictly
     before the row (0 for the first row) — the primitive behind greedy
     sequence packing, byte budgeting, and contiguous bucketing.
+
+    ``value_col``/``cum_col`` accept lists (same length, paired by
+    position): N prefix sums under ONE total order share one range
+    shuffle, one materialize, one per-partition window pass, and one
+    offset broadcast — N× cheaper than N calls, and every column
+    observes the same sampled range boundaries by construction.
     """
+    cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    cums = [cum_col] if isinstance(cum_col, str) else list(cum_col)
+    if len(cols) != len(cums):
+        raise ValueError(
+            f"global_cumsum: {len(cols)} value_col(s) but {len(cums)} cum_col(s)"
+        )
     parts = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
@@ -138,16 +150,25 @@ def global_cumsum(
             Window.unboundedPreceding, -1
         )
     )
-    local = ranged.withColumn(
-        "_lcum", F.coalesce(F.sum(value_col).over(wlocal), F.lit(0))
+    local = ranged
+    for vc in cols:
+        local = local.withColumn(
+            f"_lcum_{vc}", F.coalesce(F.sum(vc).over(wlocal), F.lit(0))
+        )
+    totals = local.groupBy("_pid").agg(
+        *[F.sum(vc).alias(f"_c_{vc}") for vc in cols]
     )
-    totals = local.groupBy("_pid").agg(F.sum(value_col).alias("_c"))
     wcum = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
-        "_pid", F.coalesce(F.sum("_c").over(wcum), F.lit(0)).alias("_off")
+        "_pid",
+        *[
+            F.coalesce(F.sum(f"_c_{vc}").over(wcum), F.lit(0)).alias(f"_off_{vc}")
+            for vc in cols
+        ],
     )
-    return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn(cum_col, F.col("_off") + F.col("_lcum"))
-        .drop("_pid", "_lcum", "_off")
+    out = local.join(F.broadcast(offsets), "_pid")
+    for vc, cc in zip(cols, cums):
+        out = out.withColumn(cc, F.col(f"_off_{vc}") + F.col(f"_lcum_{vc}"))
+    return out.drop(
+        "_pid", *[f"_lcum_{vc}" for vc in cols], *[f"_off_{vc}" for vc in cols]
     )

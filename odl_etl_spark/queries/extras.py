@@ -1248,8 +1248,10 @@ def orders_backlog(spark, sf_dir):
         F.count("*").alias("n_orders"),
         F.sum(val).alias("val_c"),
     )
-    d = global_cumsum(d, ["day"], "n_orders", cum_col="_co")
-    d = global_cumsum(d, ["day"], "val_c", cum_col="_cv")
+    # Both running totals share ONE total order (day), so one
+    # global_cumsum call computes them over a single range shuffle +
+    # offset broadcast instead of two full two-level passes.
+    d = global_cumsum(d, ["day"], ["n_orders", "val_c"], cum_col=["_co", "_cv"])
     return d.select(
         "day",
         "n_orders",

@@ -279,6 +279,36 @@ def test_global_cumsum_matches_single_partition_window(spark):
     assert got == want
 
 
+def test_global_cumsum_multi_column_matches_two_calls(spark):
+    """N prefix sums under one total order share one range shuffle
+    (orders_backlog's shape): the multi-column call must be value-
+    identical to two independent single-column calls."""
+    import pyspark.sql.functions as F
+
+    from odl_etl_spark.operators.ranking import global_cumsum
+
+    df = spark.range(0, 500).select(
+        F.col("id"),
+        (F.col("id") % 7 + 1).alias("a"),
+        (F.col("id") % 11 + 3).alias("b"),
+    )
+    multi = {
+        r["id"]: (r["ca"], r["cb"])
+        for r in global_cumsum(
+            df, ["id"], ["a", "b"], cum_col=["ca", "cb"], num_partitions=8
+        ).collect()
+    }
+    single_a = {
+        r["id"]: r["ca"]
+        for r in global_cumsum(df, ["id"], "a", cum_col="ca", num_partitions=8).collect()
+    }
+    single_b = {
+        r["id"]: r["cb"]
+        for r in global_cumsum(df, ["id"], "b", cum_col="cb", num_partitions=8).collect()
+    }
+    assert multi == {k: (single_a[k], single_b[k]) for k in single_a}
+
+
 def test_scd2_pit_tied_timestamps_pick_last_change(spark, tmp_path):
     """ADVICE r5: two state changes at the same instant — the PIT lookup
     must deterministically return the LAST change (highest event_id),
