@@ -103,10 +103,13 @@ def connected_components_incremental(
     rebuild over (old ∪ new) edges — pinned by an any-split property
     test.
 
-    Scale shape: the standing ``labels`` table is scanned twice (one
-    batch-sized semi-join to resolve endpoints, one remap join against
-    the merge map — both broadcast-able, both keyed), and the only
-    iteration is over the contracted edges. No full-graph pass.
+    Scale shape: the standing ``labels`` table is scanned twice, and
+    BOTH scans stream it through broadcast hash joins against
+    batch-sized build sides (the endpoint resolve is an inner join
+    building on the broadcast endpoints; the remap builds on the
+    broadcast merge map) — labels is never shuffled and never the
+    build side. The only iteration is over the contracted edges. No
+    full-graph pass.
 
     Returns the complete updated (node, component) relation.
     """
@@ -119,10 +122,23 @@ def connected_components_incremental(
         .distinct()
     )
     # Resolve each touched endpoint to its standing representative;
-    # first-seen nodes resolve to themselves.
+    # first-seen nodes resolve to themselves. Shaped so the corpus-sized
+    # labels table is the STREAMED side of a broadcast inner join (an
+    # ends-preserving outer join would force ends onto the streamed side
+    # and labels into an exchange — BroadcastHashJoin only preserves the
+    # streamed side): matched endpoints come from the inner join, the
+    # first-seen remainder from a batch-vs-batch anti join against the
+    # (materialized, batch-bounded) matched set. The `_fresh` flag
+    # replaces the old corpus-sized left-anti at the end of the fold.
+    matched = materialize(
+        labels.join(F.broadcast(ends), labels["node"] == ends["_n"], "inner")
+        .select("_n", F.col("component").alias("_r"))
+    )
     resolver = materialize(
-        ends.join(labels, ends["_n"] == labels["node"], "left").select(
-            "_n", F.coalesce("component", "_n").alias("_r")
+        matched.withColumn("_fresh", F.lit(False)).unionByName(
+            ends.join(F.broadcast(matched.select("_n")), "_n", "left_anti")
+            .select("_n", F.col("_n").alias("_r"))
+            .withColumn("_fresh", F.lit(True))
         )
     )
     ra = resolver.select(F.col("_n").alias("_a"), F.col("_r").alias("_ra"))
@@ -143,7 +159,7 @@ def connected_components_incremental(
         F.broadcast(merge_map), labels["component"] == F.col("_old"), "left"
     ).select("node", F.coalesce("_merged", "component").alias("component"))
     fresh = (
-        resolver.join(labels, resolver["_n"] == labels["node"], "left_anti")
+        resolver.where(F.col("_fresh"))
         .join(F.broadcast(merge_map), resolver["_r"] == F.col("_old"), "left")
         .select(
             F.col("_n").alias("node"),
