@@ -42,7 +42,20 @@ def connected_components(
     # branches would otherwise each materialize the (possibly expensive)
     # upstream pair-mining pipeline in the same job.
     e = materialize(edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v")))
-    sym = e.unionByName(e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
+    # Materialize the symmetrized edge list PRE-PARTITIONED on the join
+    # key: (local)checkpoint preserves outputPartitioning, so every
+    # round's sym ⋈ labels sort-merge join reads the stored partitioning
+    # instead of re-exchanging the edge set (one upfront edge-sized
+    # exchange buys R rounds of elided edge-sized exchanges — the loop's
+    # largest shuffle once labels outgrows the broadcast threshold), and
+    # the seed groupBy below aggregates co-partitioned data without its
+    # own exchange. Partition count comes from spark.sql.shuffle
+    # .partitions (scale-adaptive conf, not a local constant).
+    sym = materialize(
+        e.unionByName(
+            e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
+        ).repartition(F.col("_u"))
+    )
     # Seed labels with min(self, direct neighbors): the identity init's
     # first propagation round folded into initialization as ONE groupBy
     # (the identity-labels round-1 join is a no-op — joining labels that
