@@ -66,14 +66,24 @@ def pagerank_fixed(
     # Checkpoint the symmetrized edge list first so the (possibly
     # expensive) upstream distinct pipeline runs exactly once; deg and
     # ed then derive from the materialized blocks, not the lineage.
+    # The list is PARTITIONED BY src before the dedup: hashpartitioning
+    # on src satisfies the (src, dst) clustering the dedup needs (subset
+    # rule), so dropDuplicates adds no second exchange — and because
+    # (local)checkpoint preserves outputPartitioning, the degree
+    # aggregate, the edge⋈degree join, and every iteration's edge-side
+    # join input all reuse this ONE edge-sized exchange instead of
+    # re-shuffling the edge set per operator/round once the rank table
+    # outgrows the broadcast threshold. Partition count comes from
+    # spark.sql.shuffle.partitions (scale-adaptive conf).
     e = materialize(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
-        .distinct()
+        .repartition(F.col("src"))
+        .dropDuplicates(["src", "dst"])
     )
     deg = materialize(
         e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    )  # node-sized; read 3×: nodes, n, ed
+    )  # node-sized; read 3×: nodes, n, ed — co-partitioned with e on src
     # Symmetric graph: the src set IS the node set.
     nodes = deg.select(F.col("src").alias("node"))
     n = nodes.count()  # O(1) driver scalar, folded into the base-rank literal
