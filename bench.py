@@ -155,10 +155,14 @@ def main() -> None:
     # (VERDICT.md r2, What's-missing #2). Durable copy goes to disk first;
     # stdout still carries the full line, printed last so the tail keeps
     # as much of it as fits.
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SUMMARY.json"),
-        "w",
-    ) as f:
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_SUMMARY.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    # ALSO write a per-core-count copy (VERDICT r17 #3): the driver runs
+    # the bench at two core counts and BENCH_SUMMARY.json is overwritten
+    # per run, so the 32-core per-key map was lost to the 8-core run.
+    # Additive artifact only; the stdout contract is unchanged.
+    with open(os.path.join(here, f"BENCH_SUMMARY_c{cpus}.json"), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
     print(

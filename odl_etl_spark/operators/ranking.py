@@ -139,6 +139,11 @@ def global_cumsum(
         raise ValueError(
             f"global_cumsum: {len(cols)} value_col(s) but {len(cums)} cum_col(s)"
         )
+    if len(set(cols)) != len(cols) or len(set(cums)) != len(cums):
+        raise ValueError(
+            "global_cumsum: duplicate entries in value_col/cum_col "
+            f"(value_col={cols!r}, cum_col={cums!r})"
+        )
     parts = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
@@ -150,25 +155,30 @@ def global_cumsum(
             Window.unboundedPreceding, -1
         )
     )
+    # Temp columns are POSITIONAL (ADVICE r17 #1): names derived from the
+    # user's column names would collide on dots/backticks or on a
+    # pre-existing column matching the derived name.
     local = ranged
-    for vc in cols:
+    for i, vc in enumerate(cols):
         local = local.withColumn(
-            f"_lcum_{vc}", F.coalesce(F.sum(vc).over(wlocal), F.lit(0))
+            f"_lcum_{i}", F.coalesce(F.sum(vc).over(wlocal), F.lit(0))
         )
     totals = local.groupBy("_pid").agg(
-        *[F.sum(vc).alias(f"_c_{vc}") for vc in cols]
+        *[F.sum(vc).alias(f"_c_{i}") for i, vc in enumerate(cols)]
     )
     wcum = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
         "_pid",
         *[
-            F.coalesce(F.sum(f"_c_{vc}").over(wcum), F.lit(0)).alias(f"_off_{vc}")
-            for vc in cols
+            F.coalesce(F.sum(f"_c_{i}").over(wcum), F.lit(0)).alias(f"_off_{i}")
+            for i in range(len(cols))
         ],
     )
     out = local.join(F.broadcast(offsets), "_pid")
-    for vc, cc in zip(cols, cums):
-        out = out.withColumn(cc, F.col(f"_off_{vc}") + F.col(f"_lcum_{vc}"))
+    for i, cc in enumerate(cums):
+        out = out.withColumn(cc, F.col(f"_off_{i}") + F.col(f"_lcum_{i}"))
     return out.drop(
-        "_pid", *[f"_lcum_{vc}" for vc in cols], *[f"_off_{vc}" for vc in cols]
+        "_pid",
+        *[f"_lcum_{i}" for i in range(len(cols))],
+        *[f"_off_{i}" for i in range(len(cols))],
     )

@@ -143,3 +143,53 @@ def test_checkpoint_mode_survives_executor_loss():
     if proc.returncode in (3, 4):
         pytest.skip(f"fault-injection scenario unavailable: {tail}")
     assert proc.returncode == 0, tail
+
+
+def test_materialize_prepartitioned_records_partitioning(spark):
+    """materialize_prepartitioned must record hashpartitioning on the
+    cut so downstream joins elide the exchange — under AQE a plain
+    pre-partitioned checkpoint reports UnknownPartitioning and every
+    consumer re-exchanges (the r17 latent flaw; see
+    plans/r18/cc_prepart_aqe_probe.txt)."""
+    import pyspark.sql.functions as F
+
+    from odl_etl_spark.operators.materialize import materialize_prepartitioned
+
+    e = spark.range(0, 1000).select(
+        (F.col("id") % 97).alias("_u"), (F.col("id") % 7).alias("_v")
+    )
+    labels = spark.range(0, 97).select(
+        F.col("id").alias("_u"), F.col("id").alias("_label")
+    )
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = e.localCheckpoint(eager=True)
+        prep = materialize_prepartitioned(e, ["_u"])
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"  # restored
+
+        def edge_side_exchanges(sym):
+            plan = (
+                sym.join(labels, "_u")
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            # exchanges above a Scan ExistingRDD (the checkpointed side)
+            return plan.count("Exchange hashpartitioning(_u#")
+
+        # plain cut: BOTH sides re-exchanged; prepartitioned cut: only
+        # the labels side exchanges (edge-side exchange elided).
+        assert edge_side_exchanges(plain) == 2
+        assert edge_side_exchanges(prep) == 1
+        got = {
+            (r["_u"], r["_label"])
+            for r in prep.join(labels, "_u").select("_u", "_label").collect()
+        }
+        want = {
+            (r["_u"], r["_label"])
+            for r in plain.join(labels, "_u").select("_u", "_label").collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)

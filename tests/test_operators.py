@@ -194,6 +194,39 @@ def test_connected_components_transitive_chain(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_connected_components_prepartition_branch_same_labels(spark):
+    """The r18 adaptive pre-partition (pay the upfront edge exchange
+    only when the label table will not broadcast) is plan-only: forcing
+    the non-broadcast branch via autoBroadcastJoinThreshold=-1 yields
+    the identical labeling."""
+    from odl_etl_spark.operators.components import (
+        _fits_broadcast,
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "src long, dst long",
+    )
+    want = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    tiny = spark.range(3).select(F.col("id").alias("_label")).localCheckpoint()
+    assert _fits_broadcast(tiny)  # default threshold: tiny frame broadcasts
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert not _fits_broadcast(tiny)  # disabled: nothing broadcasts
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(edges, "src", "dst").collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert got == want
+
+
 def test_knn_join_matches_brute_force(spark, sf_dir):
     import pyspark.sql.functions as F
 
